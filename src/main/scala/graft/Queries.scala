@@ -1,0 +1,582 @@
+package graft
+
+import graft.functions._
+import graft.operators._
+import graft.plans.Exprs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-checked query catalog: one entry per operator from
+  * SURVEY.md §2 plus the training-data pipeline operators (dedup,
+  * similarity search, text analysis). Each query names its covered
+  * operators; `oracle` is the DuckDB-equivalent SQL (None → the driver
+  * records a rows-only check for non-SQL-expressible ops).
+  *
+  * Hash-compare discipline (driver sorts columns by name, then hashes
+  * values):
+  *   - integer outputs are cast to BIGINT on BOTH sides (Spark int vs
+  *     DuckDB BIGINT would hash differently);
+  *   - double aggregates are only emitted where bit-exact parity holds:
+  *     sums of integral doubles, order-pinned running sums, or values
+  *     rounded onto the data's own 2-decimal grid;
+  *   - column names are aliased identically on both sides.
+  */
+case class Q(name: String,
+             fn: (SparkSession, String) => DataFrame,
+             oracle: Option[String],
+             covers: String)
+
+object Queries {
+  import Tables._
+
+  private val priorityLadder =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------- A1 family
+    Q("q01_agg_pricing",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"),
+          min(to_date(col("l_shipdate"))).as("first_ship"),
+          max(to_date(col("l_shipdate"))).as("last_ship")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |round(sum(l_extendedprice), 2) AS sum_price, avg(l_quantity) AS avg_qty,
+             |count(*) AS n, CAST(min(l_shipdate) AS DATE) AS first_ship,
+             |CAST(max(l_shipdate) AS DATE) AS last_ship
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "A1,A1a,A1b (group-merge aggregation suite)"),
+
+    // ---------------------------------------------------------- joins
+    Q("q02_join_left",
+      (s, d) => orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("c_name"), col("c_mktsegment")),
+      Some("""SELECT o_orderkey, o_orderpriority, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin),
+      "J1,J2,J3 (left equi-join, broadcast)"),
+
+    Q("q03_join_chain",
+      (s, d) => customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+      "J5 (join chain over dims, broadcast both)"),
+
+    // ---------------------------------------------------------- filters
+    Q("q04_filter_range",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_quantity") <= 10 && col("l_discount") > 0.05 &&
+          col("l_returnflag").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity")),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+             |FROM lineitem
+             |WHERE l_quantity <= 10 AND l_discount > 0.05 AND l_returnflag IS NOT NULL""".stripMargin),
+      "F1,F2,F6 (range + not-null predicates, parquet pushdown)"),
+
+    Q("q05_project_flags",
+      (s, d) => customer(s, d).select(
+        col("c_custkey"),
+        col("c_name").as("name"),
+        StringFunctions.flagEquals(col("c_mktsegment"), "AUTOMOBILE").as("is_auto"),
+        (col("c_acctbal") > 1000).as("is_big_bal"),
+        StringFunctions.naIfBlank(col("c_mktsegment")).as("segment")),
+      Some("""SELECT c_custkey, c_name AS name,
+             |coalesce(c_mktsegment = 'AUTOMOBILE', FALSE) AS is_auto,
+             |c_acctbal > 1000 AS is_big_bal,
+             |CASE WHEN trim(c_mktsegment) = '' THEN NULL ELSE c_mktsegment END AS segment
+             |FROM customer""".stripMargin),
+      "P1-P5,C1,C2,C3 (select+rename, flags, na_if)"),
+
+    Q("q06_union_by_name",
+      (s, d) => {
+        val a = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        val b = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        a.unionByName(b, allowMissingColumns = true)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, CAST(NULL AS VARCHAR) AS o_orderstatus FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority, o_orderstatus FROM orders""".stripMargin),
+      "U1,U2 (bind_rows / union by name, missing cols → null)"),
+
+    Q("q07_point_update",
+      (s, d) => nation(s, d).select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        when(col("n_name") === "NATION_7", lit(true))
+          .otherwise(col("n_regionkey") === 0).as("special")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |CASE WHEN n_name = 'NATION_7' THEN TRUE ELSE n_regionkey = 0 END AS special
+             |FROM nation""".stripMargin),
+      "F5 (targeted row update as conditional column)"),
+
+    // ---------------------------------------------------------- scalars
+    Q("q08_recode",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        StringFunctions.recode(col("o_orderpriority"),
+          Map("1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium"))
+          .as("priority_recoded"),
+        StringFunctions.recodeOrNull(col("o_orderstatus"),
+          Map("F" -> "finished", "O" -> "open")).as("status_recoded")),
+      Some("""SELECT o_orderkey,
+             |CASE o_orderpriority WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+             |  WHEN '3-MEDIUM' THEN 'medium' ELSE o_orderpriority END AS priority_recoded,
+             |CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+             |  ELSE NULL END AS status_recoded
+             |FROM orders""".stripMargin),
+      "C5,C6,C7 (recode maps, with and without passthrough)"),
+
+    Q("q09_str_trunc",
+      (s, d) => part(s, d).select(
+        col("p_partkey"),
+        StringFunctions.strTrunc(col("p_name"), 20).as("name_short")),
+      Some("""SELECT p_partkey,
+             |CASE WHEN length(p_name) > 20 THEN substr(p_name, 1, 17) || '...' ELSE p_name END
+             |  AS name_short
+             |FROM part""".stripMargin),
+      "C4 (str_trunc with ellipsis)"),
+
+    Q("q10_identifier",
+      (s, d) => part(s, d).select(
+        col("p_partkey"),
+        Identifier.makeIdentifierCol(col("p_name")).as("identifier")),
+      Some("""WITH s1 AS (SELECT p_partkey,
+             |  regexp_replace(regexp_replace(trim(regexp_replace(lower(p_name),
+             |    '[()":'',&/.;]', '', 'g')), '[\s\-]+', '_', 'g'),
+             |    '[()":'',&/.;]', '', 'g') AS ident FROM part)
+             |SELECT p_partkey,
+             |CASE WHEN length(ident) > 58
+             |  THEN substr(ident, 1, 29) || substr(ident, length(ident) - 28, 29)
+             |  ELSE ident END AS identifier
+             |FROM s1""".stripMargin),
+      "C14 (make_identifier UDF; ASCII data ⇒ transliteration = id)"),
+
+    Q("q11_make_unique",
+      (s, d) => Relational.makeUnique(
+        part(s, d).select(col("p_partkey"), col("p_brand")),
+        "p_brand", "p_partkey", "brand_uniq"),
+      Some("""SELECT p_partkey, p_brand,
+             |CASE WHEN rn = 1 THEN p_brand
+             |  ELSE p_brand || '_' || CAST(rn - 1 AS VARCHAR) END AS brand_uniq
+             |FROM (SELECT p_partkey, p_brand,
+             |  row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn FROM part)""".stripMargin),
+      "W3,C15 (make.unique suffixing)"),
+
+    Q("q12_dup_report",
+      (s, d) => Relational.duplicateReport(
+        orders(s, d).select(col("o_orderkey"), col("o_custkey")), "o_custkey"),
+      Some("""SELECT o_orderkey, o_custkey FROM
+             |(SELECT o_orderkey, o_custkey, count(*) OVER (PARTITION BY o_custkey) AS c FROM orders)
+             |WHERE c > 1""".stripMargin),
+      "A3 (duplicate detection via window count)"),
+
+    Q("q13_distinct_by_key",
+      (s, d) => Relational.distinctByKey(
+        customer(s, d).select(col("c_mktsegment"), col("c_custkey"), col("c_name")),
+        "c_mktsegment", "c_custkey"),
+      Some("""SELECT c_mktsegment, c_custkey, c_name FROM
+             |(SELECT c_mktsegment, c_custkey, c_name,
+             |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn FROM customer)
+             |WHERE rn = 1""".stripMargin),
+      "A2 (deterministic distinct-by-key, first per order)"),
+
+    // ---------------------------------------------------------- windows
+    Q("q14_row_number",
+      (s, d) => Relational.globalRowNumber(
+          orders(s, d).select(col("o_orderkey")), "id", col("o_orderkey"))
+        .withColumn("id", col("id").cast("long"))
+        .withColumn("pk", (lit(2000) + col("id")).cast("long")),
+      Some("""SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
+             |CAST(2000 + row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS pk
+             |FROM orders""".stripMargin),
+      "W1,W2 (global row_number in pinned order)"),
+
+    Q("q15_running_sum",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total")),
+      Some("""SELECT o_orderkey, o_custkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |FROM orders""".stripMargin),
+      "window frame (running sum, order-pinned ⇒ bit-exact)"),
+
+    Q("q16_top_k",
+      (s, d) => orders(s, d)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("rank").cast("long").as("rank")),
+      Some("""SELECT o_custkey, o_orderkey, CAST(rank AS BIGINT) AS rank FROM
+             |(SELECT o_custkey, o_orderkey, row_number() OVER
+             |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+             |FROM orders) WHERE rank <= 3""".stripMargin),
+      "top-k per group (rank window)"),
+
+    Q("q17_ordinal_min",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(Relational.ordinalMin(col("o_orderpriority"), priorityLadder)
+          .as("min_priority")),
+      Some("""SELECT o_orderstatus,
+             |list_extract(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'],
+             |  min(list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'],
+             |    o_orderpriority))) AS min_priority
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "A1d (ordinal-min over a factor ladder)"),
+
+    Q("q18_concat_agg",
+      (s, d) => customer(s, d)
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(Aggregators.concatDistinctSorted(col("c_mktsegment")).as("segments")),
+      Some("""SELECT c_nationkey, string_agg(c_mktsegment, '; ' ORDER BY c_mktsegment) AS segments
+             |FROM (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment
+             |      FROM customer)
+             |GROUP BY c_nationkey""".stripMargin),
+      "A1c,C16 (distinct ordered string agg)"),
+
+    Q("q19_bool_explode",
+      (s, d) => part(s, d)
+        .select(col("p_partkey"),
+          explode(transform(filter(array(
+            struct(lit(1L).as("id"), (col("p_size") > 25).as("flag")),
+            struct(lit(2L).as("id"), (col("p_retailprice") > 1500).as("flag")),
+            struct(lit(3L).as("id"), (col("p_brand") === "Brand#13").as("flag"))),
+            x => x.getField("flag")), x => x.getField("id"))).as("flag_id")),
+      Some("""SELECT p_partkey, CAST(1 AS BIGINT) AS flag_id FROM part WHERE p_size > 25
+             |UNION ALL SELECT p_partkey, 2 FROM part WHERE p_retailprice > 1500
+             |UNION ALL SELECT p_partkey, 3 FROM part WHERE p_brand = 'Brand#13'""".stripMargin),
+      "C22 (boolean flag vector → exploded link rows)"),
+
+    Q("q20_sql_gen",
+      (s, d) => customer(s, d).select(
+        col("c_custkey"),
+        concat(lit("update layers_layer set data_in_obis = "),
+          StringFunctions.sqlLiteral(
+            StringFunctions.recodeOrNull(col("c_mktsegment"),
+              Map("AUTOMOBILE" -> "all", "BUILDING" -> "some"))),
+          lit(" where name = '"), col("c_name"), lit("';")).as("stmt")),
+      Some("""SELECT c_custkey, 'update layers_layer set data_in_obis = ' ||
+             |CASE WHEN seg IS NULL THEN 'null' ELSE '''' || seg || '''' END ||
+             |' where name = ''' || c_name || ''';' AS stmt
+             |FROM (SELECT c_custkey, c_name,
+             |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'all' WHEN 'BUILDING' THEN 'some'
+             |    ELSE NULL END AS seg FROM customer)""".stripMargin),
+      "K7,C17,C21 (SQL-text generation with literal quoting)"),
+
+    Q("q21_year_bounds",
+      (s, d) => {
+        val y = year(col("o_orderdate")).cast("string")
+        orders(s, d).select(col("o_orderkey"),
+          DateFunctions.yearStart(y).as("start_date"),
+          DateFunctions.yearEnd(y).as("end_date"))
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(CAST(year(o_orderdate) AS VARCHAR) || '-01-01' AS DATE) AS start_date,
+             |CAST(CAST(year(o_orderdate) AS VARCHAR) || '-12-31' AS DATE) AS end_date
+             |FROM orders""".stripMargin),
+      "C8,C9 (year string → Jan 1 / Dec 31 bounds)"),
+
+    Q("q22_split_range",
+      (s, d) => {
+        val rangeStr = concat(year(col("o_orderdate")).cast("string"), lit("-current"))
+        val (start, end) = DateFunctions.splitRange(rangeStr)
+        orders(s, d).select(col("o_orderkey"), start.as("start_tok"), end.as("end_tok"))
+      },
+      Some("""SELECT o_orderkey,
+             |list_extract(string_split_regex(CAST(year(o_orderdate) AS VARCHAR) || '-current',
+             |  '[^A-Za-z0-9]+'), 1) AS start_tok,
+             |list_extract(string_split_regex(CAST(year(o_orderdate) AS VARCHAR) || '-current',
+             |  '[^A-Za-z0-9]+'), 2) AS end_tok
+             |FROM orders""".stripMargin),
+      "C10,C11 (separate on non-alphanumeric run)"),
+
+    Q("q23_mutual_null",
+      (s, d) => {
+        val a = when(col("l_discount") > 0.08, lit(null)).otherwise(col("l_quantity"))
+        val b = when(col("l_tax") > 0.06, lit(null)).otherwise(col("l_extendedprice"))
+        val (a2, b2) = DateFunctions.mutualNull(a, b)
+        lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          a2.as("lat"), b2.as("lon"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE a END AS lat,
+             |CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE b END AS lon
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_discount > 0.08 THEN NULL ELSE l_quantity END AS a,
+             |  CASE WHEN l_tax > 0.06 THEN NULL ELSE l_extendedprice END AS b
+             |FROM lineitem)""".stripMargin),
+      "C12 (mutual null-out of coordinate pair)"),
+
+    // ---------------------------------------------------------- spatial
+    Q("q24_wkt_point",
+      (s, d) => nation(s, d).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        GeoFunctions.wktPoint(col("n_regionkey").cast("string"),
+          col("n_nationkey").cast("string")).as("wkt")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             |'POINT (' || n_regionkey || ' ' || n_nationkey || ')' AS wkt
+             |FROM nation""".stripMargin),
+      "C13,G1,G2 (WKT point construction)"),
+
+    Q("q25_geojson_roundtrip",
+      (s, d) => {
+        val gj = concat(lit("{\"type\": \"Point\", \"coordinates\": ["),
+          col("n_regionkey").cast("string"), lit(", "),
+          col("n_nationkey").cast("string"), lit("]}"))
+        nation(s, d).select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          GeoFunctions.geojsonType(gj).as("geom_type"),
+          GeoFunctions.geojsonToWkt(gj).as("wkt"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             |'Point' AS geom_type,
+             |'POINT (' || n_regionkey || ' ' || n_nationkey || ')' AS wkt
+             |FROM nation""".stripMargin),
+      "G4,G5,G6,S8 (GeoJSON parse, type sniff, → WKT; oracle is the independent construction)"),
+
+    Q("q26_multipoint_agg",
+      (s, d) => supplier(s, d)
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(Aggregators.multipointWkt(
+          col("s_suppkey") % 10, col("s_suppkey") % 7).as("geom")),
+      Some("""WITH d AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+             |  s_suppkey % 10 AS x, s_suppkey % 7 AS y FROM supplier)
+             |SELECT s_nationkey,
+             |CASE WHEN count(*) = 1 THEN 'POINT (' || min(x) || ' ' || min(y) || ')'
+             |  ELSE 'MULTIPOINT (' || string_agg('(' || x || ' ' || y || ')', ', ' ORDER BY x, y)
+             |    || ')' END AS geom
+             |FROM d GROUP BY s_nationkey""".stripMargin),
+      "A1e,G3 (st_union of points → MULTIPOINT WKT)"),
+
+    Q("q27_linestring_agg",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .agg(Aggregators.linestringWkt(col("event_id"),
+          col("event_id") % 100, col("user_id") % 50).as("track")),
+      Some("""SELECT user_id, 'LINESTRING (' ||
+             |string_agg((event_id % 100) || ' ' || (user_id % 50), ', ' ORDER BY event_id)
+             ||| ')' AS track
+             |FROM events GROUP BY user_id""".stripMargin),
+      "G8 (ordered points → LINESTRING WKT)"),
+
+    Q("q28_utm_inverse",
+      (s, d) => supplier(s, d).select(
+        col("s_suppkey"),
+        round(GeoFunctions.utm30nLon(
+          lit(400000.0) + (col("s_suppkey") % 200) * 1000.0,
+          lit(4000000.0) + (col("s_suppkey") % 100) * 2000.0), 6).as("lon"),
+        round(GeoFunctions.utm30nLat(
+          lit(400000.0) + (col("s_suppkey") % 200) * 1000.0,
+          lit(4000000.0) + (col("s_suppkey") % 100) * 2000.0), 6).as("lat")),
+      None, // closed-form TM inverse not reasonably SQL-expressible
+      "G7 (UTM 32630 → WGS84 inverse projection; unit-tested vs known fixtures)"),
+
+    // ---------------------------------------------------------- events/json
+    Q("q29_json_extract",
+      (s, d) => events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events""".stripMargin),
+      "C20,S8 (JSON field access)"),
+
+    Q("q30_events_window",
+      (s, d) => events(s, d)
+        .groupBy(to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+      Some("""SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr, event_type,
+             |count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2, 3""".stripMargin),
+      "tumbling-window agg (batch equivalent of streaming window)"),
+
+    Q("q31_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+             |count(*) AS n_events FROM
+             |(SELECT user_id, CASE WHEN prev_ts IS NULL
+             |  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM
+             |  (SELECT user_id, ts, lag(ts) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events))
+             |GROUP BY user_id""".stripMargin),
+      "sessionization (lag + gap threshold; streaming-state batch analog)"),
+
+    // ---------------------------------------------------------- dedup
+    Q("q32_dedup_exact",
+      (s, d) => Dedup.exactDupPairs(documents(s, d), "text", "doc_id"),
+      Some("""SELECT canonical_id, dup_id FROM
+             |(SELECT min(doc_id) OVER (PARTITION BY text) AS canonical_id, doc_id AS dup_id
+             | FROM documents) WHERE dup_id <> canonical_id""".stripMargin),
+      "exact dedup (hash-groupBy on content)"),
+
+    Q("q33_dedup_prefix",
+      (s, d) => Dedup.exactDupPairs(
+        documents(s, d).withColumn("prefix",
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 10))),
+        "prefix", "doc_id"),
+      Some("""SELECT canonical_id, dup_id FROM
+             |(SELECT min(doc_id) OVER (PARTITION BY prefix) AS canonical_id, doc_id AS dup_id
+             | FROM (SELECT doc_id,
+             |   array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:10], ' ') AS prefix
+             |   FROM documents))
+             |WHERE dup_id <> canonical_id""".stripMargin),
+      "exact dedup on normalized key (10-token prefix)"),
+
+    Q("q34_dedup_minhash",
+      (s, d) => Dedup.minhashCandidatePairs(documents(s, d), "text", "doc_id",
+          shingleK = 3, numPerms = 64, bands = 16, threshold = 0.2)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 4)),
+      None, // LSH banding not SQL-expressible; exact-jaccard twin is q36
+      "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket join)"),
+
+    Q("q35_dedup_simhash",
+      (s, d) => Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 12)
+        .withColumn("hamming", col("hamming").cast("long")),
+      None, // 64-bit simhash kernel not SQL-expressible
+      "SimHash near-dup pairs (banded 16-bit chunks, Hamming verify)"),
+
+    Q("q36_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+          shingleK = 3, minJaccard = 0.12)
+        .withColumn("jaccard", round(col("jaccard"), 6)),
+      None, // candidate for a DuckDB list-comprehension oracle; rows-only for now
+      "exact n-gram Jaccard pairs via inverted shingle index"),
+
+    Q("q37_embed_neardup",
+      (s, d) => Dedup.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
+          minCosine = 0.85)
+        .withColumn("cosine", round(col("cosine"), 6)),
+      None, // hyperplane LSH pruning not SQL-expressible
+      "embedding cosine near-dup via hyperplane LSH buckets"),
+
+    // ---------------------------------------------------------- similarity
+    Q("q38_ann_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             |CAST(rank AS BIGINT) AS rank FROM
+             |(SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |    CAST(q.embedding AS DOUBLE[])) AS cosine,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |      CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+             | FROM embeddings c, embeddings q WHERE q.vec_id < 8)
+             |WHERE rank <= 5""".stripMargin),
+      "brute-force cosine top-k ANN baseline (broadcast probe set)"),
+
+    // ---------------------------------------------------------- text
+    Q("q39_text_stats",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFunctions.charsPerToken(col("text")), 4).as("chars_per_token"),
+        round(TextFunctions.meanTokenLength(col("text")), 4).as("mean_token_len")),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             |round(CAST(length(text) AS DOUBLE) /
+             |  greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS chars_per_token,
+             |round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+             |  x -> length(x))) AS DOUBLE) /
+             |  greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mean_token_len
+             |FROM documents""".stripMargin),
+      "token counting (whitespace), char/token stats"),
+
+    Q("q40_text_quality",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality")),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+             |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(len(list_filter(toks, x -> list_contains(
+             |    [${TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) /
+             |    greatest(len(toks), 1) AS stopword_ratio,
+             |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+             |    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+             |  CAST(len(toks) AS DOUBLE) AS n FROM t)
+             |SELECT doc_id, round(stopword_ratio, 4) AS stopword_ratio,
+             |  round(punct_ratio, 4) AS punct_ratio,
+             |  round((least(n / 50, 1) + (1 - least(punct_ratio * 4, 1)) +
+             |    least(stopword_ratio * 5, 1)) / 3, 4) AS quality
+             |FROM m""".stripMargin),
+      "quality scoring (length/punct/stopword heuristics)"),
+
+    Q("q41_langid",
+      (s, d) => documents(s, d).select(
+        col("doc_id"), TextFunctions.langIdCol(col("text")).as("lang_pred")),
+      Some {
+        val profiles = TextFunctions.LangProfiles.toSeq.sortBy(_._1)
+        val scoreExprs = profiles.map { case (lang, grams) =>
+          val hits = grams.map(g => s"CAST(contains(t, '$g') AS INT)").mkString(" + ")
+          s"($hits) AS s_$lang"
+        }.mkString(", ")
+        s"""WITH sc AS (SELECT doc_id, $scoreExprs
+           |  FROM (SELECT doc_id, lower(text) AS t FROM documents))
+           |SELECT doc_id, CASE
+           |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+           |  WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+           |  WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+           |  WHEN s_de > 0 THEN 'de'
+           |  ELSE 'und' END AS lang_pred
+           |FROM sc""".stripMargin
+      },
+      "language-ID (n-gram profile heuristic)"),
+
+    Q("q42_fingerprint",
+      (s, d) => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val tokVals = transform(toks,
+          x => (length(x).cast("long") * 7 + ascii(x).cast("long")))
+        documents(s, d).select(col("doc_id"),
+          aggregate(tokVals, lit(0L),
+            (acc, v) => pmod(acc * 31 + v, lit(1000000007L))).as("fingerprint"))
+      },
+      Some("""SELECT doc_id,
+             |list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(string_split_regex(lower(trim(text)), '\s+'),
+             |    x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
+             |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+             |FROM documents""".stripMargin),
+      "document fingerprinting (rolling hash over token stream)")
+  )
+
+  val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

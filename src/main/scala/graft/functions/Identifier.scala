@@ -1,0 +1,62 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** The reference's `make_identifier` (notebooks/index.Rmd:353-371): the
+  * single most behavior-critical scalar function (SURVEY §7 "hard parts").
+  *
+  * Semantics (in order):
+  *   1. lowercase
+  *   2. strip the punctuation class `[()":',&/.;]`
+  *   3. trim
+  *   4. runs of whitespace / `-` / en-dash → a single `_`
+  *   5. transliterate UTF-8 → ASCII (R `iconv //TRANSLIT`): NFD-decompose
+  *      and drop combining marks, then drop any remaining non-ASCII
+  *   6. strip the punctuation class again
+  *   7. if longer than 58 chars: first 29 + last 29 chars
+  *
+  * Kept as a Scala function so it is unit-testable without Spark, and
+  * wrapped in a UDF for the DataFrame surface. At reference scale (627
+  * rows) a codegen `Expression` buys nothing; the pure function keeps the
+  * door open (SURVEY §7 "custom vs built-in").
+  */
+object Identifier {
+  private val Punct = "[()\":',&/.;]"
+
+  def makeIdentifier(name: String): String = {
+    if (name == null) return null
+    var s = name.toLowerCase
+    s = s.replaceAll(Punct, "")
+    s = s.trim
+    s = s.replaceAll("[\\s\\-–—]+", "_")
+    // iconv(to = "ASCII//TRANSLIT") approximation: NFD + strip combining
+    // marks handles the accents that actually occur in the data (é, ü, ñ);
+    // anything still non-ASCII is dropped.
+    s = Normalizer.normalize(s, Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+      .replaceAll("[^\\x00-\\x7F]", "")
+    s = s.replaceAll(Punct, "")
+    if (s.length > 58) s.substring(0, 29) + s.substring(s.length - 29) else s
+  }
+
+  private val makeIdentifierUdf = udf(makeIdentifier _)
+
+  /** Column form. */
+  def makeIdentifierCol(c: Column): Column = makeIdentifierUdf(c)
+
+  /** An ASCII-only equivalent expressed purely in built-in functions —
+    * used as the oracle-SQL-expressible variant on testdata (whose strings
+    * are ASCII, so steps 5's transliteration is the identity).
+    */
+  def makeIdentifierAsciiCol(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val stripped = regexp_replace(lower(c), "[()\":',&/.;]", "")
+    val underscored = regexp_replace(trim(stripped), "[\\s\\-]+", "_")
+    val s = regexp_replace(underscored, "[()\":',&/.;]", "")
+    when(length(s) > 58,
+      concat(substring(s, 1, 29), substring(s, -29, 29))).otherwise(s)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All built on `org.apache.spark.sql.functions` (codegen'd, no UDFs) so
+  * they stay inside WholeStageCodegen on a 100 TB scan. Each is a pure
+  * `Column → Column` so it composes with any filter/projection and the
+  * text scan keeps its pushdown.
+  */
+object TextFunctions {
+
+  /** Whitespace-token count. */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "" || text.isNull, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: splits on word/number/punctuation boundaries
+    * (the GPT-2 pre-tokenizer regex family, simplified to what the JVM
+    * regex engine supports) — a cheap, deterministic proxy for tokenizer
+    * load estimation.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => trim(t) =!= ""))
+
+  /** Characters per token — a crude fertility measure. */
+  def charsPerToken(text: Column): Column =
+    length(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Ratio of non-alphanumeric, non-space chars to all chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** English-ish stopwords used by the quality score and language ID. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "for", "on", "with", "as", "at", "by", "this", "that")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(Stopwords))
+    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean whitespace-token length. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite document-quality score in [0,1]: rewards moderate length,
+    * low punctuation noise, and a natural stopword rate — the
+    * Gopher/C4-style heuristic family reduced to what is computable from
+    * raw text alone. Deterministic and codegen-friendly.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthScore = least(n.cast("double") / lit(50.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lengthScore + punctScore + stopScore) / 3.0, 4)
+  }
+
+  /** Character-trigram profiles per language for the n-gram language-ID
+    * heuristic: score = |trigrams(text) ∩ profile| / |trigrams(text)|.
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "ing", "ion", "ent", "her", "for", "tha"),
+    "es" -> Seq("que", "ent", "con", "ado", "los", "ien", "est", "cio"),
+    "de" -> Seq("der", "ein", "sch", "ich", "nde", "die", "und", "cht"),
+    "fr" -> Seq("les", "ent", "que", "des", "ion", "eur", "ait", "ous"))
+
+  /** Character trigrams of the lowercased, whitespace-squashed text. */
+  def charTrigrams(text: Column): Column = {
+    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
+    transform(sequence(lit(1), greatest(length(s) - 2, lit(1))),
+      i => s.substr(i, lit(3)))
+  }
+
+  /** Language-ID by trigram-profile hit rate; returns the best-scoring
+    * language code or "und" when nothing matches.
+    */
+  def langIdCol(text: Column): Column = {
+    val s = lower(text)
+    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val hits = grams.map(g => when(s.contains(g), 1).otherwise(0))
+        .reduce(_ + _)
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the document text (base-31
+    * over UTF-16 code units, 64-bit wraparound) — the classic Rabin-Karp
+    * document fingerprint. Implemented with the higher-order `aggregate`
+    * over the char array: stays in codegen, no UDF.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => acc * lit(31L) + c)
+}

@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot per-row kernels.
+  *
+  * Each emits a single static call to [[Kernels]] in `doGenCode`, so the
+  * whole pipeline stays inside one WholeStageCodegen span — unlike a
+  * Scala UDF, which forces serialization to/from the closure and breaks
+  * the codegen fence. At 100 TB these run once per document/vector, so
+  * the difference is a full scan-speed factor.
+  */
+object Exprs {
+
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.simhash($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  case class MinHashSig(child: Expression, shingleK: Int, numPerms: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhash(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        shingleK, numPerms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.minhash($c, $shingleK, $numPerms)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineF(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.cosineF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dotF(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.dotF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  case class HyperplaneSig(child: Expression, bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_sig"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.hyperplaneSig(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.hyperplaneSig($c, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+      copy(child = newChild)
+  }
+
+  // Column-level API ---------------------------------------------------
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def minhashSig(c: Column, shingleK: Int, numPerms: Int): Column =
+    col(MinHashSig(ex(c), shingleK, numPerms))
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))
+
+  /** Register SQL names for the kernels on a session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row compute kernels for the custom Catalyst expressions in
+  * [[Exprs]]. Static methods so generated code (whole-stage codegen)
+  * can call them directly — the expression's `doGenCode` emits a single
+  * static call, keeping the operator inside the codegen span instead of
+  * falling back to interpreted eval like a Scala UDF would.
+  *
+  * All kernels are allocation-light and deterministic (no RNG, no time).
+  */
+object Kernels {
+
+  /** splitmix64 finalizer — public-domain mixing constants. */
+  @inline def mix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of a byte range: polynomial accumulate + splitmix
+    * finalize. Deterministic across JVMs (no String.hashCode reliance
+    * beyond the spec'd algorithm; avoids seed randomization).
+    */
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < until) { h = 31L * h + bytes(i); i += 1 }
+    mix64(h)
+  }
+
+  /** SimHash64 over lowercase whitespace tokens: for each token hash,
+    * each of the 64 bit positions votes +1/-1; the sign vector is the
+    * fingerprint. Near-duplicate texts land within a small Hamming
+    * distance.
+    */
+  def simhash(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        var h = 1125899906842597L
+        var j = start
+        while (j < i) { h = 31L * h + s.charAt(j); j += 1 }
+        h = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature over word `shingleK`-grams in one pass: token
+    * boundaries are scanned once, each shingle is hashed once, and every
+    * permutation (`a_p*h+b_p`, multiply-shift family with splitmix-derived
+    * odd constants) keeps a running min. O(tokens × perms), zero
+    * intermediate collections — the Column-composition equivalent
+    * materializes the shingle array per row.
+    */
+  def minhash(text: UTF8String, shingleK: Int, numPerms: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    // token start/end offsets
+    var tokStarts = new Array[Int](16)
+    var tokEnds = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokStarts.length) {
+          tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
+          tokEnds = java.util.Arrays.copyOf(tokEnds, nTok * 2)
+        }
+        tokStarts(nTok) = start; tokEnds(nTok) = i; nTok += 1
+      }
+    }
+    val mins = new Array[Long](numPerms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val as = new Array[Long](numPerms)
+    val bs = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) {
+      as(p) = mix64(2L * p + 1) | 1L
+      bs(p) = mix64(2L * p + 2)
+      p += 1
+    }
+    val nShingles = if (nTok == 0) 0 else math.max(1, nTok - shingleK + 1)
+    var sh = 0
+    while (sh < nShingles) {
+      // hash the shingle = tokens[sh, sh+k) joined by a single space
+      var h = 1125899906842597L
+      var t = sh
+      val tEnd = math.min(sh + shingleK, nTok)
+      while (t < tEnd) {
+        if (t > sh) h = 31L * h + ' '
+        var j = tokStarts(t)
+        while (j < tokEnds(t)) { h = 31L * h + s.charAt(j); j += 1 }
+        t += 1
+      }
+      h = mix64(h)
+      p = 0
+      while (p < numPerms) {
+        val ph = as(p) * h + bs(p)
+        if (ph < mins(p)) mins(p) = ph
+        p += 1
+      }
+      sh += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Cosine similarity of two float-array embeddings, accumulated in
+    * double. Returns 0.0 when either norm is 0.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dot product of two float arrays (double accumulation). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** Random-hyperplane (sign) LSH signature of a float embedding: bit p
+    * of the result is the sign of a dot product with a pseudo-random
+    * hyperplane derived from splitmix64(p, dim). With `bits` planes,
+    * P(bit match) = 1 - angle/pi — bucketing on bit bands yields
+    * cosine-ANN candidates.
+    */
+  def hyperplaneSig(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // deterministic N(0,1)-ish weight from two uniform mixes (CLT of 2
+        // is crude but direction-uniform enough for bucketing)
+        val u = mix64(p.toLong << 32 | i)
+        val w = (u.toDouble / Long.MaxValue.toDouble)
+        dot += v.getFloat(i) * w
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
