@@ -194,7 +194,7 @@ object Queries {
 
     // ---------------------------------------------------------- windows
     Q("q14_row_number",
-      (s, d) => Relational.globalRowNumber(
+      (s, d) => Relational.globalRowNumberScalable(
           orders(s, d).select(col("o_orderkey")), "id", col("o_orderkey"))
         .withColumn("id", col("id").cast("long"))
         .withColumn("pk", (lit(2000) + col("id")).cast("long")),
@@ -461,10 +461,10 @@ object Queries {
       "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket join)"),
 
     Q("q35_dedup_simhash",
-      (s, d) => Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 12)
+      (s, d) => Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long")),
       None, // 64-bit simhash kernel not SQL-expressible
-      "SimHash near-dup pairs (banded 16-bit chunks, Hamming verify)"),
+      "SimHash near-dup pairs (block-combination banding, guaranteed recall at Hamming ≤ 3)"),
 
     Q("q36_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",

@@ -30,26 +30,50 @@ object Aggregators {
     */
   def boolOr(c: Column): Column = max(c)
 
+  /** One (sortKey, value) entry of the ordered-concat buffer. */
+  case class KeyedVal(k: Long, v: String)
+
+  /** Buffer wrapper so the Aggregator state gets a product (Tungsten)
+    * encoder instead of Kryo blobs. Entries are kept k-sorted at all
+    * times, so `merge` is a linear merge of two sorted runs.
+    */
+  case class OrderedBuf(items: Seq[KeyedVal])
+
   /** Order-preserving distinct string concat as a typed Aggregator —
-    * exact reference semantics (first-seen order) for single-partition /
-    * sorted-input use, and the merge is associative on ordered buffers.
-    * IN = (sortKey, value); buffer = ordered distinct values.
+    * exact reference semantics (`concat` helper, first-seen order,
+    * notebooks/index.Rmd:291-295): values are whitespace-squashed, nulls
+    * dropped, deduplicated keeping the occurrence with the LOWEST sort
+    * key, and joined in sort-key order. IN = (sortKey, value); the sort
+    * key pins the reference's physical row order explicitly, which makes
+    * the result deterministic under any partitioning.
     */
   class OrderedConcatAgg(sep: String)
-      extends Aggregator[(Long, String), List[(Long, String)], String] {
-    def zero: List[(Long, String)] = Nil
-    def reduce(b: List[(Long, String)], a: (Long, String)): List[(Long, String)] =
-      if (a._2 == null) b else a :: b
-    def merge(b1: List[(Long, String)], b2: List[(Long, String)]): List[(Long, String)] =
-      b1 ++ b2
-    def finish(b: List[(Long, String)]): String = {
-      val seen = scala.collection.mutable.LinkedHashSet[String]()
-      b.sortBy(_._1).foreach { case (_, v) =>
-        seen += v.trim.replaceAll("\\s+", " ")
+      extends Aggregator[(Long, String), OrderedBuf, String] {
+    private def insert(items: Seq[KeyedVal], a: KeyedVal): Seq[KeyedVal] = {
+      val i = items.indexWhere(_.k > a.k)
+      if (i < 0) items :+ a else (items.take(i) :+ a) ++ items.drop(i)
+    }
+    def zero: OrderedBuf = OrderedBuf(Vector.empty)
+    def reduce(b: OrderedBuf, a: (Long, String)): OrderedBuf =
+      if (a._2 == null) b
+      else OrderedBuf(insert(b.items, KeyedVal(a._1, a._2.trim.replaceAll("\\s+", " "))))
+    def merge(x: OrderedBuf, y: OrderedBuf): OrderedBuf = {
+      // linear merge of two k-sorted runs
+      val out = Vector.newBuilder[KeyedVal]
+      var (i, j) = (0, 0)
+      val (a, b) = (x.items, y.items)
+      while (i < a.length && j < b.length) {
+        if (a(i).k <= b(j).k) { out += a(i); i += 1 } else { out += b(j); j += 1 }
       }
+      out ++= a.drop(i); out ++= b.drop(j)
+      OrderedBuf(out.result())
+    }
+    def finish(b: OrderedBuf): String = {
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      b.items.foreach(seen += _.v)
       seen.mkString(sep)
     }
-    def bufferEncoder: Encoder[List[(Long, String)]] = Encoders.kryo
+    def bufferEncoder: Encoder[OrderedBuf] = Encoders.product[OrderedBuf]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 

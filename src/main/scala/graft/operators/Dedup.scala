@@ -8,50 +8,58 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
-  * Every operator is expressed as a shuffle-minimal DataFrame transform:
-  *   - exact dedup: one shuffle on the content hash;
-  *   - MinHash/SimHash/embedding LSH: signatures computed in a single
-  *     codegen'd scan ([[graft.plans.Exprs]] kernels), then ONE shuffle
-  *     on the band/bucket key, then per-bucket pair generation. No
-  *     all-pairs cross join anywhere — at 100 TB the bucket join is the
-  *     only quadratic-risk point and it is bounded by bucket size.
+  * Every operator is expressed as a shuffle-minimal DataFrame transform
+  * with one structural rule: **candidate generation shuffles skinny keys
+  * (8-byte hashes / bucket ids), never document payloads**. Texts,
+  * signatures and vectors are re-joined only for the (small) verified
+  * candidate set. At 100 TB the bucket join is the only quadratic-risk
+  * point and every bucket key below is wide enough (≥32 bits) that
+  * bucket occupancy stays O(corpus / 2^32) per band.
   */
 object Dedup {
 
   /** Exact duplicates by content: keeps the lowest `idCol` per distinct
-    * `textCol` value. Hashes first (xxhash64) so the shuffle carries an
-    * 8-byte key instead of full documents; a same-hash group is then
-    * resolved on the exact text to be collision-proof.
+    * `textCol` value. The shuffle is an explicit repartition on
+    * `xxhash64(text)` — an 8-byte partitioning key — and the window's
+    * (hash, text) clustering is satisfied by that exchange (hash ⊆
+    * clustering keys), so the text column rides as payload without ever
+    * being the partitioner input. Same-hash different-text collisions
+    * are resolved by the exact text in the window key.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
+    val hashed = df.withColumn("_h", xxhash64(col(textCol)))
+      .repartition(col("_h"))
+    val w = Window.partitionBy(col("_h"), col(textCol)).orderBy(col(idCol))
+    hashed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn")
+      .drop("_rn", "_h")
   }
 
   /** Exact-duplicate groups report: (canonical_id, dup_id) pairs, one row
-    * per NON-canonical member. SQL-oracle-friendly shape.
+    * per NON-canonical member. Hash-first shuffle like [[exactDedup]].
     */
   def exactDupPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol))
-    df.select(col(idCol), col(textCol))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
+    val hashed = df.select(col(idCol), col(textCol))
+      .withColumn("_h", xxhash64(col(textCol)))
+      .repartition(col("_h"))
+    val w = Window.partitionBy(col("_h"), col(textCol))
+    hashed.withColumn("canonical_id", min(col(idCol)).over(w))
       .filter(col(idCol) =!= col("canonical_id"))
       .select(col("canonical_id"), col(idCol).as("dup_id"))
   }
 
   /** MinHash+LSH candidate pairs: signature (numPerms minhashes over
     * word-`shingleK`-grams) → `bands` bands of `numPerms/bands` rows →
-    * explode to (band_id, band_hash) keys → self-join within buckets →
-    * distinct pairs with estimated Jaccard (fraction of matching
-    * signature positions).
+    * explode to (band, band_hash) keys → self-join within buckets →
+    * distinct (id_a < id_b) pairs → re-join both signatures to estimate
+    * Jaccard (fraction of matching positions) ≥ threshold.
     *
-    * Scale shape: |docs|×bands exploded rows, one shuffle on the band
-    * key; a skewed bucket (boilerplate docs) is the known hot spot —
-    * callers can pre-filter near-empty docs. Returns
-    * (id_a < id_b, est_jaccard ≥ threshold).
+    * Scale shape: the banded self-join carries only (id, band, 8-byte
+    * band hash) — |docs|×bands skinny rows, one shuffle. Signatures
+    * (numPerms × 8 bytes) are fetched only for surviving candidate
+    * pairs. The signature scan runs up to 3× (band explode + two
+    * verify joins); at cluster scale persist `df` or the signature
+    * projection before calling.
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleK: Int = 3, numPerms: Int = 64,
@@ -60,20 +68,20 @@ object Dedup {
     val rows = numPerms / bands
     val sig = df.select(col(idCol).as("id"),
       Exprs.minhashSig(col(textCol), shingleK, numPerms).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sig.select(col("id"),
         explode(array((0 until bands).map(bi =>
           struct(lit(bi).as("band"),
             xxhash64(slice(col("sig"), bi * rows + 1, rows)).as("bh"))): _*))
           .as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("siga")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sigb")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("siga"), col("sigb"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -82,85 +90,128 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprint per doc, banded into 4
-    * 16-bit chunks (any chunk equal → candidate, catches all pairs with
-    * Hamming distance ≤ 3 by pigeonhole), verified with exact Hamming ≤
-    * `maxHamming`. One codegen'd scan + one shuffle on the chunk key.
+  /** SimHash near-dup pairs with a **guaranteed-recall wide-key banding**
+    * (the block-combination scheme from Manku et al.'s simhash web-dedup
+    * paper, re-derived): split the 64-bit fingerprint into
+    * `maxHamming + 3` blocks; any pair within Hamming ≤ maxHamming has
+    * ≥ 3 clean (identical) blocks, so keying every 3-block combination
+    * guarantees a bucket collision. Each key is ~32 bits wide — at
+    * billions of docs a bucket holds O(N / 2^32) docs, never the
+    * O(N / 2^16) of fixed 16-bit chunks.
+    *
+    * Cost: C(maxHamming+3, 3) keys per doc (20 at the default
+    * maxHamming=3), each an (id, sh, key) row — one skinny shuffle.
+    * `maxHamming` ≤ 5 keeps the explode factor ≤ 56.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      Exprs.simhash64(col(textCol)).as("sh"))
-    val chunked = sig.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("sh"), i * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
-      .select(col("id"), col("sh"), col("c.chunk"), col("c.ck"))
-    val a = chunked.as("a"); val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-        col("a.id") < col("b.id"))
+    require(maxHamming >= 1 && maxHamming <= 5,
+      s"maxHamming must be in [1,5] (explode factor C(h+3,3)), got $maxHamming")
+    val nBlocks = maxHamming + 3
+    // block bit-boundaries: spread 64 bits as evenly as possible
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val blockOf = (0 until nBlocks).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      (shiftrightunsigned(col("sh"), lo).bitwiseAND(lit((1L << width) - 1)), width)
+    }
+    val combos = (0 until nBlocks).combinations(3).toSeq.zipWithIndex
+    val sig = df.select(col(idCol).as("id"), Exprs.simhash64(col(textCol)).as("sh"))
+    val keyed = sig.select(col("id"), col("sh"),
+      explode(array(combos.map { case (blocks, tid) =>
+        val key = blocks.foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, bi) =>
+          val (bv, width) = blockOf(bi)
+          shiftleft(acc, width).bitwiseOR(bv)
+        }
+        struct(lit(tid).as("t"), key.as("k"))
+      }: _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.t"), col("c.k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         HashFunctions.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs via inverted index — the scalable exact
-    * formulation: explode distinct shingles, self-join on shingle (ONE
-    * shuffle on the shingle hash), count common shingles per pair, then
-    * jaccard = common / (|A| + |B| - common). `minJaccard` filters the
-    * result; prefilterHashes caps index fan-out by dropping
-    * ultra-common shingles (stopword-shingles), the standard
-    * positional-filter trick's cheap cousin.
+  /** Exact n-gram Jaccard pairs via a prefix-filtered inverted index —
+    * the scalable exact formulation (PPJoin's prefix principle):
+    *
+    *  1. per doc: sorted distinct shingle hashes `hs` (the sort is any
+    *     fixed total order; hash order suffices for correctness);
+    *  2. index only the first `n - ⌈t·n⌉ + 1` shingles per doc — two
+    *     docs with Jaccard ≥ t MUST share a prefix shingle;
+    *  3. drop shingles with document frequency 1 (can't form a pair) or
+    *     > `maxShingleDf` (boilerplate; recall-affecting, documented);
+    *  4. self-join the pruned prefix index → distinct candidate pairs;
+    *  5. verify: re-join the full shingle arrays and compute exact
+    *     Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the COMPLETE shingle
+    *     sets — sizes and intersections always measured over the same
+    *     universe (the `maxShingleDf` prune affects only which pairs are
+    *     generated, never the reported Jaccard value).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.8,
                         maxShingleDf: Long = 1000000L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(HashFunctions.wordShingles(col(textCol), shingleK)).as("shingles"))
-      .withColumn("n", size(col("shingles")))
-    val inv = sh.select(col("id"), col("n"), explode(col("shingles")).as("s"))
-      .withColumn("sh", xxhash64(col("s"))).drop("s")
-    // drop shingles that appear in more than maxShingleDf docs (they
-    // generate quadratic pairs and carry no signal)
-    val filtered = inv.withColumn("_df",
-        count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("_df") <= maxShingleDf).drop("_df")
-    val a = filtered.as("a"); val b = filtered.as("b")
-    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("common"))
+    val docs = df.select(col(idCol).as("id"),
+        array_sort(array_distinct(transform(
+          HashFunctions.wordShingles(col(textCol), shingleK),
+          s => xxhash64(s)))).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val prefLen = (col("n") - ceil(col("n") * lit(minJaccard)).cast("int") + 1)
+    val pref = docs.select(col("id"),
+        explode(slice(col("hs"), lit(1), prefLen)).as("sh"))
+    val dfc = pref.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxShingleDf)
+      .select(col("sh"))
+    val pruned = pref.join(dfc, "sh")
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("hs").as("hsa"), col("n").as("na")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("hs").as("hsb"), col("n").as("nb")), "id_b")
+      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Embedding near-duplicate pairs: hyperplane-LSH bucket join (one
-    * shuffle on (band, bucket)), exact cosine verification inside
-    * buckets. `bits`=16 with 4-bit bands keeps buckets small on uniform
-    * data; skewed clusters fall back to AQE skew handling.
+  /** Embedding near-duplicate pairs: hyperplane-LSH bucket join on a
+    * 64-bit sign signature split into 4 × 16-bit bands (65,536 bucket
+    * values per band — NOT the 16-value bands a 16-bit signature would
+    * give), exact cosine verification for surviving candidates only.
+    * The band join carries (id, band, bucket); vectors are re-joined
+    * just for the verify, so the shuffle stays skinny at any scale.
+    * Recall: pairs at cosine ≥ minCosine collide in some band with
+    * probability 1-(1-(1-θ/π)^16)^4 — e.g. ≈0.98 at cosine 0.95.
     */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             minCosine: Double = 0.95,
-                            bits: Int = 16, bandBits: Int = 4): DataFrame = {
+                            bits: Int = 64, bandBits: Int = 16): DataFrame = {
+    require(bits % bandBits == 0, "bits must divide into bandBits bands")
     val bands = bits / bandBits
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = df.select(col(idCol).as("id"),
       Exprs.hyperplaneSig(col(vecCol), bits).as("sig"))
-    val banded = sig.select(col("id"), col("v"),
+    val banded = sig.select(col("id"),
       explode(array((0 until bands).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sig"), i * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1)).as("bk"))): _*)).as("c"))
-      .select(col("id"), col("v"), col("c.band"), col("c.bk"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Exprs.cosineSim(col("a.v"), col("b.v")).as("cosine"))
+      .select(col("id"), col("c.band"), col("c.bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Exprs.cosineSim(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

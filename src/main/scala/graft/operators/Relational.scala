@@ -57,11 +57,17 @@ object Relational {
     * aggregating expression returning the ladder element with the lowest
     * position present in the group. Use inside `.agg(...)`:
     * `ordinalMin(col("temporal_resolution"), frequencies)`.
-    * Null / off-ladder values sort last (position null → ignored by min).
+    *
+    * `array_position` returns 0 (not null) for off-ladder values, so the
+    * 0 sentinel is nulled out before the min — off-ladder and null
+    * values are then genuinely ignored (matching R's factor → NA and
+    * DuckDB's list_position → NULL); an all-off-ladder group yields null.
     */
   def ordinalMin(c: Column, ladder: Seq[String]): Column = {
     val arr = typedLit(ladder)
-    element_at(arr, min(array_position(arr, c)).cast("int"))
+    val pos = array_position(arr, c)
+    element_at(arr,
+      min(when(pos === 0, lit(null)).otherwise(pos)).cast("int"))
   }
 
   /** Global row_number in a pinned order (notebooks/index.Rmd:347).

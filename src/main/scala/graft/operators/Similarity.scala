@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.plans.Exprs
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -11,20 +11,46 @@ import org.apache.spark.sql.functions._
   * Scale model: `queries` is the small side (a probe set) and is
   * broadcast; `corpus` is the 100 TB side and is scanned exactly once.
   * The brute-force path is a broadcast nested-loop with a codegen'd
-  * cosine kernel — no shuffle of the corpus at all until the final
-  * per-query top-k reduction (k rows per query per partition, via the
-  * partial-aggregating sort). The LSH path buckets both sides and only
-  * scores within matching buckets.
+  * cosine kernel; the per-query top-k reduction is a **bounded-heap
+  * Aggregator** whose partial (map-side) state never exceeds k rows per
+  * (query, partition) — the shuffle carries ≤ |queries|·|partitions|·k
+  * rows, not the |corpus|·|queries| scored rows a window would move.
   */
 object Similarity {
+
+  /** One scored candidate; the Aggregator input row. */
+  case class Scored(neighbor_id: Long, cosine: Double)
+
+  /** Bounded top-k buffer (kept sorted: cosine desc, id asc). */
+  case class TopKBuf(items: Seq[Scored])
+
+  /** Partial-aggregating top-k: `reduce` keeps at most k rows per
+    * partition-local buffer, `merge` combines two ≤k buffers — classic
+    * bounded-heap semantics with deterministic ties (higher cosine
+    * first, then lower id). ObjectHashAggregate runs this partial+final.
+    */
+  class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    private def lt(a: Scored, b: Scored): Boolean =
+      a.cosine > b.cosine || (a.cosine == b.cosine && a.neighbor_id < b.neighbor_id)
+    private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(lt).take(k)
+    def zero: TopKBuf = TopKBuf(Vector.empty)
+    def reduce(b: TopKBuf, a: Scored): TopKBuf =
+      if (b.items.size < k) TopKBuf(trim(b.items :+ a))
+      else if (lt(a, b.items.last)) TopKBuf(trim(b.items :+ a))
+      else b
+    def merge(x: TopKBuf, y: TopKBuf): TopKBuf = TopKBuf(trim(x.items ++ y.items))
+    def finish(b: TopKBuf): Seq[Scored] = b.items
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows.
     * Returns (query_id, neighbor_id, cosine, rank).
     *
     * Plan shape: broadcast(queries) ⋈ corpus (BroadcastNestedLoopJoin,
-    * corpus scanned once) → per-(query) top-k via groupBy + array sort
-    * of (sim,id) structs — the aggregation is partial+final, so each
-    * partition only ships its local candidates, not the whole corpus.
+    * corpus scanned once) → bounded top-k aggregation (partial state ≤ k
+    * rows per query per partition) → posexplode to ranked rows.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame,
                  corpusId: String, corpusVec: String,
@@ -40,12 +66,13 @@ object Similarity {
     * signature; candidates must share at least one of `bands` bit-bands.
     * Only candidates are scored — on clustered data this prunes most of
     * the corpus per query. Recall < 1.0 by construction; raise `bits` /
-    * lower `bandBits` for higher recall.
+    * `bandBits` together for narrower buckets, add bands for recall.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String, k: Int,
-              bits: Int = 16, bandBits: Int = 4): DataFrame = {
+              bits: Int = 64, bandBits: Int = 16): DataFrame = {
+    require(bits % bandBits == 0, "bits must divide into bandBits bands")
     val bands = bits / bandBits
     def banded(df: DataFrame, id: String, vec: String, idOut: String) =
       df.select(col(id).as(idOut), col(vec).as(s"${idOut}_v"),
@@ -65,17 +92,18 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Per-query top-k reduction: aggregate (cosine, id) structs with a
-    * bounded sort — partial aggregation keeps at most the local rows per
-    * partition and the final sort is per-query, never global.
-    * Deterministic tie-break: higher cosine first, then lower id.
+  /** Per-query top-k reduction via [[TopKAgg]] — partial aggregation
+    * bounds map-side state to k rows per query; the final explode emits
+    * rank = position in the (cosine desc, id asc) order, matching the
+    * row_number() formulation row-for-row.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cosine"), 6).as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
 }
