@@ -182,25 +182,87 @@ object GeoFunctions {
   private val geojsonToWktUdf = udf(geojsonToWktStr _)
   def geojsonToWkt(c: Column): Column = geojsonToWktUdf(c)
 
-  /** WKT (POINT/MULTIPOINT only — all the reference produces from point
-    * unions, notebooks/index.Rmd:332) → GeoJSON. */
-  def wktPointToGeoJsonStr(wkt: String): String = {
+  // ------------------------------------------------------------------
+  // WKT → GeoJSON (reference `sfc_geojson`, notebooks/index.Rmd:332, and
+  // the geometry sink's serialization). Handles every type the pipeline
+  // produces: POINT, MULTIPOINT, LINESTRING, MULTILINESTRING, POLYGON,
+  // MULTIPOLYGON, plus EMPTY variants. Coordinate lexemes are carried
+  // through verbatim (no parse→print float churn).
+
+  private sealed trait W
+  private case class WPair(json: String) extends W
+  private case class WList(items: Seq[W]) extends W
+
+  private def parseWkt(s: String, start: Int): (W, Int) = {
+    var i = start
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (s.charAt(i) == '(') {
+      i += 1
+      val items = Seq.newBuilder[W]
+      var done = false
+      while (!done) {
+        val (item, next) = parseWkt(s, i)
+        items += item
+        i = next
+        while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        if (i < s.length && s.charAt(i) == ',') i += 1
+        else { if (i < s.length && s.charAt(i) == ')') i += 1; done = true }
+      }
+      (WList(items.result()), i)
+    } else {
+      val from = i
+      while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != ')') i += 1
+      val nums = s.substring(from, i).trim.split("\\s+")
+      (WPair(s"[${nums.mkString(",")}]"), i)
+    }
+  }
+
+  private def renderPairs(w: W): String = w match {
+    case WPair(j) => j
+    case WList(Seq(p: WPair)) => p.json // "((x y))" nesting
+    case WList(items) => items.map(renderPairs).mkString("[", ",", "]")
+  }
+
+  /** General WKT → GeoJSON; null/unparseable → null. */
+  def wktToGeoJsonStr(wkt: String): String = {
     if (wkt == null) return null
     val t = wkt.trim
-    if (t.startsWith("POINT EMPTY")) """{"type":"Point","coordinates":[]}"""
-    else if (t.startsWith("POINT")) {
-      val nums = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')')).trim.split("\\s+")
-      s"""{"type":"Point","coordinates":[${nums.mkString(",")}]}"""
-    } else if (t.startsWith("MULTIPOINT")) {
-      val inner = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
-      val pts = inner.split("\\)\\s*,").map(_.replaceAll("[()]", "").trim)
-        .filter(_.nonEmpty)
-        .map(p => s"[${p.split("\\s+").mkString(",")}]")
-      s"""{"type":"MultiPoint","coordinates":[${pts.mkString(",")}]}"""
-    } else null
+    if (t.isEmpty) return null
+    try {
+      val sp = t.indexWhere(c => c == '(' || c.isWhitespace)
+      val typ = (if (sp < 0) t else t.substring(0, sp)).toUpperCase
+      val rest = if (sp < 0) "" else t.substring(sp).trim
+      val gjType = typ match {
+        case "POINT" => "Point"
+        case "MULTIPOINT" => "MultiPoint"
+        case "LINESTRING" => "LineString"
+        case "MULTILINESTRING" => "MultiLineString"
+        case "POLYGON" => "Polygon"
+        case "MULTIPOLYGON" => "MultiPolygon"
+        case "GEOMETRYCOLLECTION" =>
+          return if (rest == "EMPTY" || rest.isEmpty)
+            """{"type":"GeometryCollection","geometries":[]}"""
+          else null // nested collections: out of the reference's scope
+        case _ => return null
+      }
+      if (rest == "EMPTY" || rest.isEmpty)
+        return s"""{"type":"$gjType","coordinates":[]}"""
+      val (tree, _) = parseWkt(rest, 0)
+      val coords = (gjType, tree) match {
+        case ("Point", WList(Seq(p: WPair))) => p.json
+        case ("MultiPoint", WList(items)) =>
+          // both "MULTIPOINT ((1 2), (3 4))" and "MULTIPOINT (1 2, 3 4)"
+          items.map(renderPairs).mkString("[", ",", "]")
+        case ("LineString", WList(items)) =>
+          items.map(renderPairs).mkString("[", ",", "]")
+        case (_, w) => renderPairs(w)
+      }
+      s"""{"type":"$gjType","coordinates":$coords}"""
+    } catch { case _: Exception => null }
   }
-  private val wktToGeoJsonUdf = udf(wktPointToGeoJsonStr _)
-  def wktPointToGeoJson(c: Column): Column = wktToGeoJsonUdf(c)
+
+  private val wktToGeoJsonUdf = udf(wktToGeoJsonStr _)
+  def wktToGeoJson(c: Column): Column = wktToGeoJsonUdf(c)
 
   // ------------------------------------------------------------------
   // UTM zone 30N (EPSG:32630) → WGS84 lon/lat — closed-form inverse
