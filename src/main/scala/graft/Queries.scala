@@ -560,6 +560,55 @@ object Queries {
       },
       "language-ID (n-gram profile heuristic)"),
 
+    // ---------------------------------------------------- sources/sinks
+    Q("q43_to_json",
+      (s, d) => nation(s, d).select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        to_json(struct(col("n_name").as("name"),
+          col("n_regionkey").cast("long").as("region"))).as("doc")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             |to_json(struct_pack(name := n_name, region := CAST(n_regionkey AS BIGINT))) AS doc
+             |FROM nation""".stripMargin),
+      "A4 (row-wise struct → JSON document)"),
+
+    Q("q44_csv_scan_survey",
+      (s, _) => graft.io.Sources.surveyCsv(s,
+          "/root/reference/data/4Updated_Spatial_Survey_420_8132020_FINAL_toshare.csv")
+        .select(col("prog_name").as("name"), col("resp_email").as("contact_email"),
+          col("duration_start_year").as("start_year")),
+      Some("""SELECT prog_name AS name, resp_email AS contact_email,
+             |duration_start_year AS start_year
+             |FROM read_csv('/root/reference/data/4Updated_Spatial_Survey_420_8132020_FINAL_toshare.csv',
+             |  header = true, all_varchar = true, nullstr = ['', 'NA'])""".stripMargin),
+      "S1,S2,C1 (survey CSV scan: 36k physical lines → 371 multiline-quoted records; oracle reads the same file)"),
+
+    Q("q45_tsv_scan",
+      (s, _) => graft.io.Sources.tsv(s,
+          "/root/reference/data/eurosea_spatial/Spain/Basque monitoring network for the ecological status assessment.tsv")
+        .select(col("x").cast("double").as("x"), col("y").cast("double").as("y")),
+      Some("""SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+             |FROM read_csv('/root/reference/data/eurosea_spatial/Spain/Basque monitoring network for the ecological status assessment.tsv',
+             |  header = true, delim = '\t', all_varchar = true)""".stripMargin),
+      "S6 (TSV scan; oracle reads the same file)"),
+
+    Q("q46_csv_scan_links",
+      (s, _) => graft.io.Sources.csv(s, "/root/reference/data/layers_layer_eovs.csv")
+        .groupBy(col("short_name"))
+        .agg(count(lit(1)).as("n_links")),
+      Some("""SELECT short_name, count(*) AS n_links
+             |FROM read_csv('/root/reference/data/layers_layer_eovs.csv',
+             |  header = true, all_varchar = true, nullstr = ['', 'NA'])
+             |GROUP BY short_name""".stripMargin),
+      "S12 (DB-backup CSV scan + link aggregation; oracle reads the same file)"),
+
+    Q("q47_dedup_keep_first",
+      (s, d) => Dedup.exactDedup(documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("n_chars")),
+      Some("""SELECT doc_id, n_chars FROM
+             |(SELECT doc_id, n_chars, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             | FROM documents) WHERE rn = 1""".stripMargin),
+      "exact dedup keep-lowest-id (hash-first shuffle)"),
+
     Q("q42_fingerprint",
       (s, d) => {
         val toks = split(lower(trim(col("text"))), "\\s+")

@@ -114,14 +114,18 @@ object Recodes {
     "every_10_years_or_more",
     "opportunistically")
 
-  /** `in_obis` survey-answer → enum (export_in_obis.R:3-9; unmatched →
-    * null via `.default = NA`).
+  /** `in_obis` survey-answer → enum, verbatim (export_in_obis.R:3-9).
+    * The "I don't know…" answer maps explicitly to null; anything not
+    * in the map passes through unchanged (dplyr recode default).
     */
+  val inObisToNull: Set[String] = Set(
+    "I don't know if the biological data collected by the network is included in OBIS")
+
   val inObis: Map[String, String] = Map(
-    "No" -> "no",
-    "Some of the data are already in OBIS" -> "some",
-    "All of the data are already in OBIS" -> "all",
-    "Yes" -> "all")
+    "No; none of the biological data collected by the network is included in OBIS" -> "no",
+    "Yes; less than half of the biological data collected by the network is included in OBIS" -> "some",
+    "Yes; all of the biological data collected by the network is included in OBIS" -> "all",
+    "Yes; more than half but not all of the biological data collected by the network is included in OBIS" -> "some")
 
   /** The 12-EOV dimension with fixture pks 1-12
     * (notebooks/index.Rmd:602-646). Order IS the pk order and matches
