@@ -154,9 +154,7 @@ object Dedup {
                         shingleK: Int = 3, minJaccard: Double = 0.8,
                         maxShingleDf: Long = 1000000L): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-        array_sort(array_distinct(transform(
-          HashFunctions.wordShingles(col(textCol), shingleK),
-          s => xxhash64(s)))).as("hs"))
+        array_sort(HashFunctions.shingleHashes(col(textCol), shingleK)).as("hs"))
       .withColumn("n", size(col("hs")))
     val prefLen = (col("n") - ceil(col("n") * lit(minJaccard)).cast("int") + 1)
     val pref = docs.select(col("id"),

@@ -1,0 +1,230 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Aggregators
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Scalar-function unit tests + ScalaCheck-generator properties
+  * (SURVEY §5.2/5.3): make_identifier, date edges, string helpers,
+  * GeoJSON↔WKT, the ordered concat aggregator, and the kernel
+  * expressions. (Properties sample Gen directly — the scalatest-plus
+  * bridge isn't in the offline artifact cache.)
+  */
+class FunctionsSpec extends SparkSpec {
+
+  /** Deterministic property loop: 200 samples from a Gen. */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 200)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  // ------------------------------------------------- make_identifier C14
+
+  test("make_identifier: accents transliterate, dashes fold (reference names)") {
+    assert(Identifier.makeIdentifier("Estación de Fotobiologia Playa Unión") ===
+      "estacion_de_fotobiologia_playa_union")
+    assert(Identifier.makeIdentifier("Ocean Tracking Network") === "ocean_tracking_network")
+    assert(Identifier.makeIdentifier("A – B — well, C") === "a_b_well_c")
+    assert(Identifier.makeIdentifier("L'étude (côtière) & Co.; x/y") === "letude_cotiere_co_xy")
+  }
+
+  test("make_identifier: >58 chars folds to first 29 + last 29 (index.Rmd:353-359)") {
+    val long = "The Unbelievably Long Network Name For Monitoring Absolutely Everything In The Ocean"
+    val id = Identifier.makeIdentifier(long)
+    assert(id.length === 58)
+    val full = long.toLowerCase.replaceAll("[\\s]+", "_")
+    assert(id === full.substring(0, 29) + full.substring(full.length - 29))
+  }
+
+  test("make_identifier properties: ascii-safe charset, length ≤ 58") {
+    forAllSampled(Gen.asciiStr.flatMap(a =>
+      Gen.listOf(Gen.oneOf('é', 'ü', 'ñ', '–', ' ', 'x', '/', '.'))
+        .map(extra => a + extra.mkString))) { s =>
+      val id = Identifier.makeIdentifier(s)
+      if (id != null) {
+        assert(id.length <= 58)
+        assert(!id.exists(c => c > 127), s"non-ascii survived in $id")
+        assert(!id.exists(c => "()\":',&/.;".contains(c)), s"punct survived in $id")
+      }
+    }
+  }
+
+  // ----------------------------------------------------- dates C8/C9/C10
+
+  test("yearStart/yearEnd edges: year, 'current', junk, null") {
+    import spark.implicits._
+    val df = Seq("1979", "current", "", "active", null, "2005")
+      .toDF("y")
+      .select(DateFunctions.yearStart(col("y")).as("s"),
+        DateFunctions.yearEnd(col("y")).as("e"))
+    val rows = df.collect().map(r => (Option(r.getDate(0)).map(_.toString),
+      Option(r.getDate(1)).map(_.toString)))
+    assert(rows(0) === (Some("1979-01-01"), Some("1979-12-31")))
+    assert(rows(1) === (None, None))
+    assert(rows(2) === (None, None))
+    assert(rows(3) === (None, None))
+    assert(rows(4) === (None, None))
+    assert(rows(5) === (Some("2005-01-01"), Some("2005-12-31")))
+  }
+
+  test("splitRange: dash ranges, single tokens, 'since' prefixes") {
+    import spark.implicits._
+    val df = Seq("1979-current", "2011", "since 2005", "1990 - 1999")
+      .toDF("t")
+    val (s, e) = DateFunctions.splitRange(col("t"))
+    val rows = df.select(s.as("s"), e.as("e")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull))
+    assert(rows(0) === ("1979", "current"))
+    assert(rows(1) === ("2011", null))
+    assert(rows(2) === ("since", "2005"))
+    assert(rows(3) === ("1990", "1999"))
+  }
+
+  test("mutualNull property: after the transform, lat null ⟺ lon null (C12)") {
+    import spark.implicits._
+    val genPair = Gen.option(Gen.chooseNum(-90.0, 90.0))
+      .flatMap(a => Gen.option(Gen.chooseNum(-180.0, 180.0)).map(b => (a, b)))
+    val pairs = Seq.newBuilder[(Option[Double], Option[Double])]
+    forAllSampled(genPair)(pairs += _)
+    val df = pairs.result().toDF("lat", "lon")
+    val (la, lo) = DateFunctions.mutualNull(col("lat"), col("lon"))
+    df.select(la.as("lat"), lo.as("lon")).collect().foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+    }
+  }
+
+  // -------------------------------------------------------- strings C1-C21
+
+  test("strTrunc yields exactly n chars with ellipsis (C4)") {
+    import spark.implicits._
+    val df = Seq("x" * 250, "short").toDF("s")
+      .select(StringFunctions.strTrunc(col("s"), 200).as("t"))
+    val rows = df.collect().map(_.getString(0))
+    assert(rows(0).length === 200 && rows(0).endsWith("..."))
+    assert(rows(1) === "short")
+  }
+
+  test("flagNotNull / concatWsSkipNull (C2/C19)") {
+    import spark.implicits._
+    val df = Seq(("a", null: String), (null: String, "b"), ("a", "b"))
+      .toDF("x", "y")
+    val rows = df.select(
+      StringFunctions.flagNotNull(col("x")).as("fx"),
+      StringFunctions.concatWsSkipNull(" - ", col("x"), col("y")).as("c")).collect()
+    assert(rows.map(_.getBoolean(0)).toSeq === Seq(true, false, true))
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "a - b"))
+  }
+
+  test("recode maps: every one of the 76 EuroSea pairs recodes correctly (C6)") {
+    import spark.implicits._
+    val pairs = graft.jobs.Recodes.euroseaFrequency.toSeq
+    val df = pairs.map(_._1).toDF("k")
+      .select(col("k"), StringFunctions.recode(col("k"),
+        graft.jobs.Recodes.euroseaFrequency).as("v"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    pairs.foreach { case (k, v) => assert(got(k) === v, s"pair $k") }
+    // passthrough for unmatched
+    val pass = Seq("no such frequency").toDF("k")
+      .select(StringFunctions.recode(col("k"), graft.jobs.Recodes.euroseaFrequency))
+      .head().getString(0)
+    assert(pass === "no such frequency")
+  }
+
+  // ----------------------------------------------------------- geo G4-G6
+
+  test("WKT → GeoJSON → WKT roundtrips for every geometry type in the pipeline") {
+    val cases = Seq(
+      "POINT (1.5 -2)",
+      "MULTIPOINT ((1 2), (3 4))",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    cases.foreach { wkt =>
+      val gj = GeoFunctions.wktToGeoJsonStr(wkt)
+      assert(gj != null, s"wkt→geojson failed for $wkt")
+      val back = GeoFunctions.geojsonToWktStr(gj)
+      assert(back === wkt, s"roundtrip: $wkt → $gj → $back")
+    }
+    assert(GeoFunctions.wktToGeoJsonStr("GEOMETRYCOLLECTION EMPTY") ===
+      """{"type":"GeometryCollection","geometries":[]}""")
+  }
+
+  test("geojsonType sniffs FeatureCollections (G6)") {
+    import spark.implicits._
+    val fc = """{"type":"FeatureCollection","features":[{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}}]}"""
+    val df = Seq(fc, """{"type":"Point","coordinates":[1,2]}""").toDF("g")
+      .select(GeoFunctions.geojsonType(col("g")).as("t"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("Polygon", "Point"))
+  }
+
+  // ------------------------------------------------------- aggregators
+
+  test("OrderedConcatAgg: first-seen order, dedup keeps lowest key, squish") {
+    val agg = new Aggregators.OrderedConcatAgg("; ")
+    val items = Seq((5L, "b  b"), (1L, "a"), (3L, "b b"), (2L, null), (4L, "c"))
+    // split across two buffers merged out of order
+    val b1 = items.take(2).foldLeft(agg.zero)(agg.reduce)
+    val b2 = items.drop(2).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(b2, b1)) === "a; b b; c")
+  }
+
+  test("TopKAgg: bounded buffer, deterministic ties") {
+    val agg = new graft.operators.Similarity.TopKAgg(2)
+    val xs = Seq(
+      graft.operators.Similarity.Scored(1L, 0.5),
+      graft.operators.Similarity.Scored(2L, 0.9),
+      graft.operators.Similarity.Scored(3L, 0.9),
+      graft.operators.Similarity.Scored(4L, 0.1))
+    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.items.length === 2)
+    assert(agg.finish(buf).map(_.neighbor_id) === Seq(2L, 3L))
+  }
+
+  // ------------------------------------------------- kernels + registry
+
+  test("dotProduct kernel and SQL registration (Exprs.registerAll)") {
+    import spark.implicits._
+    graft.plans.Exprs.registerAll(spark)
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT dot_product(a, b) AS d, cosine_sim(a, b) AS c FROM vecs").head()
+    assert(math.abs(viaSql.getDouble(0) - 32.0) < 1e-9)
+    val expectedCos = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(viaSql.getDouble(1) - expectedCos) < 1e-9)
+    val viaCol = df.select(graft.plans.Exprs.dotProduct(col("a"), col("b"))).head().getDouble(0)
+    assert(viaCol === 32.0)
+  }
+
+  test("simhash64 via SQL registry matches the kernel") {
+    import spark.implicits._
+    graft.plans.Exprs.registerAll(spark)
+    val viaSql = Seq("hello world").toDF("t").createOrReplaceTempView("t1")
+    val s1 = spark.sql("SELECT simhash64(t) FROM t1").head().getLong(0)
+    val s2 = graft.plans.Kernels.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world"))
+    assert(s1 === s2)
+  }
+
+  // ---------------------------------------------------------- text extras
+
+  test("subwordCount, charTrigrams, fingerprint (TextFunctions)") {
+    import spark.implicits._
+    val df = Seq("Hello, world! 123").toDF("t")
+    val row = df.select(
+      TextFunctions.subwordCount(col("t")).as("sw"),
+      TextFunctions.charTrigrams(col("t")).as("tg"),
+      TextFunctions.fingerprint(col("t")).as("fp")).head()
+    // subwords: Hello , world ! 123 → 5 non-space pieces
+    assert(row.getInt(0) === 5)
+    val grams = row.getSeq[String](1)
+    assert(grams.head === "hel" && grams.contains("wor"))
+    // fingerprint: deterministic, equal for equal input
+    val fp2 = Seq("Hello, world! 123").toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).head().getLong(0)
+    assert(row.getLong(2) === fp2)
+    assert(row.getLong(2) !== Seq("different").toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).head().getLong(0))
+  }
+}

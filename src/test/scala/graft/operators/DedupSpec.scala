@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.HashFunctions
+import graft.plans.Kernels
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit-level oracles for the no-SQL-oracle dedup/similarity operators
+  * (q34-q37): each approximate kernel is checked against an exact
+  * brute-force computation on small fixtures.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away home"
+  private val fixture = Seq(
+    base,
+    base + " tonight",                                   // near-dup of 0
+    "a completely different document about marine biodiversity observation networks",
+    base.replace("quick", "slow"),                       // near-dup of 0
+    "a completely different document about marine biodiversity observation systems", // near-dup of 2
+    "short text")
+
+  private def exactJaccard(a: String, b: String, k: Int): Double = {
+    def shingles(s: String) = {
+      val toks = s.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.length <= k) Set(toks.mkString(" "))
+      else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val (sa, sb) = (shingles(a), shingles(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  test("q36 oracle: ngramJaccardPairs equals brute-force exact Jaccard") {
+    val df = docsDf(fixture)
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val expected = (for {
+      i <- fixture.indices; j <- fixture.indices if i < j
+      jac = exactJaccard(fixture(i), fixture(j), 3) if jac >= 0.3
+    } yield ((i.toLong, j.toLong), jac)).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9, s"$k") }
+  }
+
+  test("q34 oracle: minhash est_jaccard tracks exact jaccard within ±0.18 (64 perms)") {
+    val df = docsDf(fixture)
+    val pairs = Dedup.minhashCandidatePairs(df, "text", "doc_id",
+      shingleK = 3, numPerms = 64, bands = 16, threshold = 0.2).collect()
+    assert(pairs.nonEmpty, "near-dup fixtures must produce candidates")
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = exactJaccard(fixture(a.toInt), fixture(b.toInt), 3)
+      assert(math.abs(est - exact) < 0.18, s"pair ($a,$b): est $est vs exact $exact")
+    }
+    // the high-similarity pair (0, 1) must be found
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
+  }
+
+  test("q35 oracle: simhash banding finds ALL pairs within the Hamming bound") {
+    // many shared-token docs: brute-force all-pairs hamming, then check
+    // the banded operator returns exactly the pairs ≤ 3
+    val texts = (0 until 24).map(i => base + " suffix" + (i % 4))
+    val sigs = texts.map(t => Kernels.simhash(UTF8String.fromString(t)))
+    val expected = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (i.toLong, j.toLong)).toSet
+    val got = Dedup.simhashPairs(docsDf(texts), "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got === expected, "block-combination banding must have perfect recall at h<=3")
+  }
+
+  test("q37 oracle: embedding LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val bases = (0 until 6).map(_ => unit(Array.fill(32)(rng.nextGaussian().toFloat)))
+    // 3 vectors per base: the base + two tiny perturbations (cosine ≈ 0.999)
+    val vecs = bases.zipWithIndex.flatMap { case (b, bi) =>
+      Seq(b) ++ (1 to 2).map(_ => unit(b.map(x => x + 0.01f * rng.nextGaussian().toFloat)))
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", minCosine = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // brute force ground truth
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val truth = (for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+      if cos(vecs(i), vecs(j)) >= 0.99
+    } yield (i.toLong, j.toLong)).toSet
+    assert(truth.nonEmpty)
+    // hyperplane LSH at 64 bits / 4 bands: near-identical vectors
+    // collide with prob ≈ 1 - (1 - 0.999^16)^4 ≈ 1; allow one miss
+    assert((truth -- got).size <= truth.size / 10,
+      s"recall too low: found ${got.size} of ${truth.size}")
+    assert(got.subsetOf(truth), "cosine verify must remove false candidates")
+  }
+
+  test("lshTopK recall vs exact cosineTopK on clustered vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val bases = (0 until 4).map(_ => unit(Array.fill(32)(rng.nextGaussian().toFloat)))
+    val corpus = bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 10).map(k => unit(b.map(x => x + 0.02f * rng.nextGaussian().toFloat)))
+    }
+    val corpusDf = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val queries = corpusDf.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.cosineTopK(corpusDf, queries, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(corpusDf, queries, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"lshTopK recall $recall below 0.8 on tightly clustered data")
+  }
+
+  test("minhash kernel: identical texts → identical signatures; est tracks containment") {
+    val df = docsDf(Seq(base, base, base + " tonight"))
+    val sigs = df.select(col("doc_id"),
+      graft.plans.Exprs.minhashSig(col("text"), 3, 64).as("sig")).collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(1L), "same text must hash to the same signature")
+    val matches = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val est = matches.toDouble / 64
+    val exact = exactJaccard(base, base + " tonight", 3)
+    assert(math.abs(est - exact) < 0.2, s"est $est vs exact $exact")
+  }
+
+  test("HashFunctions.jaccard matches the scala brute force") {
+    val df = docsDf(Seq(base, base + " tonight"))
+    val j = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.doc_id") === 0 && col("b.doc_id") === 1)
+      .select(HashFunctions.jaccard(
+        HashFunctions.wordShingles(col("a.text"), 3),
+        HashFunctions.wordShingles(col("b.text"), 3)).as("j"))
+      .head().getDouble(0)
+    assert(math.abs(j - exactJaccard(base, base + " tonight", 3)) < 1e-9)
+  }
+}
