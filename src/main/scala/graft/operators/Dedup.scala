@@ -134,39 +134,62 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs via a prefix-filtered inverted index —
-    * the scalable exact formulation (PPJoin's prefix principle):
+  /** Exact n-gram Jaccard pairs via an inverted shingle index, with a
+    * threshold-adaptive candidate strategy:
     *
-    *  1. per doc: sorted distinct shingle hashes `hs` (the sort is any
-    *     fixed total order; hash order suffices for correctness);
-    *  2. index only the first `n - ⌈t·n⌉ + 1` shingles per doc — two
-    *     docs with Jaccard ≥ t MUST share a prefix shingle;
-    *  3. drop shingles with document frequency 1 (can't form a pair) or
-    *     > `maxShingleDf` (boilerplate; recall-affecting, documented);
-    *  4. self-join the pruned prefix index → distinct candidate pairs;
-    *  5. verify: re-join the full shingle arrays and compute exact
-    *     Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the COMPLETE shingle
-    *     sets — sizes and intersections always measured over the same
-    *     universe (the `maxShingleDf` prune affects only which pairs are
-    *     generated, never the reported Jaccard value).
+    *  - **high threshold (t ≥ 0.5)** — PPJoin prefix filter: index only
+    *    the first `n − ⌈t·n⌉ + 1` hash-sorted shingles per doc (two
+    *    docs with Jaccard ≥ t MUST share a prefix shingle), self-join
+    *    the short prefix index for candidates.
+    *  - **low threshold** — the prefix saves almost nothing (length
+    *    ≈ (1−t)·n), so instead count co-occurrences directly: one
+    *    self-join + groupBy on (pair, na, nb) whose `count` is a lower
+    *    bound of the true common-shingle count, pre-filtered with the
+    *    count inequality c ≥ t·(na+nb)/(1+t). No distinct, no array
+    *    carry — the shuffle is four longs per co-occurrence row.
+    *
+    * Both paths drop df=1 shingles (pair-free, lossless) and shingles
+    * with document frequency > `maxShingleDf` (boilerplate cap —
+    * affects candidate recall only), then verify survivors exactly:
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the COMPLETE shingle sets,
+    * so reported values are always measured on the full universe
+    * regardless of any index pruning. Survivor sets are tiny, so the
+    * verify join is negligible.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.8,
                         maxShingleDf: Long = 1000000L): DataFrame = {
+    // sorted distinct shingle hashes via the single-pass codegen kernel
+    // (the Column-composition equivalent costs ~1 ms/row interpreted)
     val docs = df.select(col(idCol).as("id"),
-        array_sort(HashFunctions.shingleHashes(col(textCol), shingleK)).as("hs"))
+        Exprs.shingleHashes(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
-    val prefLen = (col("n") - ceil(col("n") * lit(minJaccard)).cast("int") + 1)
-    val pref = docs.select(col("id"),
-        explode(slice(col("hs"), lit(1), prefLen)).as("sh"))
-    val dfc = pref.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    val usePrefix = minJaccard >= 0.5
+    val indexLen =
+      if (usePrefix) (col("n") - ceil(col("n") * lit(minJaccard)).cast("int") + 1)
+      else col("n")
+    val inv = docs.select(col("id"), col("n"),
+      explode(slice(col("hs"), lit(1), indexLen)).as("sh"))
+    val dfc = inv.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxShingleDf)
       .select(col("sh"))
-    val pruned = pref.join(dfc, "sh")
-    val cand = pruned.as("a").join(pruned.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val pruned = inv.join(dfc, "sh")
+    val joined = pruned.as("a").join(pruned.as("b"),
+      col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+    val cand =
+      if (usePrefix)
+        joined.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      else
+        joined.groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.n").as("na0"), col("b.n").as("nb0"))
+          .agg(count(lit(1)).as("_c"))
+          // count inequality: jaccard ≥ t ⟺ common ≥ t(na+nb)/(1+t);
+          // _c under-counts only when maxShingleDf triggered, which is
+          // recall-affecting by contract
+          .filter(col("_c") >= ceil((col("na0") + col("nb0")) *
+            lit(minJaccard / (1 + minJaccard))))
+          .select(col("id_a"), col("id_b"))
     cand
       .join(docs.select(col("id").as("id_a"), col("hs").as("hsa"), col("n").as("na")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("hs").as("hsb"), col("n").as("nb")), "id_b")

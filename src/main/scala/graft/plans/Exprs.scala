@@ -42,6 +42,19 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class ShingleHashes(child: Expression, shingleK: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashes(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.shingleHashes($c, $shingleK)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -91,6 +104,8 @@ object Exprs {
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def minhashSig(c: Column, shingleK: Int, numPerms: Int): Column =
     col(MinHashSig(ex(c), shingleK, numPerms))
+  def shingleHashes(c: Column, shingleK: Int): Column =
+    col(ShingleHashes(ex(c), shingleK))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))

@@ -126,6 +126,60 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  /** Sorted distinct 64-bit hashes of the word `k`-shingles — the
+    * single-pass kernel behind the exact-Jaccard inverted index. Same
+    * tokenizer and hash family as [[minhash]] (boundaries scanned once,
+    * each shingle hashed once), then an in-place sort + dedup. Replaces
+    * a `split → transform(sequence) → slice → concat_ws → xxhash64 →
+    * array_distinct → array_sort` Column chain whose interpreted
+    * higher-order functions cost ~1 ms/row.
+    */
+  def shingleHashes(text: UTF8String, shingleK: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    var tokStarts = new Array[Int](16)
+    var tokEnds = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokStarts.length) {
+          tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
+          tokEnds = java.util.Arrays.copyOf(tokEnds, nTok * 2)
+        }
+        tokStarts(nTok) = start; tokEnds(nTok) = i; nTok += 1
+      }
+    }
+    val nShingles = if (nTok == 0) 0 else math.max(1, nTok - shingleK + 1)
+    val hashes = new Array[Long](nShingles)
+    var sh = 0
+    while (sh < nShingles) {
+      var h = 1125899906842597L
+      var t = sh
+      val tEnd = math.min(sh + shingleK, nTok)
+      while (t < tEnd) {
+        if (t > sh) h = 31L * h + ' '
+        var j = tokStarts(t)
+        while (j < tokEnds(t)) { h = 31L * h + s.charAt(j); j += 1 }
+        t += 1
+      }
+      hashes(sh) = mix64(h)
+      sh += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted array
+    var out = 0
+    var idx = 0
+    while (idx < nShingles) {
+      if (out == 0 || hashes(idx) != hashes(out - 1)) { hashes(out) = hashes(idx); out += 1 }
+      idx += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
+
   /** Cosine similarity of two float-array embeddings, accumulated in
     * double. Returns 0.0 when either norm is 0.
     */

@@ -36,16 +36,19 @@ class DedupSpec extends SparkSpec {
     sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
   }
 
-  test("q36 oracle: ngramJaccardPairs equals brute-force exact Jaccard") {
+  test("q36 oracle: ngramJaccardPairs equals brute-force exact Jaccard (both strategies)") {
     val df = docsDf(fixture)
-    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3, minJaccard = 0.3)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val expected = (for {
-      i <- fixture.indices; j <- fixture.indices if i < j
-      jac = exactJaccard(fixture(i), fixture(j), 3) if jac >= 0.3
-    } yield ((i.toLong, j.toLong), jac)).toMap
-    assert(got.keySet === expected.keySet)
-    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9, s"$k") }
+    // t = 0.3 → count-inequality path; t = 0.6 → PPJoin prefix path
+    Seq(0.3, 0.6).foreach { t =>
+      val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3, minJaccard = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val expected = (for {
+        i <- fixture.indices; j <- fixture.indices if i < j
+        jac = exactJaccard(fixture(i), fixture(j), 3) if jac >= t
+      } yield ((i.toLong, j.toLong), jac)).toMap
+      assert(got.keySet === expected.keySet, s"threshold $t")
+      got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9, s"$k at $t") }
+    }
   }
 
   test("q34 oracle: minhash est_jaccard tracks exact jaccard within ±0.18 (64 perms)") {
