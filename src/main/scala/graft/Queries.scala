@@ -609,6 +609,50 @@ object Queries {
              | FROM documents) WHERE rn = 1""".stripMargin),
       "exact dedup keep-lowest-id (hash-first shuffle)"),
 
+    // ------------------------------------------------------- multimodal
+    Q("q48_image_meta",
+      (s, d) => Multimodal.decodeImages(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateImageCol(col("doc_id")).as("content")),
+          "doc_id", "content")
+        .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes")),
+      // the oracle recomputes the metadata arithmetically, so the
+      // binary encode → mapPartitions decode loop is independently
+      // checked end-to-end
+      Some("""SELECT doc_id, CAST(16 + doc_id % 48 AS BIGINT) AS width,
+             |CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height,
+             |CAST((16 + doc_id % 48) * (16 + (doc_id * 7) % 48) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin),
+      "multimodal: binary image column decode + typed metadata (partition-batched, stub codec)"),
+
+    Q("q49_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateVideoCol(col("doc_id")).as("content")),
+          "doc_id", "content", everyN = 4)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("frame_idx")).cast("long").as("first_idx")),
+      Some("""SELECT doc_id, CAST((doc_id % 24) // 4 + 1 AS BIGINT) AS n_sampled,
+             |CAST(0 AS BIGINT) AS first_idx
+             |FROM documents""".stripMargin),
+      "multimodal: video frame sampling → per-frame rows (explode shape)"),
+
+    Q("q50_binary_embed_topk",
+      (s, d) => {
+        val imgs = documents(s, d).select(col("doc_id"),
+          Multimodal.fabricateImageCol(col("doc_id")).as("content"))
+        val emb = Multimodal.embedBinary(imgs, "doc_id", "content", dim = 16)
+        Similarity.cosineTopK(emb, emb.filter(col("id") < 4), "id", "embedding",
+            "id", "embedding", k = 3)
+          .withColumn("rank", col("rank").cast("long"))
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      None, // stub-encoder embeddings aren't SQL-expressible; the
+            // self-similarity invariant is unit-tested (MultimodalSpec)
+      "multimodal: binary → embedding → cosine top-k (stub encoder, real ANN handoff)"),
+
     Q("q42_fingerprint",
       (s, d) => {
         val toks = split(lower(trim(col("text"))), "\\s+")

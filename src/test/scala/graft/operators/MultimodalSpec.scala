@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: fabrication → decode roundtrip,
+  * resize, frame sampling, and the embedding handoff into the ANN
+  * operators. The codec is a deterministic stub; the schemas, partition
+  * batching, and explode shapes under test are the real pipeline.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def imgs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.fabricateImageCol(col("doc_id")).as("content"))
+      .repartition(3) // exercise multi-partition mapPartitions batching
+  }
+
+  test("decodeImages recovers fabricated dimensions and byte stats") {
+    val meta = Multimodal.decodeImages(imgs(50), "doc_id", "content").collect()
+    assert(meta.length === 50)
+    meta.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Int]("width") === 16 + (id % 48).toInt)
+      assert(r.getAs[Int]("height") === 16 + (id * 7 % 48).toInt)
+      assert(r.getAs[Long]("n_bytes") ===
+        (16 + id % 48) * (16 + id * 7 % 48))
+      val m = r.getAs[Double]("mean_intensity")
+      assert(m > 80 && m < 175, s"splitmix payload mean should be ~127.5, got $m")
+    }
+  }
+
+  test("resizeImages produces the requested dimensions, decodable again") {
+    val resized = Multimodal.resizeImages(imgs(10), "doc_id", "content", 8, 8)
+    val meta = Multimodal.decodeImages(resized, "id", "content").collect()
+    assert(meta.length === 10)
+    meta.foreach { r =>
+      assert(r.getAs[Int]("width") === 8)
+      assert(r.getAs[Int]("height") === 8)
+      assert(r.getAs[Long]("n_bytes") === 64L)
+    }
+  }
+
+  test("sampleFrames explodes every Nth frame with correct byte slices") {
+    import spark.implicits._
+    val vids = (0 until 30).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.fabricateVideoCol(col("doc_id")).as("content"))
+    val frames = Multimodal.sampleFrames(vids, "doc_id", "content", everyN = 4)
+    val counts = frames.groupBy(col("id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    (0 until 30).foreach { i =>
+      val nFrames = 1 + (i % 24)
+      assert(counts(i.toLong) === ((nFrames - 1) / 4 + 1).toLong, s"id $i")
+    }
+    // frame bytes are 8×8 slices
+    assert(frames.select(length(col("frame"))).distinct().head().getInt(0) === 64)
+  }
+
+  test("embedBinary → cosineTopK: every query's rank-1 neighbor is itself") {
+    val emb = Multimodal.embedBinary(imgs(40), "doc_id", "content", dim = 16)
+    assert(emb.select(size(col("embedding"))).distinct().head().getInt(0) === 16)
+    val top = Similarity.cosineTopK(emb, emb.filter(col("id") < 5),
+      "id", "embedding", "id", "embedding", k = 2)
+    val rank1 = top.filter(col("rank") === 1).collect()
+    assert(rank1.length === 5)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("query_id") === r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+  }
+}
