@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY
+  * §2.10), so these are the engine's forward-looking stream operators
+  * over the `events` table shape (event_id, user_id, ts, event_type,
+  * value, props): the same transforms run identically on a batch
+  * DataFrame or a `readStream` DataFrame — Spark's unified Dataset API
+  * — which the tests exploit by checking stream output == batch output
+  * on the same rows.
+  *
+  * Scale notes: both operators are keyed aggregations — the stream
+  * shuffles once on the grouping key; watermarks bound state. The
+  * sessionizer keeps one small state object per user, not per event.
+  */
+object Streams {
+
+  /** Tumbling-window event counts with a watermark (the streaming twin
+    * of the batch q30): `window(ts, windowDur)` × event_type.
+    */
+  def windowedCounts(events: DataFrame, windowDur: String,
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class EventIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessionState(sessionCount: Long, lastTs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization via `flatMapGroupsWithState` (the
+    * streaming twin of the batch q31): counts sessions per user with a
+    * `gapSeconds` inactivity threshold. State is one small
+    * (count, lastTs, nEvents) record per user — never per event — and
+    * each micro-batch emits the user's running totals (Update mode).
+    */
+  def sessionize(events: Dataset[EventIn], gapSeconds: Long): Dataset[SessionOut] = {
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          // within a micro-batch rows arrive unordered: sort by ts
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (count, last, nEvents) = state.getOption
+            .map(s => (s.sessionCount, s.lastTs, s.nEvents))
+            .getOrElse((0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (last == Long.MinValue || t - last > gapSeconds * 1000) count += 1
+            last = t
+            nEvents += 1
+          }
+          state.update(SessionState(count, last, nEvents))
+          Iterator.single(SessionOut(userId, count, nEvents))
+      }(Encoders.product[SessionState], Encoders.product[SessionOut])
+  }
+}

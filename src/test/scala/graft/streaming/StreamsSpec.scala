@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs: drive the operators through a real
+  * MemoryStream → writeStream micro-batch loop and assert the stream
+  * results equal the identical batch computation on the same rows —
+  * the unified-API contract the module is built on.
+  */
+class StreamsSpec extends SparkSpec {
+
+  import Streams._
+
+  private def mkEvents(n: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+    (0 until n).map { i =>
+      val user = (i % 7).toLong
+      // bursts with gaps: each user's events cluster into sessions
+      val ts = new java.sql.Timestamp(1700000000000L + (i / 7) * 600000L + (i % 3) * 1000L)
+      (user, ts, i.toLong, if (i % 2 == 0) "view" else "click", (i % 10).toDouble)
+    }
+
+  test("windowedCounts: streaming micro-batches equal the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(500)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = windowedCounts(streamDf, "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    // two micro-batches to exercise incremental state
+    stream.addData(events.take(250))
+    out.processAllAvailable()
+    stream.addData(events.drop(250))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("win_out")
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = windowedCounts(events.toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "10 minutes")
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize: stateful stream totals equal the batch lag-based sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(400)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ds = stream.toDS().map { case (u, t, e) => EventIn(u, t, e) }
+    val out = sessionize(ds, gapSeconds = 300)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    stream.addData(events.take(200).map(e => (e._1, e._2, e._3)))
+    out.processAllAvailable()
+    stream.addData(events.drop(200).map(e => (e._1, e._2, e._3)))
+    out.processAllAvailable()
+    out.stop()
+    // last update per user is the final running total
+    val streamed = spark.table("sess_out")
+      .withColumn("_r", monotonically_increasing_id())
+      .groupBy(col("user_id"))
+      .agg(last(col("n_sessions")).as("n_sessions"), last(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch oracle: lag + gap threshold (the q31 pattern)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = events.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 300, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+}
