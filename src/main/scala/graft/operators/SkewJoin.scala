@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-bounded equi-join: the salting pattern for keys whose
+  * frequency makes a plain shuffle join collapse onto a few reducers
+  * (AQE's skew-join split handles moderate skew automatically; salting
+  * is the explicit tool when one key is pathological — a boilerplate
+  * document, a null-ish default, a celebrity user).
+  *
+  * Left side: each row gets a random-but-deterministic salt in
+  * [0, buckets); right side: each row is replicated `buckets` times,
+  * once per salt value. The join key becomes (key, salt), spreading a
+  * hot key over `buckets` reducers. Replication cost is |right| ×
+  * buckets — use when right is the smaller side but too big to
+  * broadcast outright.
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+                     buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    // deterministic salt (hash of whole left row modulo buckets) so
+    // results are reproducible run-to-run, unlike rand()-based salting
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(buckets)))
+    val saltedRight = right
+      .withColumn("_salt", explode(array((0 until buckets).map(lit(_)): _*)))
+      .withColumn("_salt", col("_salt").cast("long"))
+    saltedLeft.join(saltedRight,
+        saltedLeft("_salt") === saltedRight("_salt") &&
+          saltedLeft(key) === saltedRight(key), joinType)
+      .drop("_salt")
+      .drop(saltedRight(key))
+  }
+}
