@@ -653,6 +653,61 @@ object Queries {
             // self-similarity invariant is unit-tested (MultimodalSpec)
       "multimodal: binary → embedding → cosine top-k (stub encoder, real ANN handoff)"),
 
+    Q("q51_corpus_clean",
+      (s, d) => {
+        // the composed training-corpus cleaning pipeline: quality gate →
+        // language gate → exact dedup (hash-first) → fingerprint, one
+        // lazy DAG — each stage is individually oracle-checked by
+        // q40/q41/q47/q42; this query checks their composition
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val tokVals = transform(toks,
+          x => (length(x).cast("long") * 7 + ascii(x).cast("long")))
+        val scored = documents(s, d).select(col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langIdCol(col("text")).as("lang"))
+        val kept = scored.filter(col("quality") >= 0.7 &&
+          col("lang").isin("fr", "en"))
+        Dedup.exactDedup(kept, "text", "doc_id")
+          .select(col("doc_id"), col("quality"), col("lang"),
+            aggregate(tokVals, lit(0L),
+              (acc, v) => pmod(acc * 31 + v, lit(1000000007L))).as("fingerprint"))
+      },
+      Some {
+        val profiles = TextFunctions.LangProfiles.toSeq.sortBy(_._1)
+        val scoreExprs = profiles.map { case (lang, grams) =>
+          val hits = grams.map(g => s"CAST(contains(lt, '$g') AS INT)").mkString(" + ")
+          s"($hits) AS s_$lang"
+        }.mkString(", ")
+        s"""WITH t AS (SELECT doc_id, text, lower(text) AS lt,
+           |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+           |m AS (SELECT doc_id, text, lt, toks,
+           |  CAST(len(list_filter(toks, x -> list_contains(
+           |    [${TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) /
+           |    greatest(len(toks), 1) AS stopword_ratio,
+           |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+           |    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+           |  CAST(len(toks) AS DOUBLE) AS n FROM t),
+           |q AS (SELECT doc_id, text, lt, toks,
+           |  round((least(n / 50, 1) + (1 - least(punct_ratio * 4, 1)) +
+           |    least(stopword_ratio * 5, 1)) / 3, 4) AS quality FROM m),
+           |l AS (SELECT doc_id, text, toks, quality, $scoreExprs FROM q),
+           |lang AS (SELECT doc_id, text, toks, quality, CASE
+           |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+           |  WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+           |  WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+           |  WHEN s_de > 0 THEN 'de'
+           |  ELSE 'und' END AS lang FROM l),
+           |kept AS (SELECT * FROM lang WHERE quality >= 0.7 AND lang IN ('fr', 'en')),
+           |dedup AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM kept)
+           |SELECT doc_id, quality, lang,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(toks, x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
+           |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+           |FROM dedup WHERE rn = 1""".stripMargin
+      },
+      "composed corpus-cleaning pipeline (quality → language → dedup → fingerprint)"),
+
     Q("q42_fingerprint",
       (s, d) => {
         val toks = split(lower(trim(col("text"))), "\\s+")
