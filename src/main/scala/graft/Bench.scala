@@ -28,6 +28,10 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = Queries.all.map { q =>
+      // collect the previous query's garbage before timing: otherwise a
+      // heap-heavy query (the 1M-pair joins) taxes whichever cheap scan
+      // happens to run next, making per-query numbers load-order noise
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
