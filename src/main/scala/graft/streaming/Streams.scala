@@ -30,6 +30,15 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drops re-deliveries of the same key across
+    * micro-batches; the watermark bounds the dedup state (keys older
+    * than the watermark are evicted, so state is O(keys within the
+    * lateness window), not O(stream)).
+    */
+  def dedupStream(events: DataFrame, keyCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(keyCol, tsCol)
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionState(sessionCount: Long, lastTs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long)

@@ -50,6 +50,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dedupStream drops cross-batch re-deliveries, keeping state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Streams.dedupStream(
+        stream.toDF().toDF("event_id", "ts", "payload"), "event_id", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    stream.addData(Seq((1L, t0, "a"), (2L, t0, "b"), (1L, t0, "a-dup-in-batch")))
+    out.processAllAvailable()
+    // batch 2 re-delivers event 1 and 2 (same key+ts) and adds event 3
+    stream.addData(Seq((1L, t0, "a-redelivery"), (2L, t0, "b-redelivery"),
+      (3L, t0, "c")))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("dedup_out").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sessionize: stateful stream totals equal the batch lag-based sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
