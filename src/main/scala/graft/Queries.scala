@@ -653,6 +653,31 @@ object Queries {
             // self-similarity invariant is unit-tested (MultimodalSpec)
       "multimodal: binary → embedding → cosine top-k (stub encoder, real ANN handoff)"),
 
+    Q("q52_asof_join",
+      (s, d) => {
+        // for each click, the most recent prior (or simultaneous) view
+        // per user. Right side pre-deduped per (user, ts) so as-of tie
+        // resolution is deterministic on both engines.
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts").as("view_ts"))
+          .agg(max(col("event_id")).as("view_id"),
+            round(max_by(col("value"), col("event_id")), 2).as("view_value"))
+        AsofJoin.asofBackward(clicks, views, Seq("user_id"), "ts", "view_ts",
+            Seq("view_id", "view_value"))
+          .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |views AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id,
+             |  round(arg_max(value, event_id), 2) AS view_value
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+             |SELECT c.event_id, c.user_id, v.view_id, v.view_value
+             |FROM clicks c ASOF LEFT JOIN views v
+             |ON c.user_id = v.user_id AND c.ts >= v.view_ts""".stripMargin),
+      "as-of backward join (union + running last; oracle is DuckDB's native ASOF JOIN)"),
+
     Q("q51_corpus_clean",
       (s, d) => {
         // the composed training-corpus cleaning pipeline: quality gate →
