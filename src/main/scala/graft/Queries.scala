@@ -653,6 +653,93 @@ object Queries {
             // self-similarity invariant is unit-tested (MultimodalSpec)
       "multimodal: binary → embedding → cosine top-k (stub encoder, real ANN handoff)"),
 
+    Q("q53_percentiles",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25")),
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+             |round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "exact percentiles (sort-based aggregate, linear interpolation both engines)"),
+
+    Q("q54_rollup",
+      (s, d) => customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          grouping(col("r_name")).cast("long").as("g_r"),
+          grouping(col("n_name")).cast("long").as("g_n")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+             |CAST(grouping(r_name) AS BIGINT) AS g_r,
+             |CAST(grouping(n_name) AS BIGINT) AS g_n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin),
+      "rollup / grouping sets with GROUPING() disambiguation"),
+
+    Q("q55_pivot",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P")),
+      Some("""SELECT o_orderpriority,
+             |CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+             |CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+             |CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      "pivot (long → wide) with pinned column set"),
+
+    Q("q56_set_ops",
+      (s, d) => {
+        val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_nationkey").cast("long").as("k"))
+        val bld = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").cast("long").as("k"))
+        auto.intersect(bld).withColumn("op", lit("both"))
+          .unionByName(auto.except(bld).withColumn("op", lit("auto_only")))
+      },
+      Some("""SELECT k, 'both' AS op FROM
+             |(SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             | INTERSECT
+             | SELECT CAST(c_nationkey AS BIGINT) FROM customer WHERE c_mktsegment = 'BUILDING')
+             |UNION ALL
+             |SELECT k, 'auto_only' AS op FROM
+             |(SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             | EXCEPT
+             | SELECT CAST(c_nationkey AS BIGINT) FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin),
+      "INTERSECT / EXCEPT set operations"),
+
+    Q("q57_window_suite",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          first(col("o_orderkey")).over(w).as("first_order"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |lead(o_orderkey, 1) OVER w AS next_order,
+             |lag(o_orderkey, 1) OVER w AS prev_order,
+             |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |round(percent_rank() OVER w, 6) AS pct_rank,
+             |first_value(o_orderkey) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
+      "window-function suite (lead/lag/ntile/percent_rank/first_value, one shared frame)"),
+
     Q("q52_asof_join",
       (s, d) => {
         // for each click, the most recent prior (or simultaneous) view
