@@ -653,6 +653,25 @@ object Queries {
             // self-similarity invariant is unit-tested (MultimodalSpec)
       "multimodal: binary → embedding → cosine top-k (stub encoder, real ANN handoff)"),
 
+    Q("q58_range_join",
+      (s, d) => {
+        // customers matched to same-nation suppliers whose
+        // [acctbal, acctbal+500] interval contains the customer balance
+        val pts = customer(s, d).select(
+          col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
+        val ivs = supplier(s, d).select(
+          col("s_suppkey"), col("s_nationkey").as("nk"),
+          col("s_acctbal").as("lo"), (col("s_acctbal") + 500.0).as("hi"))
+        RangeJoin.bucketedRangeJoin(pts, ivs, Seq("nk"), "c_acctbal",
+            "lo", "hi", bucketWidth = 500.0)
+          .select(col("c_custkey"), col("s_suppkey"),
+            col("nk").cast("long").as("nk"))
+      },
+      Some("""SELECT c_custkey, s_suppkey, CAST(c_nationkey AS BIGINT) AS nk
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |AND c_acctbal BETWEEN s_acctbal AND s_acctbal + 500.0""".stripMargin),
+      "bucketized range join (interval containment; oracle is the plain inequality join)"),
+
     Q("q53_percentiles",
       (s, d) => lineitem(s, d)
         .groupBy(col("l_returnflag"))
