@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the scale properties the engine is
+  * built around, asserted on the physical plans so a refactor can't
+  * silently reintroduce a scale-killer (the round-1 failure mode).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    Queries.byName(q).fn(spark, d).queryExecution.executedPlan.toString
+
+  test("q04: range predicates are pushed into the parquet scan") {
+    val p = plan("q04_filter_range")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters must reach the scan")
+    assert(p.contains("LessThanOrEqual(l_quantity"), "range filter must be pushed")
+  }
+
+  test("q02: dimension join broadcasts, never sort-merges") {
+    val p = plan("q02_join_left")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q14: global row_number has NO single-partition window") {
+    val p = plan("q14_row_number")
+    // the scalable variant windows per spark_partition_id, so every
+    // Window operator must carry a partitionBy spec
+    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.nonEmpty)
+    // a no-partition window renders as windowspecdefinition(ORDER BY...)
+    // with an empty partition list — reject the known warning shape
+    assert(!p.contains("No Partition Defined"))
+    windowSpecs.foreach(l =>
+      assert(l.contains("_pid") || l.contains("windowspecdefinition(_w"),
+        s"window must partition by _pid: $l"))
+  }
+
+  test("q38: top-k aggregates partially BEFORE the exchange (bounded shuffle)") {
+    val p = plan("q38_ann_topk")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(_.contains("partial_topkagg"))
+    val exchangeIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning(query_id"))
+    assert(partialIdx >= 0, "partial top-k aggregation must exist")
+    assert(exchangeIdx >= 0)
+    assert(partialIdx > exchangeIdx,
+      "partial agg must be below (run before) the exchange in the plan tree")
+  }
+
+  test("q33: exact-dup window reuses the 8-byte-hash repartition (one exchange)") {
+    val p = plan("q33_dedup_prefix")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges === 1, s"expected exactly one exchange, plan:\n$p")
+    assert(p.contains("REPARTITION_BY_COL"))
+  }
+
+  test("q01: aggregation is partial+final with a pruned scan schema") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("ReadSchema: struct<l_quantity"))
+    assert(!p.contains("l_comment"), "unused wide column must be pruned from the scan")
+  }
+}
