@@ -500,6 +500,28 @@ object Queries {
              |WHERE rank <= 5""".stripMargin),
       "brute-force cosine top-k ANN baseline (broadcast probe set)"),
 
+    Q("q59_ivf_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        // full probe (nProbe = nCentroids) makes IVF exact, so the
+        // brute-force SQL oracle applies; partial-probe recall is
+        // measured in IvfSpec
+        Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 16)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             |CAST(rank AS BIGINT) AS rank FROM
+             |(SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |    CAST(q.embedding AS DOUBLE[])) AS cosine,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |      CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+             | FROM embeddings c, embeddings q WHERE q.vec_id < 8)
+             |WHERE rank <= 5""".stripMargin),
+      "IVF coarse-quantizer ANN (spherical k-means cells; full probe ⇒ exact oracle)"),
+
     // ---------------------------------------------------------- text
     Q("q39_text_stats",
       (s, d) => documents(s, d).select(

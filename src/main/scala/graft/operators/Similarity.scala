@@ -97,7 +97,7 @@ object Similarity {
     * rank = position in the (cosine desc, id asc) order, matching the
     * row_number() formulation row-for-row.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("cosine")).as("top"))
