@@ -697,10 +697,13 @@ object Queries {
     Q("q53_percentiles",
       (s, d) => lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25")),
+        // one counts-map pass serves both price percentiles
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("_ps"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"))
+        .select(col("l_returnflag"),
+          round(element_at(col("_ps"), 1), 4).as("p50"),
+          round(element_at(col("_ps"), 2), 4).as("p95"),
+          col("qty_p25")),
       Some("""SELECT l_returnflag,
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
