@@ -43,21 +43,17 @@ object GeoJsonSink {
     s"""{"type":"Feature","geometry":${if (geom == null) "null" else geom},"properties":$propsJson}"""
   }
 
-  /** Driver-side FeatureCollection write. `rows` carry a `wkt` column;
-    * all other columns become feature properties. Empty `rows` → an
-    * empty FeatureCollection (reference G9, notebooks/index.Rmd:584-585).
+  /** Driver-side FeatureCollection write: one
+    * `outDir/{identifier}/{identifier}.geojson` document from
+    * (wkt, properties) pairs. Empty `feats` → an empty FeatureCollection
+    * (reference G9, notebooks/index.Rmd:584-585).
     */
-  def writeFeatureCollection(rows: Seq[Row], wktCol: String, outDir: String,
-                             identifier: String): Unit = {
+  def writeFeatureCollection(outDir: String, identifier: String,
+                             feats: Seq[(String, Seq[(String, String)])]): Unit = {
     val dir = Paths.get(outDir, identifier)
     Files.createDirectories(dir)
-    val feats = rows.map { r =>
-      val wkt = Option(r.getAs[Any](wktCol)).map(_.toString).orNull
-      val props = r.schema.fieldNames.filterNot(_ == wktCol).toSeq
-        .map(f => f -> Option(r.getAs[Any](f)).map(_.toString).orNull)
-      feature(wkt, props)
-    }
-    val json = s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
+    val json = s"""{"type":"FeatureCollection","features":[${
+      feats.map { case (w, props) => feature(w, props) }.mkString(",")}]}"""
     Files.writeString(dir.resolve(s"$identifier.geojson"), json)
   }
 

@@ -147,7 +147,7 @@ class LoadPortal(spark: SparkSession, dataDir: String) {
       Encoders.product[(Long, String)])
     val aggs: Seq[Column] =
       Seq(max(col("end_date")).as("end_date")) ++
-      eovFlags.map(c => max(col(c)).as(c)).toSeq ++
+      eovFlags.map(c => Aggregators.boolOr(col(c)).as(c)).toSeq ++
       Seq(
         urlConcat(col("_row"), col("url")).as("url"),
         Relational.ordinalMin(col("temporal_resolution"), Recodes.frequencies)
@@ -258,8 +258,9 @@ object LoadPortal {
     * joined by " - "; empty → null.
     */
   private[jobs] def abstractOf(org: Column, name: Column): Column = {
-    val squish = (c: Column) => trim(regexp_replace(c, "\\s+", " "))
-    val arr = array_distinct(filter(array(squish(org), squish(name)), _.isNotNull))
+    val arr = array_distinct(filter(
+      array(StringFunctions.squishWhitespace(org), StringFunctions.squishWhitespace(name)),
+      _.isNotNull))
     when(size(arr) === 0, lit(null)).otherwise(array_join(arr, " - "))
   }
 }

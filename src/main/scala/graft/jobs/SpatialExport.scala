@@ -247,13 +247,8 @@ object SpatialExport {
   }
 
   private def writeFeatures(outDir: String, identifier: String,
-                            feats: Seq[(String, Seq[(String, String)])]): Unit = {
-    val dir = java.nio.file.Paths.get(outDir, identifier)
-    java.nio.file.Files.createDirectories(dir)
-    val json = s"""{"type":"FeatureCollection","features":[${
-      feats.map { case (w, props) => GeoJsonSink.feature(w, props) }.mkString(",")}]}"""
-    java.nio.file.Files.writeString(dir.resolve(s"$identifier.geojson"), json)
-  }
+                            feats: Seq[(String, Seq[(String, String)])]): Unit =
+    GeoJsonSink.writeFeatureCollection(outDir, identifier, feats)
 
   private def listShapefiles(dir: java.io.File): Seq[java.io.File] = {
     if (!dir.exists()) return Nil

@@ -21,17 +21,6 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
-  /** 64-bit hash of a byte range: polynomial accumulate + splitmix
-    * finalize. Deterministic across JVMs (no String.hashCode reliance
-    * beyond the spec'd algorithm; avoids seed randomization).
-    */
-  def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var h = 1125899906842597L
-    var i = from
-    while (i < until) { h = 31L * h + bytes(i); i += 1 }
-    mix64(h)
-  }
-
   /** SimHash64 over lowercase whitespace tokens: for each token hash,
     * each of the 64 bit positions votes +1/-1; the sign vector is the
     * fingerprint. Near-duplicate texts land within a small Hamming
