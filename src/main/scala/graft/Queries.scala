@@ -675,6 +675,49 @@ object Queries {
             // self-similarity invariant is unit-tested (MultimodalSpec)
       "multimodal: binary → embedding → cosine top-k (stub encoder, real ANN handoff)"),
 
+    Q("q60_stats_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("price_sd"),
+          round(skewness(col("l_quantity")), 6).as("qty_skew")),
+      Some("""SELECT l_returnflag,
+             |round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             |round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+             |round(stddev_samp(l_extendedprice), 4) AS price_sd,
+             |round(skewness(l_quantity), 6) AS qty_skew
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "statistical aggregates (corr / covar / stddev / skewness, partial+final)"),
+
+    Q("q61_date_arith",
+      (s, d) => orders(s, d).select(
+        col("o_orderkey"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(to_date(lit("2000-01-01")), col("o_orderdate"))
+          .cast("long").as("days_to_2000"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        add_months(col("o_orderdate"), 3).as("plus_quarter")),
+      Some("""SELECT o_orderkey,
+             |CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+             |last_day(o_orderdate) AS month_end,
+             |CAST(date_diff('day', o_orderdate, DATE '2000-01-01') AS BIGINT) AS days_to_2000,
+             |CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             |o_orderdate + INTERVAL 3 MONTH AS plus_quarter
+             |FROM orders""".stripMargin),
+      "date arithmetic suite (trunc/last_day/diff/dow/add_months)"),
+
+    Q("q62_kmv_distinct",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(Sketches.kmvDistinct(col("o_custkey"), k = 256).as("est_custs"),
+          countDistinct(col("o_custkey")).cast("long").as("exact_custs")),
+      None, // the KMV estimate has no cross-engine oracle (hash-family
+            // bound); its error bound is unit-tested in SketchesSpec
+      "KMV distinct-count sketch (mergeable k-minimum-values Aggregator)"),
+
     Q("q58_range_join",
       (s, d) => {
         // customers matched to same-nation suppliers whose
