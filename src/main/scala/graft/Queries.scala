@@ -389,8 +389,46 @@ object Queries {
         round(GeoFunctions.utm30nLat(
           lit(400000.0) + (col("s_suppkey") % 200) * 1000.0,
           lit(4000000.0) + (col("s_suppkey") % 100) * 2000.0), 6).as("lat")),
-      None, // closed-form TM inverse not reasonably SQL-expressible
-      "G7 (UTM 32630 → WGS84 inverse projection; unit-tested vs known fixtures)"),
+      // The Snyder inverse-TM series is plain sin/cos/pow arithmetic, so
+      // DuckDB can evaluate the same public-domain formulae — an
+      // independent cross-engine check of the whole series.
+      Some("""WITH inp AS (
+             |  SELECT s_suppkey,
+             |    400000.0 + (s_suppkey % 200) * 1000.0 - 500000.0 AS x,
+             |    4000000.0 + (s_suppkey % 100) * 2000.0 AS y,
+             |    6378137.0 AS a, 0.9996 AS k0,
+             |    (1.0/298.257223563) * (2 - (1.0/298.257223563)) AS e2
+             |  FROM supplier
+             |), s2 AS (
+             |  SELECT *, e2/(1-e2) AS ep,
+             |    (y/k0) / (a * (1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256)) AS mu,
+             |    (1 - sqrt(1-e2)) / (1 + sqrt(1-e2)) AS e1
+             |  FROM inp
+             |), s3 AS (
+             |  SELECT *, mu + (3*e1/2 - 27*pow(e1,3)/32)*sin(2*mu)
+             |            + (21*e1*e1/16 - 55*pow(e1,4)/32)*sin(4*mu)
+             |            + (151*pow(e1,3)/96)*sin(6*mu)
+             |            + (1097*pow(e1,4)/512)*sin(8*mu) AS phi1
+             |  FROM s2
+             |), s4 AS (
+             |  SELECT *, sin(phi1) AS sin1, cos(phi1) AS cos1,
+             |         sin(phi1)/cos(phi1) AS tan1 FROM s3
+             |), s5 AS (
+             |  SELECT *, ep*cos1*cos1 AS c1, tan1*tan1 AS t1,
+             |         a/sqrt(1 - e2*sin1*sin1) AS n1,
+             |         a*(1-e2)/pow(1 - e2*sin1*sin1, 1.5) AS r1
+             |  FROM s4
+             |), s6 AS (
+             |  SELECT *, x/(n1*k0) AS d FROM s5
+             |)
+             |SELECT s_suppkey,
+             |  round(degrees(radians(-3.0) + (d - (1 + 2*t1 + c1)*pow(d,3)/6
+             |    + (5 - 2*c1 + 28*t1 - 3*c1*c1 + 8*ep + 24*t1*t1)*pow(d,5)/120)/cos1), 6) AS lon,
+             |  round(degrees(phi1 - (n1*tan1/r1)*(d*d/2
+             |    - (5 + 3*t1 + 10*c1 - 4*c1*c1 - 9*ep)*pow(d,4)/24
+             |    + (61 + 90*t1 + 298*c1 + 45*t1*t1 - 252*ep - 3*c1*c1)*pow(d,6)/720)), 6) AS lat
+             |FROM s6""".stripMargin),
+      "G7 (UTM 32630 → WGS84 inverse projection; oracle re-evaluates the Snyder series in SQL)"),
 
     // ---------------------------------------------------------- events/json
     Q("q29_json_extract",
@@ -443,7 +481,7 @@ object Queries {
     Q("q33_dedup_prefix",
       (s, d) => Dedup.exactDupPairs(
         documents(s, d).withColumn("prefix",
-          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 10))),
+          graft.plans.Exprs.prefixTokens(col("text"), 10)),
         "prefix", "doc_id"),
       Some("""SELECT canonical_id, dup_id FROM
              |(SELECT min(doc_id) OVER (PARTITION BY prefix) AS canonical_id, doc_id AS dup_id
@@ -470,7 +508,27 @@ object Queries {
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
           shingleK = 3, minJaccard = 0.12)
         .withColumn("jaccard", round(col("jaccard"), 6)),
-      None, // candidate for a DuckDB list-comprehension oracle; rows-only for now
+      // Jaccard over 64-bit shingle hashes equals Jaccard over the
+      // distinct shingle strings themselves (collision-free at this
+      // scale), so the oracle recomputes it string-side with DuckDB
+      // list comprehensions: tokenize → k-gram → distinct → intersect.
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
+             |  FROM toks WHERE len(tk) > 0
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         len(list_intersect(a.ss, b.ss)) AS c,
+             |         len(a.ss) AS na, len(b.ss) AS nb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |)
+             |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+             |FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12""".stripMargin),
       "exact n-gram Jaccard pairs via inverted shingle index"),
 
     Q("q37_embed_neardup",
@@ -682,7 +740,13 @@ object Queries {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar"),
           round(stddev_samp(col("l_extendedprice")), 4).as("price_sd"),
-          round(skewness(col("l_quantity")), 6).as("qty_skew")),
+          // Spark's skewness is the population statistic g1 = m3/m2^1.5;
+          // the oracle (and R/pandas) report the bias-corrected sample
+          // statistic G1 = g1 * sqrt(n(n-1))/(n-2) — apply the correction
+          // here so both engines compute the same number.
+          round(skewness(col("l_quantity")) *
+            sqrt(count(col("l_quantity")) * (count(col("l_quantity")) - 1)) /
+            (count(col("l_quantity")) - 2), 6).as("qty_skew")),
       Some("""SELECT l_returnflag,
              |round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
              |round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,

@@ -28,14 +28,30 @@ object JdbcBoundary {
     */
   class JdbcExecutor(url: String, props: java.util.Properties)
       extends SqlExecutor with AutoCloseable {
+    // lazy like conn: a serialized-then-deserialized instance rebuilds
+    // its cache on first use instead of NPE-ing on a null @transient val
     @transient private lazy val conn: Connection = DriverManager.getConnection(url, props)
-    @transient private val stmts = scala.collection.mutable.Map.empty[String, PreparedStatement]
+    @transient private lazy val stmts = scala.collection.mutable.Map.empty[String, PreparedStatement]
+    @transient private var pendingSql: String = _
+
+    /** Consecutive statements with the same SQL text accumulate into one
+      * JDBC batch; a different text (or `close`) flushes first, so the
+      * relative order of distinct statements is preserved — only
+      * homogeneous runs (e.g. the per-EOV link inserts) are batched.
+      */
     def execute(stmt: Stmt): Unit = {
+      if (pendingSql != null && pendingSql != stmt.sql) flush()
       val ps = stmts.getOrElseUpdate(stmt.sql, conn.prepareStatement(stmt.sql))
       stmt.params.zipWithIndex.foreach { case (p, i) => ps.setObject(i + 1, p) }
-      ps.executeUpdate()
+      ps.addBatch()
+      pendingSql = stmt.sql
     }
-    def close(): Unit = { stmts.values.foreach(_.close()); conn.close() }
+    private def flush(): Unit =
+      if (pendingSql != null) { stmts(pendingSql).executeBatch(); pendingSql = null }
+    def close(): Unit = {
+      try flush()
+      finally { stmts.values.foreach(_.close()); conn.close() }
+    }
   }
 
   /** Test fake: records every statement into a JVM-static queue (task

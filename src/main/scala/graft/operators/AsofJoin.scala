@@ -28,28 +28,42 @@ object AsofJoin {
   /** `rightPayload` columns are carried onto each left row (null when no
     * right row precedes it). Right payload column names must not
     * collide with left columns.
+    *
+    * Determinism: when several right rows share one (key, timestamp),
+    * `rightTieBreaker` picks the carried row — the one with the MAX
+    * tiebreaker value (e.g. a sequence number → "latest write wins").
+    * Without it the choice among exact ties is partition-order-defined
+    * and may vary run-to-run; pass a tiebreaker or guarantee unique
+    * (key, ts) on the right side.
     */
   def asofBackward(left: DataFrame, right: DataFrame,
                    partitionKeys: Seq[String],
                    leftTs: String, rightTs: String,
-                   rightPayload: Seq[String]): DataFrame = {
+                   rightPayload: Seq[String],
+                   rightTieBreaker: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
     val pay = struct(rightPayload.map(col): _*)
+    val tie = rightTieBreaker.map(col).getOrElse(lit(0L))
     val taggedRight = right.select(
       partitionKeys.map(col) ++
-        Seq(col(rightTs).as("_ts"), lit(0).as("_tag"), pay.as("_pay")): _*)
+        Seq(col(rightTs).as("_ts"), lit(0).as("_tag"), tie.as("_tie"),
+          pay.as("_pay")): _*)
     val taggedLeft = left.select(
       partitionKeys.map(col) ++
         Seq(col(leftTs).as("_ts"), lit(1).as("_tag"),
+          lit(null).cast(taggedRight.schema("_tie").dataType).as("_tie"),
           lit(null).cast(taggedRight.schema("_pay").dataType).as("_pay"),
           struct(leftCols.map(col): _*).as("_lrow")): _*)
     val unioned = taggedRight
       .withColumn("_lrow", lit(null).cast(taggedLeft.schema("_lrow").dataType))
       .unionByName(taggedLeft)
+    // ties within same (_ts, _tag=0) resolve by _tie ascending, so the
+    // running `last` carries the max-tiebreaker right row; _tie is null
+    // on left rows and never reorders across tags (tag dominates)
     val w = Window.partitionBy(partitionKeys.map(col): _*)
-      .orderBy(col("_ts"), col("_tag"))
+      .orderBy(col("_ts"), col("_tag"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("_match", last(col("_pay"), ignoreNulls = true).over(w))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.Exprs
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the
@@ -73,27 +73,18 @@ object Ivf {
     val sample = corpus.select(col(corpusVec)).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     val centroids = trainCentroids(sample, nCentroids)
-    val assignUdf = udf((v: Array[Float]) => {
-      val nv = normalize(v)
-      var best = 0; var bestD = Double.MinValue
-      var c = 0
-      while (c < centroids.length) {
-        val d = dot(nv, centroids(c))
-        if (d > bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    })
-    val probeUdf = udf((v: Array[Float]) => {
-      val nv = normalize(v)
-      centroids.indices
-        .map(c => (c, dot(nv, centroids(c))))
-        .sortBy(-_._2).take(nProbe).map(_._1)
-    })
+    // flatten row-major for the codegen kernels — assignment and probe
+    // selection run inside whole-stage codegen with the centroid array
+    // attached as a reference object, not behind a Scala-UDF fence
+    val dim = centroids.head.length
+    val flat = new Array[Float](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case (cv, i) =>
+      System.arraycopy(cv, 0, flat, i * dim, dim)
+    }
     val cells = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-      .withColumn("_cell", assignUdf(col("cv")))
+      .withColumn("_cell", Exprs.nearestCentroid(col("cv"), flat, dim))
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .withColumn("_cell", explode(probeUdf(col("qv"))))
+      .withColumn("_cell", explode(Exprs.topCells(col("qv"), flat, dim, nProbe)))
     val scored = cells.join(broadcast(probes), Seq("_cell"))
       .select(col("query_id"), col("neighbor_id"),
         Exprs.cosineSim(col("cv"), col("qv")).as("cosine"))

@@ -83,12 +83,18 @@ object Relational {
     * offsets from partition sizes (two narrow passes, no single-partition
     * window). Ordering ties broken by full sort columns; ids are
     * 1-based and dense, matching `row_number`.
+    *
+    * The range-sorted frame feeds both the offsets aggregation and the
+    * final join, so it is persisted — without the cache Spark re-runs the
+    * full range-exchange + sort for each consumer, doubling the most
+    * expensive stage (the round-2 q14 regression).
     */
   def globalRowNumberScalable(df: DataFrame, outCol: String, orderCols: Column*): DataFrame = {
     val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
     val withPid = sorted.withColumn("_pid", spark_partition_id())
       .withColumn("_prn", row_number().over(
         Window.partitionBy(col("_pid")).orderBy(orderCols: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = withPid.groupBy(col("_pid")).agg(count(lit(1)).as("_psz"))
       .withColumn("_off",
         coalesce(sum(col("_psz")).over(

@@ -19,30 +19,50 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  case class KmvBuf(mins: Seq[Long])
+  /** Mutable sketch state: `mins` is a capacity-`k` primitive array
+    * whose first `n` slots hold the distinct minima, sorted ascending.
+    * A case class so `Encoders.product` serializes it at shuffle
+    * boundaries; between rows the aggregation operator keeps the
+    * object form, so `reduce`/`merge` mutate the array in place —
+    * the per-row hot path is one O(1) rejection compare (full buffer,
+    * hash above the k-th min) or an O(log k) membership probe, never
+    * an immutable-Seq rebuild.
+    */
+  case class KmvBuf(mins: Array[Long], var n: Int) {
+    /** In-place insert preserving (sorted, distinct, ≤ k) — returns this. */
+    def insert(h: Long): KmvBuf = {
+      val k = mins.length
+      if (n == k && h >= mins(k - 1)) return this // common case: reject
+      val i = java.util.Arrays.binarySearch(mins, 0, n, h)
+      if (i >= 0) return this // already present
+      val pos = -i - 1
+      val shift = math.min(n, k - 1) - pos // drop the last slot when full
+      if (shift > 0) System.arraycopy(mins, pos, mins, pos + 1, shift)
+      mins(pos) = h
+      if (n < k) n += 1
+      this
+    }
+  }
 
   class KmvDistinct(k: Int) extends Aggregator[Long, KmvBuf, Double] {
     require(k >= 8, "k < 8 gives useless error bounds")
-    private def insert(mins: Seq[Long], h: Long): Seq[Long] = {
-      // mins kept sorted ascending, unique, ≤ k entries
-      if (mins.length == k && h >= mins.last) mins
-      else if (mins.contains(h)) mins
-      else {
-        val i = mins.indexWhere(_ > h)
-        val inserted = if (i < 0) mins :+ h else (mins.take(i) :+ h) ++ mins.drop(i)
-        inserted.take(k)
+    def zero: KmvBuf = KmvBuf(new Array[Long](k), 0)
+    def reduce(b: KmvBuf, a: Long): KmvBuf = b.insert(a)
+    def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+      var i = 0
+      // y.mins ascending: once an element rejects on the full-buffer
+      // fast path, every later one does too
+      while (i < y.n && !(x.n == k && y.mins(i) >= x.mins(k - 1))) {
+        x.insert(y.mins(i))
+        i += 1
       }
+      x
     }
-    def zero: KmvBuf = KmvBuf(Vector.empty)
-    def reduce(b: KmvBuf, a: Long): KmvBuf = KmvBuf(insert(b.mins, a))
-    def merge(x: KmvBuf, y: KmvBuf): KmvBuf =
-      KmvBuf(y.mins.foldLeft(x.mins)(insert))
     def finish(b: KmvBuf): Double = {
-      val n = b.mins.length
-      if (n < k) n.toDouble // fewer than k distinct → exact
+      if (b.n < k) b.n.toDouble // fewer than k distinct → exact
       else {
         // map the k-th min from [Long.Min, Long.Max] onto (0, 1)
-        val kth = (b.mins.last.toDouble - Long.MinValue.toDouble) /
+        val kth = (b.mins(k - 1).toDouble - Long.MinValue.toDouble) /
           (Long.MaxValue.toDouble - Long.MinValue.toDouble)
         (k - 1) / kth
       }

@@ -18,9 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Left-preserving join types only: the right side is replicated
+    * `buckets` times, so a right-preserving join (right/full outer)
+    * would emit each unmatched right row once per replica.
+    */
+  private val allowedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    require(allowedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedEquiJoin replicates the right side, so only left-preserving " +
+        s"join types are well-defined; got '$joinType'")
     // deterministic salt (hash of whole left row modulo buckets) so
     // results are reproducible run-to-run, unlike rand()-based salting
     val saltedLeft = left.withColumn("_salt",

@@ -83,6 +83,58 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  case class PrefixTokens(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "prefix_tokens"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.prefixTokens(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.prefixTokens($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): PrefixTokens =
+      copy(child = newChild)
+  }
+
+  /** IVF cell assignment: centroids ride along as a broadcast-style
+    * reference object in the generated class (`addReferenceObj`), so the
+    * per-row cost is one array scan inside codegen — no UDF
+    * serialization fence. `flat` is row-major `k × dim` floats.
+    */
+  case class NearestCentroid(child: Expression, flat: Array[Float], dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.nearestCentroid(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], flat, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", flat, "float[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.nearestCentroid($c, $ref, $dim)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+      copy(child = newChild)
+  }
+
+  /** IVF probe list: the `nProbe` nearest centroid ids per query vector
+    * (descending similarity). Same reference-object pattern as
+    * [[NearestCentroid]].
+    */
+  case class TopCells(child: Expression, flat: Array[Float], dim: Int, nProbe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "top_cells"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.topCells(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], flat, dim, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", flat, "float[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.topCells($c, $ref, $dim, $nProbe)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): TopCells =
+      copy(child = newChild)
+  }
+
   case class HyperplaneSig(child: Expression, bits: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -109,6 +161,11 @@ object Exprs {
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))
+  def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))
+  def nearestCentroid(c: Column, flat: Array[Float], dim: Int): Column =
+    col(NearestCentroid(ex(c), flat, dim))
+  def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =
+    col(TopCells(ex(c), flat, dim, nProbe))
 
   /** Register SQL names for the kernels on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -169,6 +169,110 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
   }
 
+  /** First `n` lowercase whitespace tokens joined by single spaces —
+    * the normalized prefix key for prefix dedup. Single pass, one
+    * output allocation; replaces an interpreted `split → slice →
+    * concat_ws` Column chain. Same tokenizer as [[minhash]] (empty
+    * tokens are skipped, so leading/trailing whitespace is irrelevant);
+    * fewer than `n` tokens → all of them; no tokens → "".
+    */
+  def prefixTokens(text: UTF8String, n: Int): UTF8String = {
+    val s = text.toString.toLowerCase
+    val sb = new java.lang.StringBuilder(math.min(s.length, n * 12))
+    var i = 0
+    var tok = 0
+    val len = s.length
+    while (i < len && tok < n) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (tok > 0) sb.append(' ')
+        sb.append(s, start, i)
+        tok += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Index of the centroid (rows of the flattened `cents` array, `dim`
+    * floats each) with the highest dot product against the normalized
+    * input vector. Mirrors the spherical k-means assignment in
+    * `Ivf.trainCentroids` exactly, including its float normalization
+    * (norm 0 → vector used as-is) — ties break to the lowest index.
+    */
+  def nearestCentroid(v: ArrayData, cents: Array[Float], dim: Int): Int = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val nf = math.sqrt(ss).toFloat
+    val k = cents.length / dim
+    var best = 0
+    var bestD = Double.MinValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, dim)
+      while (j < m) {
+        val x = if (nf == 0f) v.getFloat(j) else v.getFloat(j) / nf
+        d += x.toDouble * cents(off + j)
+        j += 1
+      }
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` centroid indices nearest (by dot with the normalized
+    * input) to the vector, descending similarity, ties to the lower
+    * index — the IVF probe list. Selection is O(k · nProbe) on a
+    * per-cell dot array; no sort, no boxing.
+    */
+  def topCells(v: ArrayData, cents: Array[Float], dim: Int, nProbe: Int): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val nf = math.sqrt(ss).toFloat
+    val k = cents.length / dim
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, dim)
+      while (j < m) {
+        val x = if (nf == 0f) v.getFloat(j) else v.getFloat(j) / nf
+        d += x.toDouble * cents(off + j)
+        j += 1
+      }
+      dots(c) = d
+      c += 1
+    }
+    val p = math.min(nProbe, k)
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < p) {
+      var best = -1
+      var bestD = 0.0
+      c = 0
+      while (c < k) {
+        if (!taken(c) && (best == -1 || dots(c) > bestD)) { bestD = dots(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity of two float-array embeddings, accumulated in
     * double. Returns 0.0 when either norm is 0.
     */

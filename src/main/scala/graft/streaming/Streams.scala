@@ -12,9 +12,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * — which the tests exploit by checking stream output == batch output
   * on the same rows.
   *
-  * Scale notes: both operators are keyed aggregations — the stream
-  * shuffles once on the grouping key; watermarks bound state. The
-  * sessionizer keeps one small state object per user, not per event.
+  * Scale notes: all operators are keyed aggregations — the stream
+  * shuffles once on the grouping key. Watermarks bound the state of
+  * the window and dedup operators; the sessionizer keeps one small
+  * state object per user (not per event) and is bounded by the user
+  * population, not a watermark — see its scaladoc.
   */
 object Streams {
 
@@ -48,6 +50,21 @@ object Streams {
     * `gapSeconds` inactivity threshold. State is one small
     * (count, lastTs, nEvents) record per user — never per event — and
     * each micro-batch emits the user's running totals (Update mode).
+    *
+    * State-boundedness: the state is O(distinct users), NOT bounded by
+    * a watermark — `NoTimeout` is deliberate because evicting a user's
+    * state would reset their running totals (the operator's contract).
+    * To bound state on an unbounded user population, key on
+    * (user, coarse time bucket) so old buckets go cold, or switch to
+    * `EventTimeTimeout` + final-emission semantics.
+    *
+    * Late arrivals: a cross-batch late event (ts before the user's
+    * `lastTs`) joins the current session and never moves `lastTs`
+    * backwards, so it cannot fabricate a session break for the next
+    * on-time event. Within ±gap of the true order this matches the
+    * batch answer; an event later than that would have opened its own
+    * session in batch — a documented divergence of running-total
+    * streaming semantics.
     */
   def sessionize(events: Dataset[EventIn], gapSeconds: Long): Dataset[SessionOut] = {
     events
@@ -63,7 +80,7 @@ object Streams {
           sorted.foreach { e =>
             val t = e.ts.getTime
             if (last == Long.MinValue || t - last > gapSeconds * 1000) count += 1
-            last = t
+            last = math.max(last, t) // late events never rewind the clock
             nEvents += 1
           }
           state.update(SessionState(count, last, nEvents))

@@ -39,6 +39,15 @@ class PlanShapeSpec extends SparkSpec {
         s"window must partition by _pid: $l"))
   }
 
+  test("q14: the range-sorted frame is cached, not computed twice") {
+    // offsets agg and final join both consume the sorted+windowed frame;
+    // without the persist Spark re-runs the full range exchange + sort
+    // for each (the round-2 2.9x regression)
+    val p = plan("q14_row_number")
+    assert(p.contains("InMemoryTableScan"),
+      "both consumers of the sorted frame must read the persisted copy")
+  }
+
   test("q38: top-k aggregates partially BEFORE the exchange (bounded shuffle)") {
     val p = plan("q38_ann_topk")
     val lines = p.linesIterator.toSeq
@@ -56,6 +65,12 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
     assert(exchanges === 1, s"expected exactly one exchange, plan:\n$p")
     assert(p.contains("REPARTITION_BY_COL"))
+  }
+
+  test("q59: IVF assign/probe are codegen kernels, not Scala UDFs") {
+    val p = plan("q59_ivf_topk")
+    assert(!p.contains("ScalaUDF"), "centroid assign/probe must be Expressions")
+    assert(p.contains("nearest_centroid") && p.contains("top_cells"))
   }
 
   test("q01: aggregation is partial+final with a pruned scan schema") {
