@@ -818,6 +818,29 @@ object Queries {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "exact percentiles (sort-based aggregate, linear interpolation both engines)"),
 
+    Q("q63_approx_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        // the scale path: percentile_approx's sketch state is O(accuracy),
+        // not O(distinct values) like exact `percentile`'s counts-map —
+        // the variant that survives a continuous 100-TB column. The exact
+        // aggregate here is only the tolerance reference for the oracle
+        // check (rank error ≤ n/(2·accuracy) ⇒ well inside 1% in value);
+        // its cross-engine correctness is itself established by q53.
+        .agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("_a95"),
+          expr("percentile(l_extendedprice, 0.5)").as("_e50"),
+          expr("percentile(l_extendedprice, 0.95)").as("_e95"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("_a50") - col("_e50")) / col("_e50") <= 0.01).as("p50_in_bound"),
+          (abs(col("_a95") - col("_e95")) / col("_e95") <= 0.01).as("p95_in_bound")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |TRUE AS p50_in_bound, TRUE AS p95_in_bound
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "bounded-memory approx percentile (the q53 scale path; error bound oracle-checked)"),
+
     Q("q54_rollup",
       (s, d) => customer(s, d)
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))

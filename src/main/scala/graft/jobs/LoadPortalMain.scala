@@ -28,6 +28,10 @@ object LoadPortalMain {
     val combined = job.withIdentifiers
     val spatial = SpatialExport.run(spark, combined, dataDir, s"$outDir/output")
 
+    // K2/K3 Django fixtures (index.Rmd:648-656, 680-688)
+    Fixtures.writeEovs(spark, s"$outDir/output")
+    Fixtures.writeUsers(job.users, s"$outDir/output")
+
     val dupCount = job.duplicates.count()
     val missingCount = spatial.missingSpatial.count()
     val userCount = job.users.count()

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *  6. the WESPAS cruise track (points → LINESTRING);
   *  7. empty files for everything still without spatial data (G9).
   *
-  * Output substitutes GeoJSON FeatureCollections for shapefiles
-  * (offline constraint, SURVEY §2.2 K1). `run` returns the combined
-  * frame with `has_shapefile` set exactly as the reference's mutable
-  * flags would leave it, plus the missing-spatial report.
+  * Output is the reference's shapefile bundle per identifier
+  * ([[graft.io.ShapefileWriter]], K1) plus a GeoJSON FeatureCollection
+  * mirror. `run` returns the combined frame with `has_shapefile` set
+  * exactly as the reference's mutable flags would leave it, plus the
+  * missing-spatial report.
   */
 object SpatialExport {
 
@@ -246,9 +247,21 @@ object SpatialExport {
     s"""{"type":"$t","coordinates":${render(m("coordinates"))}}"""
   }
 
+  /** Per-dataset sink: the reference's actual artifact is the shapefile
+    * bundle `{identifier}/{identifier}.shp` (index.Rmd:410-411 etc.);
+    * the GeoJSON FeatureCollection is written alongside as the
+    * open-standard mirror (both driver-side — config-scale layers).
+    */
   private def writeFeatures(outDir: String, identifier: String,
-                            feats: Seq[(String, Seq[(String, String)])]): Unit =
+                            feats: Seq[(String, Seq[(String, String)])]): Unit = {
     GeoJsonSink.writeFeatureCollection(outDir, identifier, feats)
+    val fields = feats.flatMap(_._2.map(_._1)).distinct
+    val rows = feats.map { case (w, props) =>
+      val m = props.toMap
+      (w, fields.map(f => m.get(f).orNull))
+    }
+    graft.io.ShapefileWriter.write(s"$outDir/$identifier", identifier, fields, rows)
+  }
 
   private def listShapefiles(dir: java.io.File): Seq[java.io.File] = {
     if (!dir.exists()) return Nil

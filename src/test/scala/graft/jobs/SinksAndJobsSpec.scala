@@ -31,6 +31,18 @@ class SinksAndJobsSpec extends SparkSpec {
     assert(json.contains("\"pk\":2218"))
   }
 
+  private def golden(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource(s"/goldens/$name").toURI)), "UTF-8")
+
+  test("K2: eovs.json equals the committed golden byte-for-byte") {
+    assert(Fixtures.eovsJson(spark) === golden("eovs.json"))
+  }
+
+  test("K3: users.json over the reference data equals the committed golden byte-for-byte") {
+    assert(Fixtures.usersJson(job.users) === golden("users.json"))
+  }
+
   test("E2: 1,440 backup links map to keyword rows; unmatched short_names → null") {
     import spark.implicits._
     val links = EovToKeywords.readBackup(spark, s"$dataDir/layers_layer_eovs.csv")

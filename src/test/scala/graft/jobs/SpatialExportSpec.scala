@@ -27,7 +27,28 @@ class SpatialExportSpec extends SparkSpec {
     assert(outDirs.length === 627)
     outDirs.foreach { d =>
       assert(new java.io.File(d, s"${d.getName}.geojson").exists(), s"missing file in $d")
+      // the reference's actual artifact: the shapefile bundle (K1)
+      Seq("shp", "shx", "dbf", "prj").foreach(ext =>
+        assert(new java.io.File(d, s"${d.getName}.$ext").exists(), s"missing .$ext in $d"))
     }
+  }
+
+  test("written shapefiles read back with the reader (IMMA attrs, windfarm polygons)") {
+    result.withShapefileFlag.count() // force run
+    val flagged = result.withShapefileFlag
+    val imma = flagged.filter(col("name") === "IUCN Marine Mammal Protected Areas Task Force")
+      .select(col("identifier")).collect().map(_.getString(0))
+    assert(imma.nonEmpty)
+    val (immaFields, immaFeats) = Shapefile.read(
+      Paths.get(SpatialExportSpec.lastOutDir, imma.head, s"${imma.head}.shp").toString)
+    assert(immaFeats.length === 159) // attrs preserved even without geometry
+    assert(immaFields.contains("Title"))
+    val wind = flagged.filter(col("name") === SpatialExport.windfarmName)
+      .select(col("identifier")).collect().map(_.getString(0))
+    val (_, windFeats) = Shapefile.read(
+      Paths.get(SpatialExportSpec.lastOutDir, wind.head, s"${wind.head}.shp").toString)
+    assert(windFeats.length === 3)
+    assert(windFeats.forall(f => f.geomType == "POLYGON" || f.geomType == "MULTIPOLYGON"))
   }
 
   test("missing-spatial report = 372 rows (derived from the data itself)") {

@@ -28,6 +28,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("a whole-domain interval routes through the broadcast path with bounded amplification") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val points = (0 until 300).map(i =>
+      (i.toLong, (i % 2).toLong, rng.nextDouble() * 100)).toDF("pid", "k", "v")
+    // one sentinel interval spanning ~1e9 buckets at width 0.5 plus
+    // normal-width intervals: without the cap the explode would emit
+    // ~2e9 rows from the sentinel alone
+    val intervals = (Seq((999L, 0L, -2.5e8, 2.5e8)) ++ (0 until 40).map { i =>
+      val lo = rng.nextDouble() * 90
+      (i.toLong, (i % 2).toLong, lo, lo + rng.nextDouble() * 10)
+    }).toDF("iid", "k", "lo", "hi")
+    val naive = points.join(intervals.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("v") >= col("lo") && col("v") <= col("hi"))
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = RangeJoin.bucketedRangeJoin(points, intervals, Seq("k"), "v",
+      "lo", "hi", bucketWidth = 0.5, maxBucketsPerInterval = 64)
+    // row amplification of the bucketed side stays bounded: the exploded
+    // interval count is at most |normal intervals| * cap
+    val got = capped.select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "each match exactly once")
+    assert(got.toSet === naive)
+    assert(naive.count(_._2 == 999L) === points.filter(col("k") === 0L).count())
+  }
+
   test("boundaries are inclusive on both ends and each match appears once") {
     import spark.implicits._
     val points = Seq((1L, 0L, 10.0), (2L, 0L, 20.0)).toDF("pid", "k", "v")
