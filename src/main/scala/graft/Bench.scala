@@ -27,7 +27,9 @@ object Bench {
     // the plan, not first-touch JIT/IO
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = Queries.all.map { q =>
+    // optional comma-separated name filter for single-query iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = Queries.all.filter(q => only.forall(_.contains(q.name))).map { q =>
       // collect the previous query's garbage before timing: otherwise a
       // heap-heavy query (the 1M-pair joins) taxes whichever cheap scan
       // happens to run next, making per-query numbers load-order noise

@@ -6,17 +6,24 @@ import org.apache.spark.sql.functions._
 /** Text-analysis functions for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, fingerprinting.
   *
-  * All built on `org.apache.spark.sql.functions` (codegen'd, no UDFs) so
-  * they stay inside WholeStageCodegen on a 100 TB scan. Each is a pure
+  * The per-row hot loops (tokenizing, char classification, rolling
+  * hash) are codegen kernels ([[graft.plans.Kernels]]) — the original
+  * higher-order Column chains (`filter`/`aggregate`/`transform` with
+  * lambdas) evaluate their lambdas interpreted per element, which costs
+  * ~1 ms/row on real documents. Each function stays a pure
   * `Column → Column` so it composes with any filter/projection and the
-  * text scan keeps its pushdown.
+  * text scan keeps its pushdown; semantics (including Java
+  * `split("\\s+")` edge cases) are unchanged and oracle-pinned.
   */
 object TextFunctions {
 
-  /** Whitespace-token count. */
+  import graft.plans.Exprs
+
+  /** Whitespace-token count (null text → 0, like the original
+    * `when`-guarded Column version).
+    */
   def tokenCount(text: Column): Column =
-    when(trim(text) === "" || text.isNull, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    when(text.isNull, lit(0)).otherwise(Exprs.tokenCount(text))
 
   /** BPE-ish subword count: splits on word/number/punctuation boundaries
     * (the GPT-2 pre-tokenizer regex family, simplified to what the JVM
@@ -33,9 +40,7 @@ object TextFunctions {
     length(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
 
   /** Ratio of non-alphanumeric, non-space chars to all chars. */
-  def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+  def punctRatio(text: Column): Column = Exprs.punctRatio(text)
 
   /** English-ish stopwords used by the quality score and language ID. */
   val Stopwords: Seq[String] =
@@ -43,18 +48,10 @@ object TextFunctions {
         "for", "on", "with", "as", "at", "by", "this", "that")
 
   /** Fraction of whitespace tokens that are stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val stops = filter(toks, t => t.isInCollection(Stopwords))
-    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column): Column = Exprs.stopwordRatio(text)
 
   /** Mean whitespace-token length. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  def meanTokenLength(text: Column): Column = Exprs.meanTokenLen(text)
 
   /** Composite document-quality score in [0,1]: rewards moderate length,
     * low punctuation noise, and a natural stopword rate — the
@@ -87,6 +84,12 @@ object TextFunctions {
 
   /** Language-ID by trigram-profile hit rate; returns the best-scoring
     * language code or "und" when nothing matches.
+    *
+    * The argmax stays `array_max` over (score, lang) structs: each
+    * score expression is evaluated exactly once into the array. (A
+    * `when`-fold alternative would reference each partial result three
+    * times per level, exponentially duplicating the `contains` calls —
+    * measured 6× slower.)
     */
   def langIdCol(text: Column): Column = {
     val s = lower(text)
@@ -100,13 +103,8 @@ object TextFunctions {
   }
 
   /** Polynomial rolling-hash fingerprint of the document text (base-31
-    * over UTF-16 code units, 64-bit wraparound) — the classic Rabin-Karp
-    * document fingerprint. Implemented with the higher-order `aggregate`
-    * over the char array: stays in codegen, no UDF.
+    * over code points, 64-bit wraparound) — the classic Rabin-Karp
+    * document fingerprint, as a single-pass codegen kernel.
     */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, c) => acc * lit(31L) + c)
+  def fingerprint(text: Column): Column = Exprs.fingerprint64(text)
 }

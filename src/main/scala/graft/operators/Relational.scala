@@ -79,30 +79,42 @@ object Relational {
   def globalRowNumber(df: DataFrame, outCol: String, orderCols: Column*): DataFrame =
     df.withColumn(outCol, row_number().over(Window.orderBy(orderCols: _*)))
 
-  /** Scale-safe global sequence: sort once, then compute per-partition
-    * offsets from partition sizes (two narrow passes, no single-partition
-    * window). Ordering ties broken by full sort columns; ids are
-    * 1-based and dense, matching `row_number`.
+  /** Scale-safe global sequence: ONE range exchange + in-partition sort,
+    * then `monotonically_increasing_id` decomposes into (partition id,
+    * in-partition position) with zero additional shuffle — no
+    * single-partition window, and no second hash exchange like a
+    * `Window.partitionBy(spark_partition_id())` would plan. Per-partition
+    * offsets come from a partition-count aggregation (32–200 rows at any
+    * scale) broadcast back onto the sorted frame. Ids are 1-based and
+    * dense, matching `row_number`.
     *
-    * The range-sorted frame feeds both the offsets aggregation and the
-    * final join, so it is persisted — without the cache Spark re-runs the
-    * full range-exchange + sort for each consumer, doubling the most
-    * expensive stage (the round-2 q14 regression).
+    * The sorted+numbered frame feeds both the offsets aggregation and
+    * the final join, so it is persisted — without the cache Spark
+    * re-runs the range exchange + sort for each consumer (the round-2
+    * q14 regression).
     */
   def globalRowNumberScalable(df: DataFrame, outCol: String, orderCols: Column*): DataFrame = {
     val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
-    val withPid = sorted.withColumn("_pid", spark_partition_id())
-      .withColumn("_prn", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(orderCols: _*)))
+    // monotonically_increasing_id = partitionId << 33 | row-in-partition,
+    // evaluated in the sort's own stage: row order IS sort order
+    val withPid = sorted.withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
+      .withColumn("_prn", col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("_mid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = withPid.groupBy(col("_pid")).agg(count(lit(1)).as("_psz"))
-      .withColumn("_off",
-        coalesce(sum(col("_psz")).over(
-          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("_pid"), col("_off"))
-    withPid.join(broadcast(offsets), Seq("_pid"))
-      .withColumn(outCol, (col("_off") + col("_prn")).cast("long"))
-      .drop("_pid", "_prn", "_off")
+    // per-partition counts are ≤ #partitions rows at ANY data scale —
+    // collect them and fold the running offsets on the driver (the same
+    // structure RDD.zipWithIndex uses), so the big frame needs no join,
+    // no window, no broadcast: just a literal-map lookup in a project
+    val counts = withPid.groupBy(col("_pid")).agg(count(lit(1)).as("_psz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] =
+      counts.scanLeft((-1L, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+        .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toMap
+    withPid
+      .withColumn(outCol,
+        (coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)) +
+          col("_prn")).cast("long"))
+      .drop("_pid", "_prn")
   }
 }

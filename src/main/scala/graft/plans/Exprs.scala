@@ -83,6 +83,66 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  case class TokenCount(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "token_count"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.tokenCount(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.tokenCount($c)")
+    override protected def withNewChildInternal(newChild: Expression): TokenCount =
+      copy(child = newChild)
+  }
+
+  case class MeanTokenLen(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "mean_token_len"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.meanTokenLen(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.meanTokenLen($c)")
+    override protected def withNewChildInternal(newChild: Expression): MeanTokenLen =
+      copy(child = newChild)
+  }
+
+  case class StopwordRatio(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "stopword_ratio"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.stopwordRatio(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.stopwordRatio($c)")
+    override protected def withNewChildInternal(newChild: Expression): StopwordRatio =
+      copy(child = newChild)
+  }
+
+  case class PunctRatio(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "punct_ratio"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.punctRatio(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.punctRatio($c)")
+    override protected def withNewChildInternal(newChild: Expression): PunctRatio =
+      copy(child = newChild)
+  }
+
+  case class Fingerprint64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fingerprint64"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.fingerprint64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.fingerprint64($c)")
+    override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+      copy(child = newChild)
+  }
+
   case class PrefixTokens(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -162,6 +222,11 @@ object Exprs {
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))
+  def tokenCount(c: Column): Column = col(TokenCount(ex(c)))
+  def meanTokenLen(c: Column): Column = col(MeanTokenLen(ex(c)))
+  def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))
+  def punctRatio(c: Column): Column = col(PunctRatio(ex(c)))
+  def fingerprint64(c: Column): Column = col(Fingerprint64(ex(c)))
   def nearestCentroid(c: Column, flat: Array[Float], dim: Int): Column =
     col(NearestCentroid(ex(c), flat, dim))
   def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =

@@ -169,6 +169,125 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
   }
 
+  // ------------------------------------------------------- text metrics
+  // Single-pass kernels behind graft.functions.TextFunctions. Each
+  // reproduces the exact semantics of the Column chain it replaced —
+  // including Java `split("\\s+")` edge cases (a leading whitespace run
+  // after the space-only trim yields an empty first token; an
+  // all-space string yields [""]), because the DuckDB oracles pin those.
+
+  /** Java-regex `\s` (ASCII-only, unlike Character.isWhitespace). */
+  @inline private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** (start, end) after Spark `trim` semantics: strips ' ' only. */
+  @inline private def spaceTrim(s: String): (Int, Int) = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    (a, b)
+  }
+
+  /** (nTokens, sumTokenLen, nStopwords) of `split(trim(s), "\\s+")` —
+    * one scan, no array. The leading empty token (when the trimmed
+    * string starts with non-space whitespace) counts toward nTokens;
+    * an empty trimmed string is the `[""]` case: one token, length 0.
+    * `stops` may be null to skip stopword counting; matching is done
+    * on the lowercased token when `lower` is set.
+    */
+  private def tokenScan(s: String, lower: Boolean,
+                        stops: java.util.Set[String]): (Int, Long, Int) = {
+    val (a, b) = spaceTrim(s)
+    if (a >= b) return (1, 0L, 0) // "" splits to [""]
+    var n = 0
+    var sumLen = 0L
+    var nStops = 0
+    var i = a
+    if (isRegexWs(s.charAt(a))) n += 1 // leading empty token
+    while (i < b) {
+      while (i < b && isRegexWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < b && !isRegexWs(s.charAt(i))) i += 1
+      if (i > start) {
+        n += 1
+        sumLen += s.codePointCount(start, i)
+        if (stops != null) {
+          val tok = s.substring(start, i)
+          if (stops.contains(if (lower) tok.toLowerCase else tok)) nStops += 1
+        }
+      }
+    }
+    (n, sumLen, nStops)
+  }
+
+  /** Whitespace-token count with the empty-string guard (`trim == ""`
+    * → 0, matching the `when` in the Column version).
+    */
+  def tokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    val (a, b) = spaceTrim(s)
+    if (a >= b) 0 else tokenScan(s, lower = false, null)._1
+  }
+
+  /** Mean whitespace-token length (code points), `sum / max(n, 1)`. */
+  def meanTokenLen(text: UTF8String): Double = {
+    val (n, sum, _) = tokenScan(text.toString, lower = false, null)
+    sum.toDouble / math.max(n, 1)
+  }
+
+  private lazy val stopSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.functions.TextFunctions.Stopwords.foreach(s.add)
+    s
+  }
+
+  /** Fraction of whitespace tokens of the lowercased text that are
+    * stopwords.
+    */
+  def stopwordRatio(text: UTF8String): Double = {
+    val (n, _, stops) = tokenScan(text.toString.toLowerCase, lower = false, stopSet)
+    stops.toDouble / math.max(n, 1)
+  }
+
+  /** Ratio of non-alphanumeric, non-`\s` code points to all code
+    * points.
+    */
+  def punctRatio(text: UTF8String): Double = {
+    val s = text.toString
+    var punct = 0
+    var total = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      total += 1
+      if (cp < 128) {
+        val c = cp.toChar
+        val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')
+        if (!alnum && !isRegexWs(c)) punct += 1
+      } else punct += 1 // non-ASCII: not [A-Za-z0-9\s], counts as punct
+      i += Character.charCount(cp)
+    }
+    punct.toDouble / math.max(total, 1)
+  }
+
+  /** Base-31 rolling hash over code points, 64-bit wraparound — the
+    * Rabin-Karp document fingerprint (matches `aggregate` over
+    * `split(text, "")` with `ascii`).
+    */
+  def fingerprint64(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = h * 31L + cp
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** First `n` lowercase whitespace tokens joined by single spaces —
     * the normalized prefix key for prefix dedup. Single pass, one
     * output allocation; replaces an interpreted `split → slice →

@@ -25,18 +25,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q14: global row_number has NO single-partition window") {
+  test("q14: global row_number has NO window operator at all") {
+    // the scalable variant derives (partition, position) from
+    // monotonically_increasing_id and folds offsets on the driver —
+    // no single-partition window, no window exchange, no join
     val p = plan("q14_row_number")
-    // the scalable variant windows per spark_partition_id, so every
-    // Window operator must carry a partitionBy spec
-    val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(windowSpecs.nonEmpty)
-    // a no-partition window renders as windowspecdefinition(ORDER BY...)
-    // with an empty partition list — reject the known warning shape
+    assert(!p.contains("windowspecdefinition"), "q14 must not plan a Window")
     assert(!p.contains("No Partition Defined"))
-    windowSpecs.foreach(l =>
-      assert(l.contains("_pid") || l.contains("windowspecdefinition(_w"),
-        s"window must partition by _pid: $l"))
   }
 
   test("q14: the range-sorted frame is cached, not computed twice") {
