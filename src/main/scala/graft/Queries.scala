@@ -531,6 +531,45 @@ object Queries {
              |FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12""".stripMargin),
       "exact n-gram Jaccard pairs via inverted shingle index"),
 
+    Q("q64_dup_clusters",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+            shingleK = 3, minJaccard = 0.12)
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b")
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("cluster_id")),
+      // near-dup pairs (the q36 computation) closed transitively with a
+      // recursive CTE: cluster_id = min reachable doc id
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
+             |  FROM toks WHERE len(tk) > 0
+             |), pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         len(list_intersect(a.ss, b.ss)) AS c,
+             |         len(a.ss) AS na, len(b.ss) AS nb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM pr WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12
+             |), e AS (
+             |  SELECT id_a AS s, id_b AS d FROM pairs
+             |  UNION
+             |  SELECT id_b, id_a FROM pairs
+             |), reach AS (
+             |  SELECT s AS id, s AS r FROM e
+             |  UNION
+             |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+             |)
+             |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY id""".stripMargin),
+      "near-dup pairs → canonical clusters (distributed connected components)"),
+
     Q("q37_embed_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
           minCosine = 0.85)

@@ -200,6 +200,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the cluster
+    * step that turns near-dup PAIRS (from [[minhashCandidatePairs]],
+    * [[simhashPairs]], [[ngramJaccardPairs]], …) into canonical dedup
+    * groups: every vertex gets `component` = the minimum vertex id
+    * reachable from it, so "keep one doc per component" is a single
+    * `filter(id === component)` or `groupBy(component)` away.
+    *
+    * Algorithm: min-label propagation. Each round joins the
+    * bidirectional edge list against current labels and takes the
+    * per-vertex min of (own label, neighbours' labels) — one skinny
+    * (id, label) shuffle per round, converging in O(component diameter)
+    * rounds. Near-dup graphs are short chains and cliques (diameter
+    * ≤ ~5), so this beats the O(log n)-round alternating-star scheme's
+    * constant factor; `maxIter` bounds pathological chains, and labels
+    * are monotone non-increasing so `sum(label)` is an exact, join-free
+    * convergence certificate. Each round `localCheckpoint`s (eager) to
+    * truncate lineage — without it round k replays all k−1 prior
+    * shuffles.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    val bi = e.unionByName(e.select(col("_d").as("_s"), col("_s").as("_d")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = bi.select(col("_s").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    def sumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
+    var lastSum = sumOf(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = bi.join(labels, bi("_d") === labels("id"))
+        .select(col("_s").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val s = sumOf(next)
+      converged = s == lastSum
+      lastSum = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs: hyperplane-LSH bucket join on a
     * 64-bit sign signature split into 4 × 16-bit bands (65,536 bucket
     * values per band — NOT the 16-value bands a 16-bit signature would

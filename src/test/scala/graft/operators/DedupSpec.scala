@@ -143,6 +143,44 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.2, s"est $est vs exact $exact")
   }
 
+  test("connectedComponents: chains, triangles, and isolated pairs get min-id labels") {
+    import spark.implicits._
+    // components: {1,2,3,4} chain, {10,11,12} triangle, {20,21} pair
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents matches a driver union-find on a random graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 300).map(_ => (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(120)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // min vertex in the component = root after path-min union
+        var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
+      }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("connectedComponents on an empty edge list is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() === 0L)
+  }
+
   test("HashFunctions.jaccard matches the scala brute force") {
     val df = docsDf(Seq(base, base + " tonight"))
     val j = df.as("a").crossJoin(df.as("b"))
