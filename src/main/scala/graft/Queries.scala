@@ -636,6 +636,26 @@ object Queries {
              |FROM documents""".stripMargin),
       "token counting (whitespace), char/token stats"),
 
+    Q("q65_subword_count",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"),
+        round(length(col("text")).cast("double") /
+          greatest(TextFunctions.subwordCount(col("text")), lit(1)).cast("double"), 4)
+          .as("chars_per_subword")),
+      // the closed form of the boundary-regex split: alnum runs + every
+      // non-space punctuation char (DuckDB RE2 has no lookarounds, so
+      // the oracle counts both classes directly)
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+             |     len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
+             |round(CAST(length(text) AS DOUBLE) /
+             |  greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+             |           len(regexp_extract_all(text, '[^A-Za-z0-9 ]')), 1), 4)
+             |  AS chars_per_subword
+             |FROM documents""".stripMargin),
+      "BPE-ish subword counting (tokenizer-load proxy, single-pass kernel)"),
+
     Q("q40_text_quality",
       (s, d) => documents(s, d).select(
         col("doc_id"),

@@ -26,14 +26,12 @@ object TextFunctions {
     when(text.isNull, lit(0)).otherwise(Exprs.tokenCount(text))
 
   /** BPE-ish subword count: splits on word/number/punctuation boundaries
-    * (the GPT-2 pre-tokenizer regex family, simplified to what the JVM
-    * regex engine supports) — a cheap, deterministic proxy for tokenizer
-    * load estimation.
+    * (the GPT-2 pre-tokenizer regex family, simplified) — a cheap,
+    * deterministic proxy for tokenizer load estimation. Single-pass
+    * kernel computing the closed form: alphanumeric runs + non-space
+    * punctuation code points.
     */
-  def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => trim(t) =!= ""))
+  def subwordCount(text: Column): Column = Exprs.subwordCount(text)
 
   /** Characters per token — a crude fertility measure. */
   def charsPerToken(text: Column): Column =

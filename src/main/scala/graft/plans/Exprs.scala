@@ -131,6 +131,18 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class SubwordCount(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "subword_count"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.subwordCount(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.subwordCount($c)")
+    override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+      copy(child = newChild)
+  }
+
   case class Fingerprint64(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -227,6 +239,7 @@ object Exprs {
   def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))
   def punctRatio(c: Column): Column = col(PunctRatio(ex(c)))
   def fingerprint64(c: Column): Column = col(Fingerprint64(ex(c)))
+  def subwordCount(c: Column): Column = col(SubwordCount(ex(c)))
   def nearestCentroid(c: Column, flat: Array[Float], dim: Int): Column =
     col(NearestCentroid(ex(c), flat, dim))
   def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =

@@ -190,11 +190,12 @@ object Kernels {
   }
 
   /** (nTokens, sumTokenLen, nStopwords) of `split(trim(s), "\\s+")` —
-    * one scan, no array. The leading empty token (when the trimmed
-    * string starts with non-space whitespace) counts toward nTokens;
-    * an empty trimmed string is the `[""]` case: one token, length 0.
-    * `stops` may be null to skip stopword counting; matching is done
-    * on the lowercased token when `lower` is set.
+    * one scan, no array. Spark's `split` runs with limit −1, so BOTH a
+    * leading and a trailing whitespace run (after the space-only trim)
+    * contribute an empty token; an empty trimmed string is the `[""]`
+    * case: one token, length 0. `stops` may be null to skip stopword
+    * counting; matching is done on the lowercased token when `lower`
+    * is set.
     */
   private def tokenScan(s: String, lower: Boolean,
                         stops: java.util.Set[String]): (Int, Long, Int) = {
@@ -205,6 +206,7 @@ object Kernels {
     var nStops = 0
     var i = a
     if (isRegexWs(s.charAt(a))) n += 1 // leading empty token
+    if (isRegexWs(s.charAt(b - 1))) n += 1 // trailing empty token (limit -1)
     while (i < b) {
       while (i < b && isRegexWs(s.charAt(i))) i += 1
       val start = i
@@ -270,6 +272,35 @@ object Kernels {
       i += Character.charCount(cp)
     }
     punct.toDouble / math.max(total, 1)
+  }
+
+  /** BPE-ish subword count: maximal `[A-Za-z0-9]+` runs plus every
+    * non-alphanumeric code point except the plain space — the closed
+    * form of `split` on the GPT-2-style boundary regex
+    * `(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])` followed by the space-trim
+    * filter (non-space whitespace like `\t` stays a token there, so it
+    * counts here too).
+    */
+  def subwordCount(text: UTF8String): Int = {
+    val s = text.toString
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val alnum = cp < 128 && {
+        val c = cp.toChar
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) {
+        if (!inRun) { count += 1; inRun = true }
+      } else {
+        inRun = false
+        if (cp != ' ') count += 1
+      }
+      i += Character.charCount(cp)
+    }
+    count
   }
 
   /** Base-31 rolling hash over code points, 64-bit wraparound — the

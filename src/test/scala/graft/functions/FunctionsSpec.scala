@@ -227,4 +227,49 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getLong(2) !== Seq("different").toDF("t")
       .select(TextFunctions.fingerprint(col("t"))).head().getLong(0))
   }
+
+  test("text kernels match the original higher-order Column chains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial inputs for the split("\\s+") edge cases the kernels
+    // must reproduce: leading/trailing spaces, non-space whitespace,
+    // punctuation runs, empties
+    val samples = Seq(
+      "the quick brown fox", "  padded  with   spaces  ", "",
+      " ", "\tleading tab", "tab\there", "line\nbreak two",
+      "punct!!! heavy, (text); 50% off...", "123 456-789",
+      "a", "a b", "the of and", "UPPER lower MiXeD",
+      "trailing newline\n", "\n", "- - -", "a,b,c")
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val legacy = df.select(col("id"),
+      when(trim(col("text")) === "" || col("text").isNull, lit(0))
+        .otherwise(size(split(trim(col("text")), "\\s+"))).as("tc"),
+      size(filter(split(col("text"), "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        t => trim(t) =!= "")).as("sw"),
+      (size(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t.isInCollection(TextFunctions.Stopwords))).cast("double") /
+        greatest(size(split(lower(trim(col("text"))), "\\s+")), lit(1)).cast("double")).as("sr"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / greatest(length(col("text")), lit(1)).cast("double")).as("pr"),
+      (aggregate(split(trim(col("text")), "\\s+"), lit(0L), (acc, t) => acc + length(t))
+        .cast("double") /
+        greatest(size(split(trim(col("text")), "\\s+")), lit(1)).cast("double")).as("mtl"),
+      aggregate(transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+        lit(0L), (acc, c) => acc * lit(31L) + c).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val kernels = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      TextFunctions.subwordCount(col("text")).as("sw"),
+      TextFunctions.stopwordRatio(col("text")).as("sr"),
+      TextFunctions.punctRatio(col("text")).as("pr"),
+      TextFunctions.meanTokenLength(col("text")).as("mtl"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    samples.indices.foreach { i =>
+      assert(kernels(i.toLong) === legacy(i.toLong),
+        s"mismatch on ${samples(i).replace("\n", "\\n").replace("\t", "\\t")}")
+    }
+  }
 }
