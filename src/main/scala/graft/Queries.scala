@@ -850,6 +850,31 @@ object Queries {
             // bound); its error bound is unit-tested in SketchesSpec
       "KMV distinct-count sketch (mergeable k-minimum-values Aggregator)"),
 
+    Q("q66_hll_distinct",
+      (s, d) => {
+        // HLL (approx_count_distinct) is the built-in mergeable sketch
+        // beside the KMV Aggregator (q62); like q63, the oracle checks
+        // the error bound cross-engine rather than the estimate itself
+        // (each engine's sketch differs). Separate aggregations joined
+        // on the group key — same q62 rationale: countDistinct in the
+        // same agg() would partial-aggregate the sketch per distinct
+        // value.
+        val o = orders(s, d)
+        val est = o.groupBy(col("o_orderpriority"))
+          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("_est"))
+        val exact = o.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).cast("long").as("_exact"))
+        est.join(exact, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("_exact").as("exact_custs"),
+            (abs(col("_est") - col("_exact")).cast("double") / col("_exact") <= 0.06)
+              .as("within_bound"))
+      },
+      Some("""SELECT o_orderpriority,
+             |CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+             |TRUE AS within_bound
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      "HLL distinct sketch (approx_count_distinct; rsd bound oracle-checked vs exact)"),
+
     Q("q58_range_join",
       (s, d) => {
         // customers matched to same-nation suppliers whose

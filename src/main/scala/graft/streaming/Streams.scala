@@ -41,6 +41,30 @@ object Streams {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keyCol, tsCol)
 
+  /** Stream-stream inner equi-join with an event-time interval: each
+    * left row pairs with right rows of the same key whose timestamp is
+    * within `[leftTs - lowerSec, leftTs + upperSec]`. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so Spark can size the join state to the interval + the
+    * watermark horizon and evict — the required shape for an unbounded
+    * stream-stream join (an unconstrained one grows state forever).
+    * One shuffle per side on the key. Runs identically on batch frames.
+    *
+    * Non-key column names must be disjoint across the two sides.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerSec: Long, upperSec: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(key, "_rkey")
+    l.join(r,
+        col(key) === col("_rkey") &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lowerSec SECONDS") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECONDS"))
+      .drop("_rkey")
+  }
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionState(sessionCount: Long, lastTs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long)

@@ -71,6 +71,40 @@ class StreamsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("intervalJoin: stream-stream join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val views = (0 until 120).map(i =>
+      ((i % 5).toLong, new java.sql.Timestamp(t0 + i * 60000L), i.toLong))
+    val buys = (0 until 40).map(i =>
+      ((i % 5).toLong, new java.sql.Timestamp(t0 + i * 170000L + 30000L), (1000 + i).toLong))
+    val vStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val bStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = intervalJoin(
+      vStream.toDF().toDF("user_id", "vts", "view_id"),
+      bStream.toDF().toDF("user_id", "bts", "buy_id"),
+      "user_id", "vts", "bts", lowerSec = 0, upperSec = 120)
+    val out = joined.select(col("view_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    vStream.addData(views.take(60)); bStream.addData(buys.take(20))
+    out.processAllAvailable()
+    vStream.addData(views.drop(60)); bStream.addData(buys.drop(20))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = intervalJoin(
+        views.toDF("user_id", "vts", "view_id"),
+        buys.toDF("user_id", "bts", "buy_id"),
+        "user_id", "vts", "bts", lowerSec = 0, upperSec = 120)
+      .select(col("view_id"), col("buy_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize: stateful stream totals equal the batch lag-based sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
