@@ -875,6 +875,31 @@ object Queries {
              |FROM orders GROUP BY o_orderpriority""".stripMargin),
       "HLL distinct sketch (approx_count_distinct; rsd bound oracle-checked vs exact)"),
 
+    Q("q67_stratified_sample",
+      (s, d) => {
+        // deterministic per-stratum downsampling (corpus curation);
+        // like q63/q66 the oracle bound-checks the realized rates
+        // against the exact stratum counts — the sample itself is
+        // hash-deterministic, so the realized deviation is a fixed
+        // property of the data, pinned here within ±0.03
+        val o = orders(s, d)
+        val sampled = Sampling.stratifiedHashSample(o, col("o_orderkey"),
+          col("o_orderpriority"), Map("1-URGENT" -> 0.1, "5-LOW" -> 0.5),
+          default = 0.25)
+        val totals = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("_n"))
+        val kept = sampled.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("_k"))
+        val target = when(col("o_orderpriority") === "1-URGENT", 0.1)
+          .when(col("o_orderpriority") === "5-LOW", 0.5)
+          .otherwise(0.25)
+        totals.join(kept, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("_n").as("n_total"),
+            (abs(col("_k").cast("double") / col("_n") - target) <= 0.03)
+              .as("rate_in_bound"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_total, TRUE AS rate_in_bound
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      "deterministic stratified hash-sampling (corpus curation; rates bound-checked)"),
+
     Q("q58_range_join",
       (s, d) => {
         // customers matched to same-nation suppliers whose

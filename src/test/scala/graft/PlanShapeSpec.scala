@@ -68,6 +68,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("nearest_centroid") && p.contains("top_cells"))
   }
 
+  test("q66: HLL sketch partial-aggregates below the exchange") {
+    val p = plan("q66_hll_distinct")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(_.contains("partial_approx_count_distinct"))
+    val exchangeIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(o_orderpriority"))
+    assert(partialIdx >= 0, "partial HLL aggregation must exist")
+    assert(exchangeIdx >= 0)
+    assert(partialIdx > exchangeIdx,
+      "partial sketch must be below (run before) the exchange")
+  }
+
+  test("q67: hash sampling is a narrow filter ahead of the aggregation") {
+    val p = plan("q67_stratified_sample")
+    assert(p.contains("xxhash64"), "sampling filter must be in the plan")
+    assert(p.contains("partial_count"))
+  }
+
   test("q01: aggregation is partial+final with a pruned scan schema") {
     val p = plan("q01_agg_pricing")
     assert(p.contains("partial_sum"))

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val ids = {
+    import spark.implicits._
+    (0L until 20000L).map(i => (i, (i % 4) match {
+      case 0 => "web"; case 1 => "books"; case 2 => "code"; case _ => "wiki"
+    })).toDF("id", "source")
+  }
+
+  test("hashSample is deterministic, partitioning-invariant, and near the target rate") {
+    val a = Sampling.hashSample(ids, col("id"), 0.3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids.repartition(17), col("id"), 0.3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(a === b, "same rows selected regardless of partitioning")
+    val rate = a.size.toDouble / 20000
+    assert(math.abs(rate - 0.3) < 0.02, s"rate $rate")
+  }
+
+  test("hashSample is monotone in fraction (nested samples)") {
+    val small = Sampling.hashSample(ids, col("id"), 0.1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(ids, col("id"), 0.4)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "growing the fraction only adds rows")
+  }
+
+  test("stratifiedHashSample applies per-stratum rates with a default") {
+    val out = Sampling.stratifiedHashSample(ids, col("id"), col("source"),
+        Map("web" -> 0.1, "code" -> 0.8), default = 0.5)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perStratum = 5000.0
+    assert(math.abs(out("web") / perStratum - 0.1) < 0.03)
+    assert(math.abs(out("code") / perStratum - 0.8) < 0.03)
+    assert(math.abs(out("books") / perStratum - 0.5) < 0.03)
+    assert(math.abs(out("wiki") / perStratum - 0.5) < 0.03)
+  }
+
+  test("weightedMix unions per-source samples by name, filling missing columns") {
+    import spark.implicits._
+    val webDocs = (0L until 1000L).map(i => (i, s"w$i", "en")).toDF("id", "text", "lang")
+    val codeDocs = (0L until 1000L).map(i => (i + 10000L, s"c$i")).toDF("id", "text")
+    val mixed = Sampling.weightedMix(Seq(
+      (webDocs, col("id"), 0.5), (codeDocs, col("id"), 0.2)))
+    assert(mixed.columns.toSeq === Seq("id", "text", "lang"))
+    val n = mixed.count()
+    assert(math.abs(n - (500 + 200)) < 80, s"mixed $n")
+    assert(mixed.filter(col("id") >= 10000L && col("lang").isNotNull).count() === 0)
+  }
+
+  test("hashSample plan is a pushdown-compatible narrow filter (no shuffle)") {
+    val plan = Sampling.hashSample(ids, col("id"), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
