@@ -186,6 +186,10 @@ object ShapefileWriter {
     }
     val headerSize = 32 + 32 * fields.length + 1
     val recSize = 1 + lens.sum
+    // both are unsigned 16-bit in the DBF header; silently wrapping
+    // would corrupt every record offset
+    require(headerSize <= 0xFFFF, s"too many DBF fields (${fields.length})")
+    require(recSize <= 0xFFFF, s"DBF record too wide ($recSize bytes)")
     val b = ByteBuffer.allocate(headerSize + recSize * rows.length + 1)
       .order(ByteOrder.LITTLE_ENDIAN)
     b.put(0x03.toByte)

@@ -251,5 +251,11 @@ object Exprs {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("token_count", es => TokenCount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("subword_count", es => SubwordCount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("mean_token_len", es => MeanTokenLen(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("stopword_ratio", es => StopwordRatio(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("punct_ratio", es => PunctRatio(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
   }
 }

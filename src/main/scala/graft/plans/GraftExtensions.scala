@@ -44,6 +44,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Exprs.ShingleHashes(es.head, intArg(es(1), "k")))
     register("hyperplane_sig", "hyperplane_sig(vec, bits) - sign-LSH signature of a float array", 2,
       es => Exprs.HyperplaneSig(es.head, intArg(es(1), "bits")))
+    register("token_count", "token_count(text) - whitespace-token count", 1,
+      es => Exprs.TokenCount(es.head))
+    register("subword_count", "subword_count(text) - BPE-ish subword count", 1,
+      es => Exprs.SubwordCount(es.head))
+    register("mean_token_len", "mean_token_len(text) - mean whitespace-token length", 1,
+      es => Exprs.MeanTokenLen(es.head))
+    register("stopword_ratio", "stopword_ratio(text) - stopword fraction of tokens", 1,
+      es => Exprs.StopwordRatio(es.head))
+    register("punct_ratio", "punct_ratio(text) - punctuation fraction of characters", 1,
+      es => Exprs.PunctRatio(es.head))
+    register("fingerprint64", "fingerprint64(text) - base-31 rolling-hash fingerprint", 1,
+      es => Exprs.Fingerprint64(es.head))
+    register("prefix_tokens", "prefix_tokens(text, n) - first n lowercase tokens joined by spaces", 2,
+      es => Exprs.PrefixTokens(es.head, intArg(es(1), "n")))
   }
 
   private def intArg(e: Expression, name: String): Int = e match {

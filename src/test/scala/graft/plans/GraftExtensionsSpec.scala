@@ -54,6 +54,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(5) === (r.getLong(5) & 0xFFFFL), "16-bit signature range")
   }
 
+  test("text-metric kernels are callable from SQL") {
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT token_count('the quick fox!') AS tc,
+        |       subword_count('the quick fox!') AS sw,
+        |       round(stopword_ratio('the quick fox'), 4) AS sr,
+        |       round(punct_ratio('ab, cd!'), 4) AS pr,
+        |       round(mean_token_len('ab abcd'), 4) AS mtl,
+        |       fingerprint64('ab') AS fp,
+        |       prefix_tokens('The Quick  Brown fox', 3) AS pt""".stripMargin).head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 4) // the, quick, fox, '!'
+    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-4)
+    assert(math.abs(r.getDouble(3) - 2.0 / 7) < 1e-4)
+    assert(math.abs(r.getDouble(4) - 3.0) < 1e-9)
+    assert(r.getLong(5) === 'a'.toLong * 31 + 'b'.toLong)
+    assert(r.getString(6) === "the quick brown")
+  }
+
   test("non-literal arity/params are rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig('x', 3)").collect()
