@@ -23,6 +23,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("l2_10") === null) // key 2's only right row is later
   }
 
+  test("asofBackward tiebreaker: max-tiebreaker right row wins exact (key, ts) ties") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l")).toDF("k", "ts", "lv")
+    // three right rows at the SAME (key, ts): seq 3 must be carried
+    val right = Seq(
+      (1L, 10L, 1L, "first"), (1L, 10L, 3L, "latest"), (1L, 10L, 2L, "middle"))
+      .toDF("k", "rts", "seq", "rv")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"), rightTieBreaker = Some("seq"))
+    assert(out.select(col("rv")).head().getString(0) === "latest")
+    // and the choice is stable across partitionings
+    val out2 = AsofJoin.asofBackward(left, right.repartition(7), Seq("k"), "ts", "rts",
+      Seq("rv"), rightTieBreaker = Some("seq"))
+    assert(out2.select(col("rv")).head().getString(0) === "latest")
+  }
+
   test("asofBackward carries multiple payload columns and preserves left schema") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "ts")
