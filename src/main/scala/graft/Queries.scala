@@ -875,6 +875,34 @@ object Queries {
              |FROM orders GROUP BY o_orderpriority""".stripMargin),
       "HLL distinct sketch (approx_count_distinct; rsd bound oracle-checked vs exact)"),
 
+    Q("q68_resample_ffill",
+      (s, d) => {
+        // hourly forward-filled grid per user; observations pre-averaged
+        // per (user, ts) so the as-of carry is tie-free — the oracle is
+        // DuckDB's native ASOF LEFT JOIN over generate_series
+        val e = events(s, d).groupBy(col("user_id"), col("ts"))
+          .agg(avg(col("value")).as("v"))
+        // hour-snapped origin: grid points sit on calendar hours, so
+        // the two engines' 1μs parquet-timestamp rounding difference
+        // (Spark rounds nanos, DuckDB truncates) cannot shift the grid
+        Resample.forwardFill(e, Seq("user_id"), "ts", Seq("v"),
+            snapOriginTo = Some("hour"))
+          .select(col("user_id"), col("grid_ts"), round(col("v"), 6).as("v"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, avg(value) AS v FROM events GROUP BY user_id, ts
+             |), b AS (
+             |  SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+             |  FROM e GROUP BY user_id
+             |), g AS (
+             |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+             |  FROM b
+             |)
+             |SELECT g.user_id, g.grid_ts, round(e.v, 6) AS v
+             |FROM g ASOF LEFT JOIN e
+             |  ON g.user_id = e.user_id AND e.ts <= g.grid_ts""".stripMargin),
+      "time-series resample + forward fill (grid explode ∘ as-of join)"),
+
     Q("q67_stratified_sample",
       (s, d) => {
         // deterministic per-stratum downsampling (corpus curation);
