@@ -160,7 +160,12 @@ object Dedup {
                         shingleK: Int = 3, minJaccard: Double = 0.8,
                         maxShingleDf: Long = 1000000L): DataFrame = {
     // sorted distinct shingle hashes via the single-pass codegen kernel
-    // (the Column-composition equivalent costs ~1 ms/row interpreted)
+    // (the Column-composition equivalent costs ~1 ms/row interpreted).
+    // The projection feeds three DAG branches (inverted index + both
+    // verify joins) but is deliberately NOT persisted here: measured at
+    // bench scale the cache build + reads cost more than re-running the
+    // scan-bound kernel; at cluster scale persist the input `df` (or
+    // this projection) before calling — see the scaladoc above.
     val docs = df.select(col(idCol).as("id"),
         Exprs.shingleHashes(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
