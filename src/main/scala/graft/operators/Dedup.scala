@@ -230,8 +230,11 @@ object Dedup {
     val bi = e.unionByName(e.select(col("_d").as("_s"), col("_s").as("_d")))
       .distinct()
       .localCheckpoint(true)
-    var labels = bi.select(col("_s").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // init fuses the first propagation round for free: label(v) =
+    // min(v, neighbours(v)) straight off the edge list — one
+    // aggregation instead of a distinct + a full join round
+    var labels = bi.groupBy(col("_s").as("id"))
+      .agg(min(least(col("_s"), col("_d"))).as("component"))
       .localCheckpoint(true)
     def sumOf(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
