@@ -656,6 +656,35 @@ object Queries {
              |FROM documents""".stripMargin),
       "BPE-ish subword counting (tokenizer-load proxy, single-pass kernel)"),
 
+    Q("q69_tfidf_topterms",
+      (s, d) => TfIdf.topTerms(documents(s, d), "doc_id", "text", k = 3)
+        .withColumn("tf", col("tf").cast("long"))
+        .withColumn("rank", col("rank").cast("long")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+             |), dfq AS (
+             |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+             |), n AS (
+             |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+             |), scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf,
+             |         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+             |), r AS (
+             |  SELECT *, row_number() OVER
+             |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+             |       CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 3""".stripMargin),
+      "TF-IDF top-3 characteristic terms per document"),
+
     Q("q40_text_quality",
       (s, d) => documents(s, d).select(
         col("doc_id"),

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF characteristic-term extraction — the classic corpus-analytics
+  * reduction (keyword tagging, near-dup explanation, topic seeding).
+  *
+  * Shuffle shape at 100 TB: tokenize (narrow) → term-frequency agg on
+  * (doc, term) → document-frequency agg on term (skinny: one row per
+  * distinct (doc, term)) → score join on term → per-doc top-k window.
+  * Three shuffles, each on a key whose cardinality grows with the
+  * corpus (no single-reducer stage); the doc count rides in as a
+  * broadcast literal, not a cross-join of the corpus.
+  *
+  * Ranking ties are broken on the ROUNDED score then term, so the
+  * selected set is stable across engines/platforms whose `ln` differs
+  * in the last ulp.
+  */
+object TfIdf {
+
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3, scale: Int = 6): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), scale))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+}
