@@ -570,6 +570,67 @@ object Queries {
              |FROM reach GROUP BY id""".stripMargin),
       "near-dup pairs → canonical clusters (distributed connected components)"),
 
+    Q("q70_dup_rate",
+      (s, d) => Dedup.shingleDupRate(documents(s, d), "text", "doc_id")
+        .select(col("id").cast("long").as("doc_id"),
+          round(col("dup_rate"), 6).as("dup_rate")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(tk) = 0 THEN []
+             |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) END AS ss
+             |  FROM toks
+             |), inv AS (
+             |  SELECT doc_id, unnest(ss) AS s FROM sh
+             |), dfc AS (
+             |  SELECT s, count(*) AS df FROM inv GROUP BY s
+             |), dup AS (
+             |  SELECT inv.doc_id, sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS d
+             |  FROM inv JOIN dfc ON inv.s = dfc.s GROUP BY inv.doc_id
+             |)
+             |SELECT sh.doc_id,
+             |  round(CAST(coalesce(dup.d, 0) AS DOUBLE) / greatest(len(sh.ss), 1), 6)
+             |    AS dup_rate
+             |FROM sh LEFT JOIN dup ON sh.doc_id = dup.doc_id""".stripMargin),
+      "per-doc near-dup density (share of shingles occurring elsewhere)"),
+
+    Q("q71_contamination",
+      (s, d) => {
+        val docs = documents(s, d)
+        // first 20 docs stand in for the benchmark set
+        Dedup.contaminationRate(docs.filter(col("doc_id") >= 20),
+            docs.filter(col("doc_id") < 20), "text", "doc_id")
+          .select(col("id").cast("long").as("doc_id"),
+            round(col("contamination"), 6).as("contamination"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(tk) = 0 THEN []
+             |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) END AS ss
+             |  FROM toks
+             |), bench AS (
+             |  SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id < 20
+             |), hits AS (
+             |  SELECT i.doc_id, count(*) AS h
+             |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id >= 20) i
+             |  JOIN bench ON i.s = bench.s GROUP BY i.doc_id
+             |)
+             |SELECT sh.doc_id,
+             |  round(CAST(coalesce(hits.h, 0) AS DOUBLE) / greatest(len(sh.ss), 1), 6)
+             |    AS contamination
+             |FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+             |WHERE sh.doc_id >= 20""".stripMargin),
+      "benchmark decontamination (shingle overlap with a held-out set)"),
+
     Q("q37_embed_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
           minCosine = 0.85)

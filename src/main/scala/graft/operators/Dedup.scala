@@ -205,6 +205,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-document duplication rate: the fraction of a document's
+    * distinct word-`shingleK`-grams that also occur in at least one
+    * OTHER document — the "near-dup density" curation signal (a doc of
+    * boilerplate scores ~1, fresh text ~0). One inverted-index shuffle
+    * on the 8-byte shingle hash + one per-doc aggregation; empty docs
+    * score 0.
+    */
+  def shingleDupRate(df: DataFrame, textCol: String, idCol: String,
+                     shingleK: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        Exprs.shingleHashes(col(textCol), shingleK).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val inv = docs.select(col("id"), col("n"), explode(col("hs")).as("sh"))
+    val dfc = inv.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    docs.select(col("id"), col("n"))
+      .join(
+        inv.join(dfc, "sh")
+          .groupBy(col("id"))
+          .agg(sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("_dup")),
+        Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("_dup"), lit(0L)).cast("double") /
+          greatest(col("n"), lit(1)).cast("double")).as("dup_rate"))
+  }
+
+  /** Benchmark decontamination rate: the fraction of each corpus
+    * document's distinct shingles that appear anywhere in `benchmark` —
+    * the standard train/test-overlap check before training. The
+    * benchmark's distinct shingle set is skinny (8-byte hashes) and
+    * broadcast, so the corpus never shuffles; filter on the returned
+    * rate to drop contaminated docs.
+    */
+  def contaminationRate(df: DataFrame, benchmark: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleK: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        Exprs.shingleHashes(col(textCol), shingleK).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val benchSh = benchmark
+      .select(explode(Exprs.shingleHashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val hits = docs.select(col("id"), explode(col("hs")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("_hits"))
+    docs.select(col("id"), col("n"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("_hits"), lit(0L)).cast("double") /
+          greatest(col("n"), lit(1)).cast("double")).as("contamination"))
+  }
+
   /** Connected components over an undirected edge list — the cluster
     * step that turns near-dup PAIRS (from [[minhashCandidatePairs]],
     * [[simhashPairs]], [[ngramJaccardPairs]], …) into canonical dedup

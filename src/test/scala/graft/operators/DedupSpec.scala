@@ -143,6 +143,30 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.2, s"est $est vs exact $exact")
   }
 
+  test("shingleDupRate: exact copies score 1, fresh text 0, empty docs 0") {
+    val df = docsDf(Seq(base, base, "completely different words entirely novel here", ""))
+    val rates = Dedup.shingleDupRate(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rates(0L) === 1.0 && rates(1L) === 1.0)
+    assert(rates(2L) === 0.0)
+    assert(rates(3L) === 0.0)
+  }
+
+  test("contaminationRate: benchmark copies score 1, disjoint docs 0, partial in between") {
+    import spark.implicits._
+    val bench = docsDf(Seq(base))
+    val corpus = Seq(
+      (10L, base),                                        // full overlap
+      (11L, "totally unrelated fresh content with new words"), // none
+      (12L, base + " extra trailing words here"))         // partial
+      .toDF("doc_id", "text")
+    val rates = Dedup.contaminationRate(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rates(10L) === 1.0)
+    assert(rates(11L) === 0.0)
+    assert(rates(12L) > 0.5 && rates(12L) < 1.0)
+  }
+
   test("connectedComponents: chains, triangles, and isolated pairs get min-id labels") {
     import spark.implicits._
     // components: {1,2,3,4} chain, {10,11,12} triangle, {20,21} pair
