@@ -91,7 +91,10 @@ object Relational {
     * The sorted+numbered frame feeds both the offsets aggregation and
     * the final join, so it is persisted — without the cache Spark
     * re-runs the range exchange + sort for each consumer (the round-2
-    * q14 regression).
+    * q14 regression). The cache entry lives until the session's cache
+    * manager drops it: long-lived drivers calling this repeatedly
+    * should `result.unpersist()` (cascades to this intermediate) or
+    * `spark.catalog.clearCache()` once the result is consumed.
     */
   def globalRowNumberScalable(df: DataFrame, outCol: String, orderCols: Column*): DataFrame = {
     val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
