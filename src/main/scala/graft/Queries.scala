@@ -868,6 +868,26 @@ object Queries {
              |FROM documents""".stripMargin),
       "multimodal: video frame sampling → per-frame rows (explode shape)"),
 
+    Q("q72_audio_windows",
+      (s, d) => Multimodal.audioWindows(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateAudioCol(col("doc_id")).as("content")),
+          "doc_id", "content", windowSamples = 512)
+        .groupBy(col("id").as("doc_id"))
+        .agg(first(col("sample_rate")).cast("long").as("sample_rate"),
+          count(lit(1)).as("n_windows"),
+          sum(col("n_samples")).as("total_samples")),
+      // header fields and window structure are arithmetic functions of
+      // the seed, so the oracle checks the encode → windowed-explode
+      // loop end-to-end (like q48/q49); window energies are payload-
+      // derived and covered by MultimodalSpec instead
+      Some("""SELECT doc_id,
+             |CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+             |CAST(((1000 + (doc_id * 11) % 3000) + 511) // 512 AS BIGINT) AS n_windows,
+             |CAST(1000 + (doc_id * 11) % 3000 AS BIGINT) AS total_samples
+             |FROM documents""".stripMargin),
+      "multimodal: audio binary → windowed feature rows (explode shape, stub codec)"),
+
     Q("q50_binary_embed_topk",
       (s, d) => {
         val imgs = documents(s, d).select(col("doc_id"),

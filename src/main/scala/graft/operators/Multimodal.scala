@@ -27,6 +27,7 @@ object Multimodal {
 
   val ImageMagic = 0x47494D47 // "GIMG"
   val VideoMagic = 0x47564944 // "GVID"
+  val AudioMagic = 0x47415544 // "GAUD"
 
   @inline private def mix64(x0: Long): Long = graft.plans.Kernels.mix64(x0)
 
@@ -57,10 +58,26 @@ object Multimodal {
     out.array()
   }
 
+  /** Deterministic fake audio: header carries an arithmetic-derivable
+    * sample rate and length, payload is 8-bit PCM from splitmix64.
+    * Layout: magic(4) | sampleRate(4) | nSamples(4) | payload(nSamples).
+    */
+  def fabricateAudio(seed: Long): Array[Byte] = {
+    val rate = 8000 + math.floorMod(seed, 3L).toInt * 4000
+    val n = 1000 + math.floorMod(seed * 11, 3000L).toInt
+    val out = java.nio.ByteBuffer.allocate(12 + n)
+    out.putInt(AudioMagic).putInt(rate).putInt(n)
+    var i = 0
+    while (i < n) { out.put((mix64(seed * 65536 + i) & 0xFF).toByte); i += 1 }
+    out.array()
+  }
+
   private val fabricateImageUdf = udf(fabricateImage _)
   private val fabricateVideoUdf = udf(fabricateVideo _)
+  private val fabricateAudioUdf = udf(fabricateAudio _)
   def fabricateImageCol(seed: org.apache.spark.sql.Column) = fabricateImageUdf(seed)
   def fabricateVideoCol(seed: org.apache.spark.sql.Column) = fabricateVideoUdf(seed)
+  def fabricateAudioCol(seed: org.apache.spark.sql.Column) = fabricateAudioUdf(seed)
 
   // ---------------------------------------------------------- decode
 
@@ -141,6 +158,43 @@ object Multimodal {
         }
       }
     }(Encoders.product[Frame]).toDF()
+  }
+
+  case class AudioWindow(id: Long, sample_rate: Int, window_idx: Int,
+                         n_samples: Int, energy: Double)
+
+  /** Windowed audio feature extraction: each `windowSamples`-sample
+    * window of an audio binary becomes a row (id, rate, window index,
+    * samples in window, mean-square energy) — the audio analog of
+    * [[sampleFrames]]'s explode shape, feeding an acoustic-model
+    * preprocessing pipeline. The last window may be short; energy is
+    * over the signed 8-bit samples.
+    */
+  def audioWindows(df: DataFrame, idCol: String, binCol: String,
+                   windowSamples: Int): DataFrame = {
+    require(windowSamples > 0)
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val b = java.nio.ByteBuffer.wrap(bytes)
+        require(b.getInt() == AudioMagic, s"not a fake audio: id $id")
+        val rate = b.getInt(); val n = b.getInt()
+        val nWin = (n + windowSamples - 1) / windowSamples
+        (0 until nWin).map { w =>
+          val start = w * windowSamples
+          val end = math.min(start + windowSamples, n)
+          var sum = 0.0
+          var i = start
+          while (i < end) {
+            val s = bytes(12 + i).toDouble // signed 8-bit sample
+            sum += s * s
+            i += 1
+          }
+          AudioWindow(id, rate, w, end - start, sum / (end - start))
+        }
+      }
+    }(Encoders.product[AudioWindow]).toDF()
   }
 
   /** Binary → deterministic pseudo-embedding (unit-norm Float array):

@@ -57,6 +57,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select(length(col("frame"))).distinct().head().getInt(0) === 64)
   }
 
+  test("audioWindows: windows tile the signal exactly; energy matches a direct scan") {
+    import spark.implicits._
+    val df = Seq(5L, 6L, 7L).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.fabricateAudioCol(col("doc_id")).as("content"))
+    val win = Multimodal.audioWindows(df, "doc_id", "content", windowSamples = 512)
+      .collect()
+    Seq(5L, 6L, 7L).foreach { seed =>
+      val bytes = Multimodal.fabricateAudio(seed)
+      val n = java.nio.ByteBuffer.wrap(bytes).getInt(8)
+      val rows = win.filter(_.getLong(0) == seed).sortBy(_.getInt(2))
+      assert(rows.map(_.getInt(3)).sum === n, s"windows must tile all $n samples")
+      assert(rows.head.getInt(1) === 8000 + (seed % 3).toInt * 4000)
+      // direct energy check on window 0
+      val direct = (0 until math.min(512, n))
+        .map(i => { val v = bytes(12 + i).toDouble; v * v }).sum / math.min(512, n)
+      assert(math.abs(rows.head.getDouble(4) - direct) < 1e-9)
+    }
+  }
+
   test("embedBinary → cosineTopK: every query's rank-1 neighbor is itself") {
     val emb = Multimodal.embedBinary(imgs(40), "doc_id", "content", dim = 16)
     assert(emb.select(size(col("embedding"))).distinct().head().getInt(0) === 16)
