@@ -81,24 +81,16 @@ object TextFunctions {
   }
 
   /** Language-ID by trigram-profile hit rate; returns the best-scoring
-    * language code or "und" when nothing matches.
-    *
-    * The argmax stays `array_max` over (score, lang) structs: each
-    * score expression is evaluated exactly once into the array. (A
-    * `when`-fold alternative would reference each partial result three
-    * times per level, exponentially duplicating the `contains` calls —
-    * measured 6× slower.)
+    * language code or "und" when nothing matches. Single-pass kernel
+    * (32 substring probes + argmax per row); ties resolve to the
+    * lexicographically larger language code, identical to the previous
+    * `array_max` over lang-ascending (score, lang) structs — the q41
+    * oracle pins that tie order. (Historical note: a `when`-fold argmax
+    * was measured 6× slower — it duplicates each `contains`
+    * exponentially; `array_max` over structs worked but fell out of
+    * codegen into an interpreted ordering.)
     */
-  def langIdCol(text: Column): Column = {
-    val s = lower(text)
-    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
-      val hits = grams.map(g => when(s.contains(g), 1).otherwise(0))
-        .reduce(_ + _)
-      struct(hits.as("score"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scores: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langIdCol(text: Column): Column = Exprs.langId(text)
 
   /** Polynomial rolling-hash fingerprint of the document text (base-31
     * over code points, 64-bit wraparound) — the classic Rabin-Karp

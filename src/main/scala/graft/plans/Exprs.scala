@@ -155,6 +155,18 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class LangId(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.langId(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.langId($c)")
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+  }
+
   case class PrefixTokens(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -240,6 +252,7 @@ object Exprs {
   def punctRatio(c: Column): Column = col(PunctRatio(ex(c)))
   def fingerprint64(c: Column): Column = col(Fingerprint64(ex(c)))
   def subwordCount(c: Column): Column = col(SubwordCount(ex(c)))
+  def langId(c: Column): Column = col(LangId(ex(c)))
   def nearestCentroid(c: Column, flat: Array[Float], dim: Int): Column =
     col(NearestCentroid(ex(c), flat, dim))
   def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =
@@ -257,5 +270,6 @@ object Exprs {
     reg.createOrReplaceTempFunction("stopword_ratio", es => StopwordRatio(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("punct_ratio", es => PunctRatio(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
   }
 }

@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Exprs.Fingerprint64(es.head))
     register("prefix_tokens", "prefix_tokens(text, n) - first n lowercase tokens joined by spaces", 2,
       es => Exprs.PrefixTokens(es.head, intArg(es(1), "n")))
+    register("lang_id", "lang_id(text) - trigram-profile language code or 'und'", 1,
+      es => Exprs.LangId(es.head))
   }
 
   private def intArg(e: Expression, name: String): Int = e match {

@@ -303,6 +303,36 @@ object Kernels {
     count
   }
 
+  private lazy val langProfiles: Array[(String, Array[String])] =
+    graft.functions.TextFunctions.LangProfiles.toSeq.sortBy(_._1)
+      .map { case (l, gs) => (l, gs.toArray) }.toArray
+
+  /** Language-ID: trigram-profile hit count per language over the
+    * lowercased text, argmax with ties to the lexicographically LARGER
+    * language code (identical to `array_max` over lang-ascending
+    * (score, lang) structs, which the q41 oracle pins); no hits →
+    * "und". One `indexOf` per profile gram — all inside codegen.
+    */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString.toLowerCase
+    var bestLang = "und"
+    var bestScore = 0
+    var li = 0
+    while (li < langProfiles.length) {
+      val (lang, grams) = langProfiles(li)
+      var score = 0
+      var gi = 0
+      while (gi < grams.length) {
+        if (s.contains(grams(gi))) score += 1
+        gi += 1
+      }
+      // ascending lang order + >= : later (larger) lang wins exact ties
+      if (score > 0 && score >= bestScore) { bestScore = score; bestLang = lang }
+      li += 1
+    }
+    UTF8String.fromString(bestLang)
+  }
+
   /** Base-31 rolling hash over code points, 64-bit wraparound — the
     * Rabin-Karp document fingerprint (matches `aggregate` over
     * `split(text, "")` with `ascii`).
