@@ -924,6 +924,25 @@ object Queries {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "statistical aggregates (corr / covar / stddev / skewness, partial+final)"),
 
+    Q("q73_profile",
+      (s, d) => Profile.profile(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+             |  CAST(min(l_quantity) AS DOUBLE) AS min, CAST(max(l_quantity) AS DOUBLE) AS max,
+             |  round(avg(l_quantity), 6) AS mean FROM lineitem
+             |UNION ALL
+             |SELECT 'l_extendedprice', count(l_extendedprice),
+             |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+             |  round(avg(l_extendedprice), 6) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_discount', count(l_discount),
+             |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+             |  round(avg(l_discount), 6) FROM lineitem""".stripMargin),
+      "column profiling: one-pass multi-column summary in long format"),
+
     Q("q61_date_arith",
       (s, d) => orders(s, d).select(
         col("o_orderkey"),
