@@ -570,6 +570,18 @@ object Queries {
              |FROM reach GROUP BY id""".stripMargin),
       "near-dup pairs → canonical clusters (distributed connected components)"),
 
+    Q("q74_incremental_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.exactDupsAgainst(docs.filter(col("doc_id") < 400),
+            docs.filter(col("doc_id") >= 400), "text", "doc_id")
+          .select(col("incoming_id").cast("long").as("incoming_id"))
+      },
+      Some("""SELECT DISTINCT i.doc_id AS incoming_id
+             |FROM documents i JOIN documents e ON i.text = e.text
+             |WHERE i.doc_id >= 400 AND e.doc_id < 400""".stripMargin),
+      "incremental exact dedup (new batch vs existing corpus, semi-join on content)"),
+
     Q("q70_dup_rate",
       (s, d) => Dedup.shingleDupRate(documents(s, d), "text", "doc_id")
         .select(col("id").cast("long").as("doc_id"),

@@ -205,6 +205,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental exact dedup: which `incoming` documents already exist
+    * (by content) in `existing` — the ingestion-time check that keeps a
+    * corpus append-only-clean without re-deduplicating the whole corpus
+    * per batch. Both sides reduce to (8-byte hash, text) before the
+    * join; the incoming batch is typically small, so Spark broadcasts
+    * it against the corpus scan — the corpus itself never shuffles.
+    * Same-hash different-text collisions are eliminated by the exact
+    * text equality in the join.
+    */
+  def exactDupsAgainst(existing: DataFrame, incoming: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val ex = existing.select(col(textCol).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+      .dropDuplicates("_h", "_t")
+    val in = incoming.select(col(idCol).as("incoming_id"), col(textCol).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    in.join(ex, Seq("_h", "_t"), "left_semi")
+      .select(col("incoming_id"))
+  }
+
   /** Per-document duplication rate: the fraction of a document's
     * distinct word-`shingleK`-grams that also occur in at least one
     * OTHER document — the "near-dup density" curation signal (a doc of

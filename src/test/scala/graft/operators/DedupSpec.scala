@@ -143,6 +143,19 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.2, s"est $est vs exact $exact")
   }
 
+  test("exactDupsAgainst flags only incoming docs whose content exists in the corpus") {
+    import spark.implicits._
+    val corpus = docsDf(Seq(base, "corpus only text here"))
+    val incoming = Seq(
+      (100L, base),                     // dup of corpus doc 0
+      (101L, "brand new content"),      // fresh
+      (102L, base))                     // dup again (both flagged)
+      .toDF("doc_id", "text")
+    val flagged = Dedup.exactDupsAgainst(corpus, incoming, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(flagged === Seq(100L, 102L))
+  }
+
   test("shingleDupRate: exact copies score 1, fresh text 0, empty docs 0") {
     val df = docsDf(Seq(base, base, "completely different words entirely novel here", ""))
     val rates = Dedup.shingleDupRate(df, "text", "doc_id")
