@@ -936,6 +936,15 @@ object Queries {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "statistical aggregates (corr / covar / stddev / skewness, partial+final)"),
 
+    Q("q75_key_skew",
+      (s, d) => SkewJoin.keySkewReport(lineitem(s, d), "l_suppkey", topN = 10)
+        .select(col("l_suppkey"), col("n_rows"), round(col("share"), 6).as("share")),
+      Some("""SELECT l_suppkey, count(*) AS n_rows,
+             |round(count(*) / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6) AS share
+             |FROM lineitem GROUP BY l_suppkey
+             |ORDER BY n_rows DESC, l_suppkey LIMIT 10""".stripMargin),
+      "join-key skew diagnosis (heavy-hitter report feeding the salted join)"),
+
     Q("q73_profile",
       (s, d) => Profile.profile(lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount")),

@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join-key skew diagnosis: the `topN` heaviest key values with row
+    * counts and corpus share — the report that decides whether a join
+    * needs [[saltedEquiJoin]] (or AQE skew splitting) and how many salt
+    * buckets. One partial+final aggregation on the key plus a bounded
+    * top-N; at any scale the shuffled state is one count per distinct
+    * key and the result is `topN` rows.
+    */
+  def keySkewReport(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val total = df.select(count(lit(1)).as("_total"))
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n_rows").cast("double") / col("_total"))
+      .drop("_total")
+      .orderBy(col("n_rows").desc, col(key))
+      .limit(topN)
+  }
+
   /** Left-preserving join types only: the right side is replicated
     * `buckets` times, so a right-preserving join (right/full outer)
     * would emit each unmatched right row once per replica.

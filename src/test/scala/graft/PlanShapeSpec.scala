@@ -86,6 +86,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"))
   }
 
+  test("q71: the benchmark shingle set broadcasts (corpus side never shuffles for the probe)") {
+    val p = plan("q71_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "contamination probe must be a broadcast left-semi join")
+  }
+
   test("q01: aggregation is partial+final with a pruned scan schema") {
     val p = plan("q01_agg_pricing")
     assert(p.contains("partial_sum"))
