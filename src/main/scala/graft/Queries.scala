@@ -758,6 +758,37 @@ object Queries {
              |FROM r WHERE rank <= 3""".stripMargin),
       "TF-IDF top-3 characteristic terms per document"),
 
+    Q("q76_text_clean",
+      (s, d) => {
+        // plant URLs deterministically so the cleaning verbs have work
+        // to do on this corpus; both engines build the same input
+        val withUrls = documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit(" see https://example.com/a and http://example.org/b?q=1 end"))
+              .otherwise(lit(""))).as("t"))
+        withUrls.select(col("doc_id"),
+          TextFunctions.urlCount(col("t")).cast("long").as("n_urls"),
+          length(TextFunctions.normalizeWhitespace(
+            TextFunctions.stripUrls(col("t")))).cast("long").as("clean_len"),
+          length(TextFunctions.stripControlChars(col("t"))).cast("long").as("no_ctrl_len"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+             |    THEN ' see https://example.com/a and http://example.org/b?q=1 end'
+             |    ELSE '' END AS t
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, 'https?://\S+')) AS BIGINT) AS n_urls,
+             |  CAST(length(trim(regexp_replace(
+             |    regexp_replace(t, 'https?://\S+', '', 'g'), '\s+', ' ', 'g')))
+             |    AS BIGINT) AS clean_len,
+             |  CAST(length(regexp_replace(t,
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS no_ctrl_len
+             |FROM t""".stripMargin),
+      "C4-style text cleaning (URL strip/count, whitespace normalize, control chars)"),
+
     Q("q40_text_quality",
       (s, d) => documents(s, d).select(
         col("doc_id"),

@@ -92,6 +92,29 @@ object TextFunctions {
     */
   def langIdCol(text: Column): Column = Exprs.langId(text)
 
+  // ------------------------------------------------- cleaning (C4-style)
+  // The standard pre-training text-cleaning verbs, all codegen'd
+  // regexp built-ins (no UDFs, no kernels needed — regex evaluation is
+  // already native).
+
+  private val UrlPattern = "https?://\\S+"
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Remove URLs (http/https through the next whitespace). */
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, UrlPattern, "")
+
+  /** Count URLs — the usual spam/boilerplate signal. */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
+
+  /** Remove ASCII control characters (keeps \t \n \r). */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** Polynomial rolling-hash fingerprint of the document text (base-31
     * over code points, 64-bit wraparound) — the classic Rabin-Karp
     * document fingerprint, as a single-pass codegen kernel.

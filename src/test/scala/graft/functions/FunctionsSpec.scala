@@ -228,6 +228,20 @@ class FunctionsSpec extends SparkSpec {
       .select(TextFunctions.fingerprint(col("t"))).head().getLong(0))
   }
 
+  test("cleaning verbs: URLs stripped and counted, whitespace collapsed, control chars removed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("pre https://a.b/c   mid\thttp://d.e end\u0001x").toDF("t")
+    val r = df.select(
+      TextFunctions.urlCount(col("t")).as("n"),
+      TextFunctions.normalizeWhitespace(TextFunctions.stripUrls(col("t"))).as("clean"),
+      TextFunctions.stripControlChars(col("t")).as("noctrl")).head()
+    assert(r.getInt(0) === 2)
+    assert(r.getString(1) === "pre mid end\u0001x".replace("\u0001", "\u0001"))
+    assert(!r.getString(2).contains("\u0001"))
+    assert(r.getString(2).contains("\t"), "tab must survive control stripping")
+  }
+
   test("text kernels match the original higher-order Column chains") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
