@@ -1022,14 +1022,41 @@ object Queries {
         // group. Two scans of a 2-column projection are far cheaper.
         val o = orders(s, d)
         val est = o.groupBy(col("o_orderpriority"))
-          .agg(Sketches.kmvDistinct(col("o_custkey"), k = 256).as("est_custs"))
+          .agg(round(Sketches.kmvDistinct(col("o_custkey"), k = 256), 4)
+            .as("est_custs"))
         val exact = o.groupBy(col("o_orderpriority"))
           .agg(countDistinct(col("o_custkey")).cast("long").as("exact_custs"))
         est.join(exact, Seq("o_orderpriority"))
       },
-      None, // the KMV estimate has no cross-engine oracle (hash-family
-            // bound); its error bound is unit-tested in SketchesSpec
-      "KMV distinct-count sketch (mergeable k-minimum-values Aggregator)"),
+      // The sketch hash is the arithmetic splitmix64 mixer, so DuckDB
+      // re-derives the whole estimate from first principles: hash every
+      // customer key, take the k smallest signed hashes per group, and
+      // apply the same (k−1)/normalized-kth-min estimator — a full
+      // cross-engine check of the KMV value itself, not just a bound.
+      Some {
+        val h = OracleSql.mix64Signed("o_custkey")
+        s"""WITH hs AS (
+           |  SELECT DISTINCT o_orderpriority, $h AS h FROM orders
+           |), r AS (
+           |  SELECT o_orderpriority, h,
+           |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn,
+           |         count(*) OVER (PARTITION BY o_orderpriority) AS nd
+           |  FROM hs
+           |), est AS (
+           |  SELECT o_orderpriority,
+           |         round(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+           |           ELSE 255.0 / ((CAST(h AS DOUBLE) - (-9223372036854775808.0)) /
+           |                         (9223372036854775807.0 - (-9223372036854775808.0)))
+           |           END, 4) AS est_custs
+           |  FROM r WHERE rn = least(nd, 256)
+           |)
+           |SELECT e.o_orderpriority, e.est_custs,
+           |       CAST(x.exact_custs AS BIGINT) AS exact_custs
+           |FROM est e JOIN (
+           |  SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_custs
+           |  FROM orders GROUP BY o_orderpriority) x USING (o_orderpriority)""".stripMargin
+      },
+      "KMV distinct-count sketch (mergeable k-minimum-values Aggregator; estimate oracle-recomputed in SQL)"),
 
     Q("q66_hll_distinct",
       (s, d) => {

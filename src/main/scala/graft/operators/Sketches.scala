@@ -71,9 +71,20 @@ object Sketches {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Column form: KMV distinct estimate of `c` (hashed with xxhash64). */
-  def kmvDistinct(c: Column, k: Int = 256): Column = {
+  /** Column form: KMV distinct estimate of an integral column, hashed
+    * with the engine's canonical splitmix64 mixer. Because the hash is
+    * plain wraparound arithmetic (not an engine-internal like
+    * xxhash64), the whole estimate is reproducible in a second engine —
+    * q62's DuckDB oracle recomputes the k-minimum set and the estimate
+    * from scratch. For non-integral inputs pre-hash yourself:
+    * `kmvDistinctHashed(xxhash64(c), k)` (rows-only checkable).
+    */
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    kmvDistinctHashed(graft.plans.Exprs.mix64(c.cast("long")), k)
+
+  /** KMV over an already-hashed 64-bit column. */
+  def kmvDistinctHashed(hashed: Column, k: Int = 256): Column = {
     val agg = udaf(new KmvDistinct(k), Encoders.scalaLong)
-    agg(xxhash64(c))
+    agg(hashed)
   }
 }

@@ -28,6 +28,24 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** splitmix64 finalizer over a 64-bit value — the engine's canonical
+    * value-hash (the same mixer the text kernels use on token/shingle
+    * polynomials). Being plain wraparound arithmetic it is exactly
+    * reproducible in other engines (see [[graft.OracleSql.mix64]] for
+    * the DuckDB HUGEINT form), which is what lets sketch outputs be
+    * oracle-checked cross-engine instead of rows-only.
+    */
+  case class Mix64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "mix64"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.mix64(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.mix64($c)")
+    override protected def withNewChildInternal(newChild: Expression): Mix64 =
+      copy(child = newChild)
+  }
+
   case class MinHashSig(child: Expression, shingleK: Int, numPerms: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -237,6 +255,7 @@ object Exprs {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
+  def mix64(c: Column): Column = col(Mix64(ex(c)))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def minhashSig(c: Column, shingleK: Int, numPerms: Int): Column =
     col(MinHashSig(ex(c), shingleK, numPerms))
@@ -261,6 +280,7 @@ object Exprs {
   /** Register SQL names for the kernels on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("mix64", es => Mix64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
