@@ -495,14 +495,103 @@ object Queries {
       (s, d) => Dedup.minhashCandidatePairs(documents(s, d), "text", "doc_id",
           shingleK = 3, numPerms = 64, bands = 16, threshold = 0.2)
         .withColumn("est_jaccard", round(col("est_jaccard"), 4)),
-      None, // LSH banding not SQL-expressible; exact-jaccard twin is q36
-      "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket join)"),
+      // The whole LSH pipeline is arithmetic — shingle hash =
+      // mix64(poly31), permutations a_p·h+b_p mod 2^64 with inlined
+      // constants, signed-min signatures, 4-row band keys — so DuckDB
+      // re-derives signatures and band buckets from scratch and
+      // replays candidate generation + estimation. (Band equality is
+      // checked on the raw 4-minhash slice; Spark buckets on
+      // xxhash64(slice), identical up to 64-bit hash collisions.)
+      Some {
+        val shingleHash = OracleSql.mix64(OracleSql.poly31("s"))
+        val perms = OracleSql.minhashPerms(64)
+        val alist = perms.map(_._1).mkString("[", ",", "]")
+        val blist = perms.map(_._2).mkString("[", ",", "]")
+        val m64 = OracleSql.M64
+        // (a·h + b) mod 2^64 with BOTH factors 64-bit: split h into
+        // 32-bit halves so no partial product overflows INT128
+        val mulAH = s"CAST(((CAST(a AS HUGEINT) * CAST(h & 4294967295 AS HUGEINT)) % $m64 + " +
+          s"((CAST(a AS HUGEINT) * CAST(h >> 32 AS HUGEINT)) % 4294967296) * 4294967296) % $m64 AS UBIGINT)"
+        val valU = s"CAST((CAST($mulAH AS HUGEINT) + CAST(b AS HUGEINT)) % $m64 AS UBIGINT)"
+        val valS = OracleSql.toSigned(valU)
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |    t -> t <> '') AS tk
+           |  FROM documents
+           |), shs AS (
+           |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+           |    FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)])) AS s
+           |  FROM toks WHERE len(tk) > 0
+           |), shh AS (
+           |  SELECT doc_id, $shingleHash AS h FROM shs
+           |), perms AS (
+           |  SELECT p, CAST(al[p+1] AS UBIGINT) AS a, CAST(bl[p+1] AS UBIGINT) AS b
+           |  FROM (SELECT unnest(range(64)) AS p), (SELECT $alist AS al, $blist AS bl)
+           |), minv AS (
+           |  SELECT doc_id, p, min($valS) AS v
+           |  FROM shh CROSS JOIN perms GROUP BY doc_id, p
+           |), sig AS (
+           |  SELECT d.doc_id, pr.p, coalesce(m.v, 9223372036854775807) AS v
+           |  FROM (SELECT DISTINCT doc_id FROM documents) d
+           |  CROSS JOIN (SELECT unnest(range(64)) AS p) pr
+           |  LEFT JOIN minv m ON m.doc_id = d.doc_id AND m.p = pr.p
+           |), bands AS (
+           |  SELECT doc_id, p // 4 AS band,
+           |         array_to_string(list(v ORDER BY p), ',') AS bk
+           |  FROM sig GROUP BY doc_id, p // 4
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+           |), mt AS (
+           |  SELECT c.id_a, c.id_b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS m
+           |  FROM cand c
+           |  JOIN sig sa ON sa.doc_id = c.id_a
+           |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+           |  GROUP BY c.id_a, c.id_b
+           |)
+           |SELECT id_a, id_b, round(m / 64.0, 4) AS est_jaccard
+           |FROM mt WHERE m / 64.0 >= 0.2""".stripMargin
+      },
+      "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket join; signatures oracle-recomputed in SQL)"),
 
     Q("q35_dedup_simhash",
       (s, d) => Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long")),
-      None, // 64-bit simhash kernel not SQL-expressible
-      "SimHash near-dup pairs (block-combination banding, guaranteed recall at Hamming ≤ 3)"),
+      // The block-combination banding has GUARANTEED recall at
+      // Hamming ≤ 3, so the output is exactly "all pairs within
+      // Hamming 3 of each other's simhash" — and the simhash itself is
+      // arithmetic (mix64 of a base-31 token polynomial, per-bit ±1
+      // votes), so DuckDB re-derives every fingerprint from scratch and
+      // takes all pairs directly. A full cross-engine check of
+      // tokenizer, hash, vote loop, and banding recall at once.
+      Some {
+        val tokHash = OracleSql.mix64(OracleSql.poly31("tok"))
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |    t -> t <> '')) AS tok
+           |  FROM documents
+           |), th AS (
+           |  SELECT doc_id, $tokHash AS h FROM toks
+           |), bits AS (
+           |  SELECT doc_id, b,
+           |         sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+           |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b
+           |), sh0 AS (
+           |  SELECT doc_id,
+           |         CAST(sum(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+           |                  ELSE 0 END) AS UBIGINT) AS sh
+           |  FROM bits GROUP BY doc_id
+           |), sh AS (
+           |  SELECT d.doc_id, coalesce(s.sh, CAST(0 AS UBIGINT)) AS sh
+           |  FROM documents d LEFT JOIN sh0 s USING (doc_id)
+           |)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+      },
+      "SimHash near-dup pairs (block-combination banding, guaranteed recall at Hamming ≤ 3; fingerprints oracle-recomputed in SQL)"),
 
     Q("q36_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
