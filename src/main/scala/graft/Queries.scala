@@ -733,11 +733,79 @@ object Queries {
       "benchmark decontamination (shingle overlap with a held-out set)"),
 
     Q("q37_embed_neardup",
-      (s, d) => Dedup.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
-          minCosine = 0.85)
-        .withColumn("cosine", round(col("cosine"), 6)),
-      None, // hyperplane LSH pruning not SQL-expressible
-      "embedding cosine near-dup via hyperplane LSH buckets"),
+      (s, d) => {
+        // the raw corpus has no pairs at cosine ≥ 0.85 (max ≈ 0.51), so
+        // plant deterministic near-dups — perturbed float32 copies at
+        // vec_id+100000 — exactly as the oracle does; the whole
+        // pipeline (perturbation, hyperplane signatures, 16-bit band
+        // buckets, exact cosine verify) is then checked cross-engine
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = emb.select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              lit(0.02) * (pmod(i, lit(7)) - lit(3)).cast("double")))
+              .cast("float")).as("embedding"))
+        Dedup.embeddingNearDupPairs(emb.unionByName(planted), "embedding", "vec_id",
+            minCosine = 0.85)
+          .withColumn("cosine", round(col("cosine"), 6))
+      },
+      // The hyperplane weights are mix64-derived doubles and both the
+      // sign-dot and the cosine accumulate sequentially, so DuckDB
+      // replays the identical IEEE arithmetic: signature bits, band
+      // buckets, candidate join, and exact cosine all match bit-for-bit
+      // (ordered list_reduce sums — never SUM(), whose order is
+      // unspecified).
+      Some {
+        val mixpi = OracleSql.mix64("(CAST(p AS UBIGINT) << 32) | CAST(i AS UBIGINT)")
+        val w = s"CAST(${OracleSql.toSigned(mixpi)} AS DOUBLE) / 9223372036854775807.0"
+        s"""WITH base AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + 0.02 * (((i-1) % 7) - 3)) AS FLOAT)
+           |     FOR i IN range(1, len(embedding) + 1)]
+           |  FROM embeddings
+           |), w AS (
+           |  SELECT p, i, $w AS w
+           |  FROM (SELECT unnest(range(64)) AS p), (SELECT unnest(range(64)) AS i)
+           |), ex AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS gi,
+           |         CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM base
+           |), dots AS (
+           |  SELECT vec_id, p,
+           |         list_reduce(list_prepend(0.0, list(x * w.w ORDER BY gi)), (a, b) -> a + b) AS dot
+           |  FROM ex JOIN w ON w.i = ex.gi - 1
+           |  GROUP BY vec_id, p
+           |), sig AS (
+           |  SELECT vec_id,
+           |         CAST(sum(CASE WHEN dot >= 0 THEN CAST(CAST(1 AS UBIGINT) << p AS HUGEINT)
+           |                  ELSE 0 END) AS UBIGINT) AS sg
+           |  FROM dots GROUP BY vec_id
+           |), bands AS (
+           |  SELECT vec_id, b, (sg >> CAST(16*b AS UBIGINT)) & 65535 AS bk
+           |  FROM sig, (SELECT unnest(range(4)) AS b)
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.vec_id < b.vec_id
+           |), pv AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+           |), cosd AS (
+           |  SELECT c.id_a, c.id_b,
+           |    list_reduce(list_prepend(0.0, [va.v[i] * vb.v[i] FOR i IN range(1, len(va.v)+1)]), (a,b) -> a+b) AS dot,
+           |    list_reduce(list_prepend(0.0, [va.v[i] * va.v[i] FOR i IN range(1, len(va.v)+1)]), (a,b) -> a+b) AS na,
+           |    list_reduce(list_prepend(0.0, [vb.v[i] * vb.v[i] FOR i IN range(1, len(vb.v)+1)]), (a,b) -> a+b) AS nb
+           |  FROM cand c JOIN pv va ON va.vec_id = c.id_a JOIN pv vb ON vb.vec_id = c.id_b
+           |), cosv AS (
+           |  SELECT id_a, id_b,
+           |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cosine
+           |  FROM cosd
+           |)
+           |SELECT id_a, id_b, round(cosine, 6) AS cosine
+           |FROM cosv WHERE cosine >= 0.85""".stripMargin
+      },
+      "embedding cosine near-dup via hyperplane LSH buckets (planted float32 near-dups; signatures + cosine oracle-recomputed in SQL)"),
 
     // ---------------------------------------------------------- similarity
     Q("q38_ann_topk",
@@ -1030,9 +1098,69 @@ object Queries {
           .withColumn("rank", col("rank").cast("long"))
           .withColumn("cosine", round(col("cosine"), 4))
       },
-      None, // stub-encoder embeddings aren't SQL-expressible; the
-            // self-similarity invariant is unit-tested (MultimodalSpec)
-      "multimodal: binary → embedding → cosine top-k (stub encoder, real ANN handoff)"),
+      // The stub container and encoder are deterministic arithmetic
+      // (mix64 payload bytes, float32 fold into 16 dims, unit-norm), so
+      // DuckDB rebuilds every byte and every float32 accumulation step
+      // (ordered list_reduce with explicit FLOAT casts — DuckDB FLOAT
+      // ops stay in float32, matching JVM strictfp) and replays the
+      // brute-force top-k. Note round(round(x,6),4): topKPerQuery
+      // rounds to 6 before this query's round to 4 — the oracle must
+      // double-round the same way.
+      Some {
+        val payByte = OracleSql.mix64("CAST(doc_id * 1048576 + j AS UBIGINT)")
+        s"""WITH docs AS (
+           |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+           |  FROM documents
+           |), hdr AS (
+           |  SELECT doc_id, i,
+           |    CASE i WHEN 0 THEN 71 WHEN 1 THEN 73 WHEN 2 THEN 77 WHEN 3 THEN 71
+           |           WHEN 4 THEN 0 WHEN 5 THEN 0 WHEN 6 THEN 0 WHEN 7 THEN w
+           |           WHEN 8 THEN 0 WHEN 9 THEN 0 WHEN 10 THEN 0 ELSE h END AS b
+           |  FROM docs, (SELECT unnest(range(12)) AS i)
+           |), pay AS (
+           |  SELECT doc_id, 12 + j AS i,
+           |    CAST($payByte & 255 AS BIGINT) AS b
+           |  FROM docs, (SELECT unnest(range(4096)) AS j) WHERE j < w * h
+           |), allb AS (
+           |  SELECT doc_id, i, b FROM hdr UNION ALL SELECT doc_id, i, b FROM pay
+           |), terms AS (
+           |  SELECT doc_id, i % 16 AS d, i,
+           |    CAST(CAST(b AS FLOAT) / CAST(255.0 AS FLOAT) - CAST(0.5 AS FLOAT) AS FLOAT) AS t
+           |  FROM allb
+           |), acc AS (
+           |  SELECT doc_id, d,
+           |    list_reduce(list_prepend(CAST(0.0 AS FLOAT), list(t ORDER BY i)),
+           |                (a, b) -> CAST(a + b AS FLOAT)) AS v
+           |  FROM terms GROUP BY doc_id, d
+           |), vecs AS (
+           |  SELECT doc_id, list(v ORDER BY d) AS v FROM acc GROUP BY doc_id
+           |), normd AS (
+           |  SELECT doc_id, v,
+           |    CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(v,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS FLOAT) AS nrm
+           |  FROM vecs
+           |), pv AS (
+           |  SELECT doc_id, list_transform(
+           |    CASE WHEN nrm = 0 THEN v
+           |         ELSE list_transform(v, x -> CAST(x / nrm AS FLOAT)) END,
+           |    x -> CAST(x AS DOUBLE)) AS v
+           |  FROM normd
+           |), scored AS (
+           |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           |    list_reduce(list_prepend(0.0, [c.v[i] * q.v[i] FOR i IN range(1, len(c.v)+1)]), (a,b) -> a+b) /
+           |    (sqrt(list_reduce(list_prepend(0.0, [c.v[i] * c.v[i] FOR i IN range(1, len(c.v)+1)]), (a,b) -> a+b)) *
+           |     sqrt(list_reduce(list_prepend(0.0, [q.v[i] * q.v[i] FOR i IN range(1, len(q.v)+1)]), (a,b) -> a+b))) AS cosine
+           |  FROM pv c, pv q WHERE q.doc_id < 4
+           |), r AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, neighbor_id, round(round(cosine, 6), 4) AS cosine,
+           |       CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 3""".stripMargin
+      },
+      "multimodal: binary → embedding → cosine top-k (stub encoder oracle-recomputed byte-for-byte in SQL)"),
 
     Q("q60_stats_agg",
       (s, d) => lineitem(s, d)
