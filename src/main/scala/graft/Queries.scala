@@ -659,6 +659,54 @@ object Queries {
              |FROM reach GROUP BY id""".stripMargin),
       "near-dup pairs → canonical clusters (distributed connected components)"),
 
+    Q("q80_line_dedup",
+      (s, d) => {
+        // the corpus is single-line, so both engines deterministically
+        // re-line it first: 8-token chunks joined by newlines — then
+        // every line occurring anywhere earlier (lower (doc, position))
+        // is dropped and documents are reassembled
+        val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)
+        val nLines = ceil(size(toks).cast("double") / 8.0).cast("int")
+        val lined = documents(s, d).select(col("doc_id"),
+          when(size(toks) === 0, lit(""))
+            .otherwise(concat_ws("\n",
+              transform(sequence(lit(0), greatest(nLines, lit(1)) - 1),
+                i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))).as("t"))
+        Dedup.lineDedup(lined, "t", "doc_id")
+          .select(col("id").as("doc_id"), col("n_kept"), col("text_dedup"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |           t -> t <> '') AS tk
+             |  FROM documents
+             |), lined AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) = 0 THEN ['']
+             |    ELSE [array_to_string(tk[i*8+1 : i*8+8], ' ')
+             |          FOR i IN range(0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1))]
+             |    END AS lines
+             |  FROM toks
+             |), lrows AS (
+             |  SELECT doc_id, generate_subscripts(lines, 1) - 1 AS pos,
+             |         unnest(lines) AS line
+             |  FROM lined
+             |), kept AS (
+             |  SELECT doc_id, pos, line FROM (
+             |    SELECT doc_id, pos, line,
+             |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+             |    FROM lrows) WHERE rn = 1
+             |), agg AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         array_to_string(list(line ORDER BY pos), chr(10)) AS text_dedup
+             |  FROM kept GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+             |       coalesce(a.text_dedup, '') AS text_dedup
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      "corpus-wide exact line dedup, C4-style (keep first occurrence, reassemble documents)"),
+
     Q("q74_incremental_dedup",
       (s, d) => {
         val docs = documents(s, d)
@@ -945,6 +993,89 @@ object Queries {
              |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS no_ctrl_len
              |FROM t""".stripMargin),
       "C4-style text cleaning (URL strip/count, whitespace normalize, control chars)"),
+
+    Q("q77_repetition",
+      (s, d) => {
+        val docs = documents(s, d)
+        val reps = docs.select(col("doc_id"),
+          round(TextFunctions.repeatedNgramFraction(col("text"), 2), 6).as("rep2"),
+          round(TextFunctions.repeatedNgramFraction(col("text"), 3), 6).as("rep3"))
+        reps.join(TfIdf.topTokenShare(docs, "doc_id", "text"), Seq("doc_id"))
+          .select(col("doc_id"), col("rep2"), col("rep3"),
+            round(col("top_tok_share"), 6).as("top_tok_share"))
+      },
+      // distinct-over-total positional k-grams and max-token share,
+      // recomputed string-side with DuckDB list comprehensions (hash
+      // distinct = string distinct, collision-free at this scale)
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), base AS (
+             |  SELECT doc_id, tk, len(tk) AS n FROM toks
+             |), reps AS (
+             |  SELECT doc_id, n,
+             |    CASE WHEN n = 0 THEN 0.0 ELSE
+             |      (greatest(n - 1, 1) - len(list_distinct(
+             |        [array_to_string(tk[i:i+1], ' ')
+             |         FOR i IN range(1, greatest(n - 1, 1) + 1)])))
+             |      / CAST(greatest(n - 1, 1) AS DOUBLE) END AS rep2,
+             |    CASE WHEN n = 0 THEN 0.0 ELSE
+             |      (greatest(n - 2, 1) - len(list_distinct(
+             |        [array_to_string(tk[i:i+2], ' ')
+             |         FOR i IN range(1, greatest(n - 2, 1) + 1)])))
+             |      / CAST(greatest(n - 2, 1) AS DOUBLE) END AS rep3
+             |  FROM base
+             |), tf AS (
+             |  SELECT doc_id, t, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t
+             |), tts AS (
+             |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS s
+             |  FROM tf GROUP BY doc_id
+             |)
+             |SELECT r.doc_id, round(r.rep2, 6) AS rep2, round(r.rep3, 6) AS rep3,
+             |       round(tts.s, 6) AS top_tok_share
+             |FROM reps r JOIN tts USING (doc_id)""".stripMargin),
+      "within-document repetition gates (Gopher-style duplicate k-gram fraction + top-token share)"),
+
+    Q("q78_pii_redact",
+      (s, d) => {
+        // plant PII deterministically (the corpus has none), same
+        // construction in the oracle: counts on the planted original,
+        // redaction length after email → IP → phone replacement
+        val planted = documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit(" contact bob.smith+x@example-mail.com now"))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              lit(" server at 192.168.1.77 port"))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              lit(" call +1-555-0142 today"))
+            .otherwise(lit(""))).as("t"))
+        planted.select(col("doc_id"),
+          TextFunctions.emailCount(col("t")).cast("long").as("n_emails"),
+          TextFunctions.ipv4Count(col("t")).cast("long").as("n_ips"),
+          TextFunctions.phoneCount(col("t")).cast("long").as("n_phones"),
+          length(TextFunctions.redactPii(col("t"))).cast("long").as("redacted_len"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text || CASE
+             |    WHEN doc_id % 4 = 0 THEN ' contact bob.smith+x@example-mail.com now'
+             |    WHEN doc_id % 4 = 1 THEN ' server at 192.168.1.77 port'
+             |    WHEN doc_id % 4 = 2 THEN ' call +1-555-0142 today'
+             |    ELSE '' END AS t
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+             |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+             |FROM t""".stripMargin),
+      "PII scrub (email/IPv4/phone detection + placeholder redaction, cross-dialect regexes)"),
 
     Q("q40_text_quality",
       (s, d) => documents(s, d).select(
@@ -1275,6 +1406,25 @@ object Queries {
       },
       "KMV distinct-count sketch (mergeable k-minimum-values Aggregator; estimate oracle-recomputed in SQL)"),
 
+    Q("q79_heavy_hitters",
+      (s, d) => {
+        // corpus-wide top-10 tokens via Misra–Gries. Capacity 64
+        // exceeds this corpus's distinct-token count, so the sketch is
+        // provably exact here and the oracle checks true frequencies;
+        // the sub-capacity error bound (n/capacity) is unit-tested in
+        // SketchesSpec for the general case.
+        val toks = documents(s, d).select(
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+        Sketches.heavyHitters(toks, "term", capacity = 64, topN = 10)
+      },
+      Some("""SELECT term, count(*) AS est_count,
+             |CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS BIGINT) AS rank
+             |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |        t -> t <> '')) AS term FROM documents)
+             |GROUP BY term ORDER BY rank LIMIT 10""".stripMargin),
+      "Misra–Gries heavy hitters (mergeable bounded-counter sketch; exact above capacity ⇒ oracle-checked)"),
+
     Q("q66_hll_distinct",
       (s, d) => {
         // HLL (approx_count_distinct) is the built-in mergeable sketch
@@ -1400,8 +1550,11 @@ object Queries {
         // its cross-engine correctness is itself established by q53.
         .agg(
           count(lit(1)).as("n"),
+          // accuracy 2500 bounds rank error to n/(2·2500) = 0.02% of
+          // rows at sf0.1 — far inside the 1% value bound below, at a
+          // quarter of the sketch state and merge cost of 10000
           percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(10000)).as("_a"),
+            array(lit(0.5), lit(0.95)), lit(2500)).as("_a"),
           expr("percentile(l_extendedprice, array(0.5, 0.95))").as("_e"))
         .select(col("l_returnflag"), col("n"),
           (abs(element_at(col("_a"), 1) - element_at(col("_e"), 1)) /

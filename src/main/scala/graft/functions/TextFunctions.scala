@@ -33,6 +33,23 @@ object TextFunctions {
     */
   def subwordCount(text: Column): Column = Exprs.subwordCount(text)
 
+  /** Fraction of a document's positional word `k`-grams that are
+    * repeats of an earlier one — the Gopher-style within-document
+    * repetition gate (boilerplate and keyword-stuffed docs score high,
+    * fresh prose near 0). Composes two existing codegen kernels:
+    * distinct-`k`-gram count (shingleHashes) over the positional total
+    * (scanTokens − k + 1), so the whole metric runs inside one codegen
+    * span with no array materialization beyond the shingle kernel's.
+    */
+  def repeatedNgramFraction(text: Column, k: Int): Column = {
+    val n = Exprs.scanTokens(text)
+    val total = when(n === 0, lit(0))
+      .otherwise(greatest(n - (k - 1), lit(1)))
+    val nDistinct = size(Exprs.shingleHashes(text, k))
+    when(total === 0, lit(0.0))
+      .otherwise((total - nDistinct).cast("double") / total.cast("double"))
+  }
+
   /** Characters per token — a crude fertility measure. */
   def charsPerToken(text: Column): Column =
     length(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
@@ -114,6 +131,35 @@ object TextFunctions {
   /** Remove ASCII control characters (keeps \t \n \r). */
   def stripControlChars(text: Column): Column =
     regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  // ------------------------------------------------------ PII scrubbing
+  // Deterministic regex-class PII detection and redaction — the
+  // pre-release scrub every training corpus needs. Patterns stick to
+  // constructs with identical semantics in Java regex and RE2
+  // (character classes, bounded repetition, \b) so a second engine
+  // can verify the redaction byte-for-byte.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** Replace each PII class with a fixed placeholder token. Classes are
+    * applied email → IP → phone, on the output of the previous step
+    * (documented order: counts are taken on the ORIGINAL text).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 
   /** Polynomial rolling-hash fingerprint of the document text (base-31
     * over code points, 64-bit wraparound) — the classic Rabin-Karp

@@ -205,6 +205,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Corpus-wide exact LINE dedup (the C4 preprocessing step): every
+    * line that occurs more than once in the whole corpus is kept only
+    * at its first occurrence (lowest (`idCol`, line position)), and
+    * documents are reassembled from their surviving lines in order.
+    *
+    * Scale shape: explode to (id, pos, line) rows, repartition on the
+    * 8-byte line hash (text rides as payload — same discipline as
+    * [[exactDedup]]), window keep-first, then regroup per document.
+    * Per-document reassembly state is one document's own lines — never
+    * a cross-document buffer. Returns (id, n_kept, text_dedup) with
+    * docs whose every line was deduplicated away kept as empty strings.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "line")
+    val hashed = lines.withColumn("_h", xxhash64(col("line")))
+      .repartition(col("_h"))
+    val w = Window.partitionBy(col("_h"), col("line")).orderBy(col("id"), col("pos"))
+    val kept = hashed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val reassembled = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("text_dedup"))
+    df.select(col(idCol).as("id"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Incremental exact dedup: which `incoming` documents already exist
     * (by content) in `existing` — the ingestion-time check that keeps a
     * corpus append-only-clean without re-deduplicating the whole corpus

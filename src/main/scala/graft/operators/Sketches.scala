@@ -87,4 +87,74 @@ object Sketches {
     val agg = udaf(new KmvDistinct(k), Encoders.scalaLong)
     agg(hashed)
   }
+
+  /** Misra–Gries heavy-hitters buffer: at most `capacity` (term,
+    * counter) entries. Guarantee: for every term,
+    * trueCount − n/capacity ≤ estimate ≤ trueCount, and any term with
+    * frequency > n/capacity is present — so with capacity above the
+    * distinct-term count the counters are exactly the frequencies.
+    */
+  case class MgBuf(counts: Map[String, Long])
+
+  /** Mergeable Misra–Gries aggregator. `reduce` is O(1) on hits and
+    * O(capacity) on misses with a full buffer (the decrement sweep);
+    * `merge` sums both maps then trims to capacity by subtracting the
+    * (capacity+1)-th largest counter — the standard mergeable-MG rule,
+    * which preserves the n/capacity error bound. State is ≤ capacity
+    * entries regardless of input size, so the shuffle carries a bounded
+    * map per group — never the term universe.
+    */
+  class MisraGries(capacity: Int) extends Aggregator[String, MgBuf, Map[String, Long]] {
+    require(capacity >= 1)
+    def zero: MgBuf = MgBuf(Map.empty)
+    def reduce(b: MgBuf, t: String): MgBuf = {
+      val m = b.counts
+      m.get(t) match {
+        case Some(c) => MgBuf(m.updated(t, c + 1))
+        case None if m.size < capacity => MgBuf(m.updated(t, 1L))
+        case None =>
+          // decrement sweep: every counter −1, drop zeros (the new
+          // term's implicit +1 and −1 cancel)
+          MgBuf(m.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None })
+      }
+    }
+    def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val summed = y.counts.foldLeft(x.counts) { case (m, (k, c)) =>
+        m.updated(k, m.getOrElse(k, 0L) + c)
+      }
+      if (summed.size <= capacity) MgBuf(summed)
+      else {
+        val cut = summed.values.toArray.sortBy(-_).apply(capacity)
+        MgBuf(summed.flatMap { case (k, c) =>
+          if (c > cut) Some(k -> (c - cut)) else None
+        })
+      }
+    }
+    def finish(b: MgBuf): Map[String, Long] = b.counts
+    def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Corpus-wide approximate top-`topN` heavy hitters of a string
+    * column. One pass, bounded state (`capacity` counters per
+    * partition-local buffer); with capacity above the distinct count
+    * the result is exact — the configuration an oracle can check.
+    */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, termCol: String,
+                   capacity: Int, topN: Int): org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new MisraGries(capacity), Encoders.STRING)
+    // post-agg there is ONE row holding a ≤ capacity map, so ranking is
+    // an array_sort over its entries — no window, no extra shuffle
+    val ranked = array_sort(map_entries(col("_m")), (a, b) =>
+      when(a.getField("value") > b.getField("value"), -1)
+        .when(a.getField("value") < b.getField("value"), 1)
+        .when(a.getField("key") < b.getField("key"), -1)
+        .when(a.getField("key") > b.getField("key"), 1)
+        .otherwise(0))
+    df.agg(agg(col(termCol)).as("_m"))
+      .select(posexplode(slice(ranked, 1, topN)))
+      .select(col("col.key").as("term"), col("col.value").as("est_count"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

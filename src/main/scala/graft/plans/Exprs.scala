@@ -185,6 +185,18 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class ScanTokens(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "scan_tokens"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.scanTokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.scanTokens($c)")
+    override protected def withNewChildInternal(newChild: Expression): ScanTokens =
+      copy(child = newChild)
+  }
+
   case class PrefixTokens(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -265,6 +277,7 @@ object Exprs {
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))
+  def scanTokens(c: Column): Column = col(ScanTokens(ex(c)))
   def tokenCount(c: Column): Column = col(TokenCount(ex(c)))
   def meanTokenLen(c: Column): Column = col(MeanTokenLen(ex(c)))
   def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))

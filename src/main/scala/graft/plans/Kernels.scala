@@ -349,6 +349,26 @@ object Kernels {
     h
   }
 
+  /** Total token count under the SHINGLE tokenizer ([[minhash]] /
+    * [[shingleHashes]] semantics: `Character.isWhitespace` boundaries,
+    * empty tokens skipped — NOT the `split("\\s+")` edge-case semantics
+    * of [[tokenCount]]). The denominator for positional n-gram
+    * statistics: nShingles(k) = max(1, scanTokens − k + 1) when > 0.
+    */
+  def scanTokens(text: UTF8String): Int = {
+    val s = text.toString
+    var n = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) n += 1
+    }
+    n
+  }
+
   /** First `n` lowercase whitespace tokens joined by single spaces —
     * the normalized prefix key for prefix dedup. Single pass, one
     * output allocation; replaces an interpreted `split → slice →

@@ -286,4 +286,51 @@ class FunctionsSpec extends SparkSpec {
         s"mismatch on ${samples(i).replace("\n", "\\n").replace("\t", "\\t")}")
     }
   }
+
+  test("repeatedNgramFraction: brute-force equality and edge cases") {
+    import spark.implicits._
+    def brute(text: String, k: Int): Double = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) return 0.0
+      val total = math.max(toks.size - k + 1, 1)
+      val grams = (0 until total).map(i => toks.slice(i, i + k).mkString(" "))
+      (total - grams.distinct.size).toDouble / total
+    }
+    val samples = Seq(
+      "the cat sat on the mat the cat sat again",
+      "a a a a a a",                       // maximal repetition
+      "one two three four",                // no repetition
+      "single",                            // fewer tokens than k
+      "  leading and trailing  ",
+      "")
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.repeatedNgramFraction(col("text"), 2).as("r2"),
+        TextFunctions.repeatedNgramFraction(col("text"), 3).as("r3"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    samples.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === ((brute(t, 2), brute(t, 3))), s"on '$t'")
+    }
+  }
+
+  test("PII counts and redaction") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail a.b@x.io or c_d%e@sub.domain.org today"),
+      (1L, "host 10.0.0.1 and 255.255.255.255; version 1.2 is not an ip"),
+      (2L, "call +1-555-0142 or +44-555-9999"),
+      (3L, "clean text, nothing to scrub")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.emailCount(col("text")).as("e"),
+        TextFunctions.ipv4Count(col("text")).as("i"),
+        TextFunctions.phoneCount(col("text")).as("p"),
+        TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(0L) === ((2, 0, 0, "mail <EMAIL> or <EMAIL> today")))
+    assert(got(1L) === ((0, 2, 0,
+      "host <IP> and <IP>; version 1.2 is not an ip")))
+    assert(got(2L) === ((0, 0, 2, "call <PHONE> or <PHONE>")))
+    assert(got(3L) === ((0, 0, 0, "clean text, nothing to scrub")))
+  }
 }

@@ -218,6 +218,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "a", "b").count() === 0L)
   }
 
+  test("lineDedup keeps only global first occurrences and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\ncommon line\ngamma"),
+      (2L, "common line\ndelta"),           // loses line 0 to doc 1
+      (3L, "common line"),                  // loses its ONLY line
+      (4L, "alpha beta\nalpha beta")        // intra-doc dup: keeps first only
+    ).toDF("doc_id", "text")
+    val byId = Dedup.lineDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byId(1L) === ((3L, "alpha beta\ncommon line\ngamma")))
+    assert(byId(2L) === ((1L, "delta")))
+    assert(byId(3L) === ((0L, "")))
+    assert(byId(4L) === ((0L, "")), "both lines lost to doc 1's first line")
+  }
+
   test("HashFunctions.jaccard matches the scala brute force") {
     val df = docsDf(Seq(base, base + " tonight"))
     val j = df.as("a").crossJoin(df.as("b"))

@@ -31,4 +31,30 @@ class SketchesSpec extends SparkSpec {
       .agg(Sketches.kmvDistinct(col("v"), k = 64)).head().getDouble(0)
     assert(a === b, "k-min-set is a set union — layout must not matter")
   }
+
+  test("Misra-Gries: exact when capacity exceeds the distinct count") {
+    import spark.implicits._
+    // zipf-ish: term t_i appears (20 - i) times, 20 distinct terms
+    val rows = (0 until 20).flatMap(i => Seq.fill(20 - i)(s"t$i"))
+    val df = new scala.util.Random(42).shuffle(rows).toDF("term").repartition(8)
+    val top = Sketches.heavyHitters(df, "term", capacity = 32, topN = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq(("t0", 20L, 1L), ("t1", 19L, 2L),
+      ("t2", 18L, 3L), ("t3", 17L, 4L), ("t4", 16L, 5L)))
+  }
+
+  test("Misra-Gries: sub-capacity estimates honor the n/capacity bound " +
+       "and heavy terms survive") {
+    import spark.implicits._
+    // 1000 occurrences of 'hot', plus 500 singleton terms; capacity 50
+    // << 501 distinct. MG bound: est in [true - n/cap, true].
+    val rows = Seq.fill(1000)("hot") ++ (0 until 500).map(i => s"rare$i")
+    val n = rows.size
+    val df = new scala.util.Random(42).shuffle(rows).toDF("term").repartition(8)
+    val top = Sketches.heavyHitters(df, "term", capacity = 50, topN = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head._1 === "hot", "a term with freq > n/capacity must survive")
+    val est = top.head._2
+    assert(est <= 1000 && est >= 1000 - n / 50, s"estimate $est outside MG bound")
+  }
 }
