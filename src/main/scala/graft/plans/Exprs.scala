@@ -185,6 +185,19 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class ChunkTokens(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "chunk_tokens"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.chunkTokens(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.chunkTokens($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ChunkTokens =
+      copy(child = newChild)
+  }
+
   case class ScanTokens(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -278,6 +291,7 @@ object Exprs {
   def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))
   def scanTokens(c: Column): Column = col(ScanTokens(ex(c)))
+  def chunkTokens(c: Column, n: Int): Column = col(ChunkTokens(ex(c), n))
   def tokenCount(c: Column): Column = col(TokenCount(ex(c)))
   def meanTokenLen(c: Column): Column = col(MeanTokenLen(ex(c)))
   def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))

@@ -395,6 +395,33 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Lowercased whitespace tokens joined by single spaces with a
+    * newline after every `n`-th token — re-lines unstructured text to a
+    * fixed token granularity for line-level operators
+    * ([[graft.operators.Dedup.lineDedup]]). Single pass like
+    * [[prefixTokens]]; no tokens → "". (A backtracking-regex
+    * formulation of the same transform measured ~0.4 ms/doc — this
+    * kernel is linear.)
+    */
+  def chunkTokens(text: UTF8String, n: Int): UTF8String = {
+    val s = text.toString.toLowerCase
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var tok = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (tok > 0) sb.append(if (tok % n == 0) '\n' else ' ')
+        sb.append(s, start, i)
+        tok += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Index of the centroid (rows of the flattened `cents` array, `dim`
     * floats each) with the highest dot product against the normalized
     * input vector. Mirrors the spherical k-means assignment in

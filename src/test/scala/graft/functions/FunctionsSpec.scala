@@ -313,6 +313,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens re-lines at exact token boundaries") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e"),          // n=2 → "a b\nc d\ne"
+      (1L, "  One   TWO  three "), // normalization + odd whitespace
+      (2L, "solo"),
+      (3L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.plans.Exprs.chunkTokens(col("text"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "a b\nc d\ne")
+    assert(got(1L) === "one two\nthree")
+    assert(got(2L) === "solo")
+    assert(got(3L) === "")
+  }
+
   test("PII counts and redaction") {
     import spark.implicits._
     val df = Seq(
