@@ -44,13 +44,14 @@ object OracleSql {
     s"xor($s3, $s3 >> 31)"
   }
 
-  /** Base-31 polynomial over a string's code points with the kernels'
-    * seed, mod 2^64 — [[graft.plans.Kernels]]'s token/shingle
-    * polynomial (31·h ≤ 2^69 stays inside HUGEINT, so no split
-    * needed). `s` is a VARCHAR-typed SQL expression; result UBIGINT.
+  /** Base-31 polynomial over a string's code points, mod 2^64 —
+    * [[graft.plans.Kernels]]'s token/shingle polynomial with its
+    * default seed, or the seed-0 variant of `fingerprint64` (31·h ≤
+    * 2^69 stays inside HUGEINT, so no split needed). `s` is a
+    * VARCHAR-typed SQL expression; result UBIGINT.
     */
-  def poly31(s: String): String =
-    s"CAST(list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+  def poly31(s: String, seed: Long = 1125899906842597L): String =
+    s"CAST(list_reduce(list_prepend(CAST($seed AS HUGEINT), " +
       s"list_transform(string_split($s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
       s"(h, c) -> (31*h + c) % $M64) AS UBIGINT)"
 

@@ -777,6 +777,57 @@ object Queries {
              |WHERE sh.doc_id >= 20""".stripMargin),
       "benchmark decontamination (shingle overlap with a held-out set)"),
 
+    Q("q81_bloom_prune",
+      (s, d) => {
+        // benchmark-decontamination pre-filter: bloom built over the
+        // first 20 docs' content fingerprints, corpus probed with the
+        // codegen bloom_contains expression. mBits=256 is deliberately
+        // small so false positives EXIST and are themselves verified —
+        // the filter is mix64-deterministic, so the oracle reconstructs
+        // the exact bit set and reproduces every flag.
+        val docs = documents(s, d)
+        val bench = docs.filter(col("doc_id") < 20)
+        val corpus = docs.filter(col("doc_id") >= 20)
+        val bits = Bloom.build(bench, "text", mBits = 256, k = 3)
+        val flags = Bloom.membershipFlags(corpus, bits, mBits = 256, k = 3,
+          "text", "doc_id")
+        val actual = bench.select(col("text")).distinct()
+          .withColumn("_in", lit(1))
+        corpus.select(col("doc_id"), col("text"))
+          .join(broadcast(actual), Seq("text"), "left")
+          .select(col("doc_id"), col("_in").isNotNull.as("actually_in"))
+          .join(flags, Seq("doc_id"))
+          .select(col("doc_id"), col("flagged"), col("actually_in"))
+      },
+      Some {
+        // probe position i of a document: unsigned mix64(fp + i) mod 256,
+        // where fp is the seed-0 base-31 fingerprint of the raw text
+        val fp = OracleSql.poly31("text", seed = 0L)
+        val pos = OracleSql.mix64(
+          s"CAST((CAST(hu AS HUGEINT) + i) % ${OracleSql.M64} AS UBIGINT)") + " % 256"
+        s"""WITH fps AS (
+           |  SELECT doc_id, text, $fp AS hu FROM documents
+           |), pp AS (
+           |  SELECT doc_id, i, $pos AS pos
+           |  FROM fps, (SELECT unnest(range(3)) AS i)
+           |), bench_pos AS (
+           |  SELECT DISTINCT pos FROM pp WHERE doc_id < 20
+           |), flg AS (
+           |  SELECT dp.doc_id, bool_and(bp.pos IS NOT NULL) AS flagged
+           |  FROM (SELECT doc_id, pos FROM pp WHERE doc_id >= 20) dp
+           |  LEFT JOIN bench_pos bp ON dp.pos = bp.pos
+           |  GROUP BY dp.doc_id
+           |), act AS (
+           |  SELECT c.doc_id,
+           |         EXISTS (SELECT 1 FROM documents b
+           |                 WHERE b.doc_id < 20 AND b.text = c.text) AS actually_in
+           |  FROM documents c WHERE c.doc_id >= 20
+           |)
+           |SELECT f.doc_id, f.flagged, a.actually_in
+           |FROM flg f JOIN act a USING (doc_id)""".stripMargin
+      },
+      "bloom-filter membership pruning (deterministic bit set; flags incl. false positives oracle-reproduced)"),
+
     Q("q37_embed_neardup",
       (s, d) => {
         // the raw corpus has no pairs at cosine ≥ 0.85 (max ≈ 0.51), so

@@ -262,6 +262,25 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Bloom-filter membership probe against a reference bit array (the
+    * [[NearestCentroid]] pattern: the array rides in the generated
+    * class via `addReferenceObj`, so the per-row cost is k masked
+    * loads inside codegen).
+    */
+  case class BloomContains(child: Expression, words: Array[Long], mBits: Int, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_contains"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.bloomContains(input.asInstanceOf[Long], words, mBits, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.bloomContains($c, $ref, $mBits, $k)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomContains =
+      copy(child = newChild)
+  }
+
   case class HyperplaneSig(child: Expression, bits: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -292,6 +311,8 @@ object Exprs {
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))
   def scanTokens(c: Column): Column = col(ScanTokens(ex(c)))
   def chunkTokens(c: Column, n: Int): Column = col(ChunkTokens(ex(c), n))
+  def bloomContains(c: Column, words: Array[Long], mBits: Int, k: Int): Column =
+    col(BloomContains(ex(c), words, mBits, k))
   def tokenCount(c: Column): Column = col(TokenCount(ex(c)))
   def meanTokenLen(c: Column): Column = col(MeanTokenLen(ex(c)))
   def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))

@@ -422,6 +422,21 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Bloom-filter probe: true iff all `k` probe positions of content
+    * fingerprint `h` are set in the packed `words` bit array (`mBits`
+    * bits). Positions mirror [[graft.operators.Bloom.setBits]] exactly:
+    * unsigned mix64(h + i) mod mBits.
+    */
+  def bloomContains(h: Long, words: Array[Long], mBits: Int, k: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      val p = java.lang.Long.remainderUnsigned(mix64(h + i), mBits.toLong)
+      if (((words((p >>> 6).toInt) >>> (p & 63).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Index of the centroid (rows of the flattened `cents` array, `dim`
     * floats each) with the highest dot product against the normalized
     * input vector. Mirrors the spherical k-means assignment in

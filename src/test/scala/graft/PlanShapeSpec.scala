@@ -98,4 +98,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_quantity"))
     assert(!p.contains("l_comment"), "unused wide column must be pruned from the scan")
   }
+
+  test("q80: line dedup shuffles on the 8-byte line hash, window reuses it") {
+    // the keep-first window's (hash, line) clustering must be satisfied
+    // by the explicit hash repartition — no second exchange for the
+    // window, text rides as payload
+    val p = plan("q80_line_dedup")
+    assert(p.contains("Exchange hashpartitioning(_h#"),
+      "explicit 8-byte hash repartition must be the window's exchange")
+    val windowExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(_h#") && !l.contains("Reused"))
+    assert(windowExchanges === 1, s"one hash exchange expected:\n$p")
+  }
+
+  test("q79: Misra-Gries partial-aggregates below the single-partition exchange") {
+    // the global heavy-hitter agg must combine map-side (bounded
+    // capacity-sized buffers travel, never the token stream)
+    val p = plan("q79_heavy_hitters")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(_.contains("partial_misragries"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(partialIdx >= 0, s"partial MG aggregation must exist:\n$p")
+    assert(exchangeIdx >= 0)
+    assert(partialIdx > exchangeIdx,
+      "partial agg must run before the single-partition exchange")
+  }
 }
