@@ -332,8 +332,15 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-    val bi = e.unionByName(e.select(col("_d").as("_s"), col("_s").as("_d")))
+    // bidirectional fan-out via ONE explode, not a self-union: a union
+    // of e with its reversal evaluates the (possibly expensive)
+    // upstream edge pipeline twice — e.g. q64's near-dup pair
+    // generation, its dominant cost
+    val bi = edges
+      .select(explode(array(
+        struct(col(srcCol).as("_s"), col(dstCol).as("_d")),
+        struct(col(dstCol).as("_s"), col(srcCol).as("_d")))).as("_e"))
+      .select(col("_e._s").as("_s"), col("_e._d").as("_d"))
       .distinct()
       .localCheckpoint(true)
     // init fuses the first propagation round for free: label(v) =
