@@ -33,6 +33,66 @@ object Queries {
   private val priorityLadder =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
+  /** Shared DuckDB re-derivation of the MinHash+LSH pipeline (q34/q82):
+    * signatures from inlined permutation constants, 4-row band keys,
+    * band-bucket candidates, match-fraction estimate. `pairCond` picks
+    * the candidate pair space ("a.doc_id < b.doc_id" for the self-join,
+    * a corpus/batch split for the incremental check); `selA`/`selB`
+    * name the output id columns.
+    */
+  private def minhashOracleSql(pairCond: String, selA: String, selB: String,
+                               threshold: Double): String = {
+    val shingleHash = OracleSql.mix64(OracleSql.poly31("s"))
+    val perms = OracleSql.minhashPerms(64)
+    val alist = perms.map(_._1).mkString("[", ",", "]")
+    val blist = perms.map(_._2).mkString("[", ",", "]")
+    val m64 = OracleSql.M64
+    // (a·h + b) mod 2^64 with BOTH factors 64-bit: split h into 32-bit
+    // halves so no partial product overflows INT128
+    val mulAH = s"CAST(((CAST(a AS HUGEINT) * CAST(h & 4294967295 AS HUGEINT)) % $m64 + " +
+      s"((CAST(a AS HUGEINT) * CAST(h >> 32 AS HUGEINT)) % 4294967296) * 4294967296) % $m64 AS UBIGINT)"
+    val valU = s"CAST((CAST($mulAH AS HUGEINT) + CAST(b AS HUGEINT)) % $m64 AS UBIGINT)"
+    val valS = OracleSql.toSigned(valU)
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '') AS tk
+       |  FROM documents
+       |), shs AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+       |    FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)])) AS s
+       |  FROM toks WHERE len(tk) > 0
+       |), shh AS (
+       |  SELECT doc_id, $shingleHash AS h FROM shs
+       |), perms AS (
+       |  SELECT p, CAST(al[p+1] AS UBIGINT) AS a, CAST(bl[p+1] AS UBIGINT) AS b
+       |  FROM (SELECT unnest(range(64)) AS p), (SELECT $alist AS al, $blist AS bl)
+       |), minv AS (
+       |  SELECT doc_id, p, min($valS) AS v
+       |  FROM shh CROSS JOIN perms GROUP BY doc_id, p
+       |), sig AS (
+       |  SELECT d.doc_id, pr.p, coalesce(m.v, 9223372036854775807) AS v
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(64)) AS p) pr
+       |  LEFT JOIN minv m ON m.doc_id = d.doc_id AND m.p = pr.p
+       |), bands AS (
+       |  SELECT doc_id, p // 4 AS band,
+       |         array_to_string(list(v ORDER BY p), ',') AS bk
+       |  FROM sig GROUP BY doc_id, p // 4
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND $pairCond
+       |), mt AS (
+       |  SELECT c.id_a, c.id_b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS m
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+       |  GROUP BY c.id_a, c.id_b
+       |)
+       |SELECT id_a AS $selA, id_b AS $selB, round(m / 64.0, 4) AS est_jaccard
+       |FROM mt WHERE m / 64.0 >= $threshold""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------- A1 family
@@ -502,57 +562,7 @@ object Queries {
       // replays candidate generation + estimation. (Band equality is
       // checked on the raw 4-minhash slice; Spark buckets on
       // xxhash64(slice), identical up to 64-bit hash collisions.)
-      Some {
-        val shingleHash = OracleSql.mix64(OracleSql.poly31("s"))
-        val perms = OracleSql.minhashPerms(64)
-        val alist = perms.map(_._1).mkString("[", ",", "]")
-        val blist = perms.map(_._2).mkString("[", ",", "]")
-        val m64 = OracleSql.M64
-        // (a·h + b) mod 2^64 with BOTH factors 64-bit: split h into
-        // 32-bit halves so no partial product overflows INT128
-        val mulAH = s"CAST(((CAST(a AS HUGEINT) * CAST(h & 4294967295 AS HUGEINT)) % $m64 + " +
-          s"((CAST(a AS HUGEINT) * CAST(h >> 32 AS HUGEINT)) % 4294967296) * 4294967296) % $m64 AS UBIGINT)"
-        val valU = s"CAST((CAST($mulAH AS HUGEINT) + CAST(b AS HUGEINT)) % $m64 AS UBIGINT)"
-        val valS = OracleSql.toSigned(valU)
-        s"""WITH toks AS (
-           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-           |    t -> t <> '') AS tk
-           |  FROM documents
-           |), shs AS (
-           |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
-           |    FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)])) AS s
-           |  FROM toks WHERE len(tk) > 0
-           |), shh AS (
-           |  SELECT doc_id, $shingleHash AS h FROM shs
-           |), perms AS (
-           |  SELECT p, CAST(al[p+1] AS UBIGINT) AS a, CAST(bl[p+1] AS UBIGINT) AS b
-           |  FROM (SELECT unnest(range(64)) AS p), (SELECT $alist AS al, $blist AS bl)
-           |), minv AS (
-           |  SELECT doc_id, p, min($valS) AS v
-           |  FROM shh CROSS JOIN perms GROUP BY doc_id, p
-           |), sig AS (
-           |  SELECT d.doc_id, pr.p, coalesce(m.v, 9223372036854775807) AS v
-           |  FROM (SELECT DISTINCT doc_id FROM documents) d
-           |  CROSS JOIN (SELECT unnest(range(64)) AS p) pr
-           |  LEFT JOIN minv m ON m.doc_id = d.doc_id AND m.p = pr.p
-           |), bands AS (
-           |  SELECT doc_id, p // 4 AS band,
-           |         array_to_string(list(v ORDER BY p), ',') AS bk
-           |  FROM sig GROUP BY doc_id, p // 4
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-           |), mt AS (
-           |  SELECT c.id_a, c.id_b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS m
-           |  FROM cand c
-           |  JOIN sig sa ON sa.doc_id = c.id_a
-           |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
-           |  GROUP BY c.id_a, c.id_b
-           |)
-           |SELECT id_a, id_b, round(m / 64.0, 4) AS est_jaccard
-           |FROM mt WHERE m / 64.0 >= 0.2""".stripMargin
-      },
+      Some(minhashOracleSql("a.doc_id < b.doc_id", "id_a", "id_b", 0.2)),
       "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket join; signatures oracle-recomputed in SQL)"),
 
     Q("q35_dedup_simhash",
@@ -703,6 +713,21 @@ object Queries {
              |       coalesce(a.text_dedup, '') AS text_dedup
              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
       "corpus-wide exact line dedup, C4-style (keep first occurrence, reassemble documents)"),
+
+    Q("q82_minhash_incremental",
+      (s, d) => {
+        // ingest-time near-dup: docs ≥ 400 are the incoming batch,
+        // probed against the existing corpus via broadcast banded keys
+        // — the corpus never shuffles (the approximate twin of q74)
+        val docs = documents(s, d)
+        Dedup.minhashAgainst(docs.filter(col("doc_id") < 400),
+            docs.filter(col("doc_id") >= 400), "text", "doc_id",
+            shingleK = 3, numPerms = 64, bands = 16, threshold = 0.2)
+          .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      },
+      Some(minhashOracleSql("a.doc_id < 400 AND b.doc_id >= 400",
+        "existing_id", "incoming_id", 0.2)),
+      "incremental MinHash near-dup (new batch broadcast against the corpus band index)"),
 
     Q("q74_incremental_dedup",
       (s, d) => {

@@ -90,6 +90,47 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Ingest-time near-dup check: MinHash+LSH candidates of `incoming`
+    * documents against an `existing` corpus — the approximate
+    * counterpart of [[exactDupsAgainst]]. The incoming batch is small
+    * by assumption, so its banded keys BROADCAST against the corpus's
+    * banded scan: the corpus never shuffles, exactly like the exact
+    * variant. Returns (existing_id, incoming_id, est_jaccard ≥
+    * threshold) for surviving candidates.
+    */
+  def minhashAgainst(existing: DataFrame, incoming: DataFrame,
+                     textCol: String, idCol: String,
+                     shingleK: Int = 3, numPerms: Int = 64,
+                     bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val rows = numPerms / bands
+    def sigOf(df: DataFrame) = df.select(col(idCol).as("id"),
+      Exprs.minhashSig(col(textCol), shingleK, numPerms).as("sig"))
+    def bandedOf(sig: DataFrame) = sig.select(col("id"),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("band"),
+            xxhash64(slice(col("sig"), bi * rows + 1, rows)).as("bh"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val exSig = sigOf(existing)
+    val inSig = sigOf(incoming)
+    val cand = bandedOf(exSig).as("a")
+      .join(broadcast(bandedOf(inSig)).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("existing_id"), col("b.id").as("incoming_id"))
+      .dropDuplicates("existing_id", "incoming_id")
+    cand
+      .join(exSig.select(col("id").as("existing_id"), col("sig").as("siga")), "existing_id")
+      .join(broadcast(inSig.select(col("id").as("incoming_id"), col("sig").as("sigb"))),
+        "incoming_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numPerms).cast("double"))
+      .drop("siga", "sigb")
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs with a **guaranteed-recall wide-key banding**
     * (the block-combination scheme from Manku et al.'s simhash web-dedup
     * paper, re-derived): split the 64-bit fingerprint into
