@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * Ranking ties are broken on the ROUNDED score then term, so the
   * selected set is stable across engines/platforms whose `ln` differs
   * in the last ulp.
+  *
+  * The per-doc top-k is a rank WINDOW, not a bounded Aggregator, by
+  * measurement: a TopKAgg-style udaf was 2× slower here (4.5 s vs
+  * 2.6 s at sf0.1) because every scored row pays the typed-encoder
+  * conversion into the JVM aggregator, while the window's sort is
+  * whole-stage-codegen. The window's buffered state is one document's
+  * distinct terms — bounded by document length, not corpus size — so
+  * the scale argument holds either way.
   */
 object TfIdf {
 
