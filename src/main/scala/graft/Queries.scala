@@ -1737,6 +1737,63 @@ object Queries {
              |ON c.user_id = v.user_id AND c.ts >= v.view_ts""".stripMargin),
       "as-of backward join (union + running last; oracle is DuckDB's native ASOF JOIN)"),
 
+    Q("q83_funnel",
+      (s, d) => {
+        // view→click conversion per user: a view converts when SOME
+        // click follows it within 30 minutes. next-click-ts is a
+        // suffix-min window over clicks only — one shuffle, no
+        // view×click product
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        events(s, d)
+          .withColumn("_next_click",
+            min(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_views"),
+            sum(when(col("_next_click").isNotNull &&
+              col("_next_click").cast("double") - col("ts").cast("double") <= 1800,
+              1L).otherwise(0L)).as("n_converted"))
+      },
+      Some("""SELECT user_id, count(*) AS n_views,
+             |CAST(sum(CASE WHEN next_click IS NOT NULL
+             |  AND epoch(next_click) - epoch(ts) <= 1800 THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS n_converted
+             |FROM (
+             |  SELECT user_id, ts, event_type,
+             |    min(CASE WHEN event_type = 'click' THEN ts END) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click
+             |  FROM events)
+             |WHERE event_type = 'view' GROUP BY user_id""".stripMargin),
+      "funnel conversion (view→click within window via suffix-min, no event product)"),
+
+    Q("q84_asof_forward",
+      (s, d) => {
+        // for each view, the NEXT click at-or-after it per user —
+        // the forward twin of q52; right side pre-deduped per
+        // (user, ts) so tie resolution is deterministic
+        val ev = events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_id"),
+            round(max_by(col("value"), col("event_id")), 2).as("click_value"))
+        AsofJoin.asofForward(views, clicks, Seq("user_id"), "ts", "click_ts",
+            Seq("click_id", "click_value"))
+          .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"))
+      },
+      Some("""WITH views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+             |clicks AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id,
+             |  round(arg_max(value, event_id), 2) AS click_value
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT v.event_id, v.user_id, c.click_id, c.click_value
+             |FROM views v ASOF LEFT JOIN clicks c
+             |ON v.user_id = c.user_id AND v.ts <= c.click_ts""".stripMargin),
+      "as-of forward join (next event at-or-after; oracle is DuckDB's native ASOF with <=)"),
+
     Q("q51_corpus_clean",
       (s, d) => {
         // the composed training-corpus cleaning pipeline: quality gate →

@@ -40,7 +40,30 @@ object AsofJoin {
                    partitionKeys: Seq[String],
                    leftTs: String, rightTs: String,
                    rightPayload: Seq[String],
-                   rightTieBreaker: Option[String] = None): DataFrame = {
+                   rightTieBreaker: Option[String] = None): DataFrame =
+    asofImpl(left, right, partitionKeys, leftTs, rightTs, rightPayload,
+      rightTieBreaker, forward = false)
+
+  /** As-of FORWARD join — for every left row, the EARLIEST right row
+    * whose timestamp is ≥ the left row's (the "next event after" form:
+    * next click after a view, next quote after an order). Same
+    * union-and-running-carry shape as [[asofBackward]] with the sort
+    * direction reversed; identical one-shuffle linear cost.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  partitionKeys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightPayload: Seq[String],
+                  rightTieBreaker: Option[String] = None): DataFrame =
+    asofImpl(left, right, partitionKeys, leftTs, rightTs, rightPayload,
+      rightTieBreaker, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       partitionKeys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       rightPayload: Seq[String],
+                       rightTieBreaker: Option[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightPayload.intersect(leftCols).isEmpty,
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
@@ -61,9 +84,13 @@ object AsofJoin {
       .unionByName(taggedLeft)
     // ties within same (_ts, _tag=0) resolve by _tie ascending, so the
     // running `last` carries the max-tiebreaker right row; _tie is null
-    // on left rows and never reorders across tags (tag dominates)
+    // on left rows and never reorders across tags (tag dominates).
+    // Forward mode reverses only the timestamp direction: scanning
+    // descending ts, the running carry holds the nearest FOLLOWING
+    // right row, and tag 0 < 1 keeps the same-timestamp match inclusive.
+    val tsOrder = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(partitionKeys.map(col): _*)
-      .orderBy(col("_ts"), col("_tag"), col("_tie"))
+      .orderBy(tsOrder, col("_tag"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("_match", last(col("_pay"), ignoreNulls = true).over(w))

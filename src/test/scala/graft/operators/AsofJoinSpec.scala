@@ -39,6 +39,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(out2.select(col("rv")).head().getString(0) === "latest")
   }
 
+  test("asofForward: earliest right row at or after each left timestamp") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l10"), (1L, 15L, "l15"), (1L, 5L, "l5"),
+      (2L, 12L, "l2_12")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 5L, "r5"), (1L, 12L, "r12"), (2L, 11L, "r11")).toDF("k", "rts", "rv")
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+      .collect().map(r => (r.getAs[String]("lv"), Option(r.getAs[String]("rv")).orNull)).toMap
+    assert(out("l5") === "r5")     // inclusive: rts == ts matches
+    assert(out("l10") === "r12")   // r5 is in the past
+    assert(out("l15") === null)    // nothing follows
+    assert(out("l2_12") === null)  // key 2's only right row is earlier
+  }
+
+  test("asofForward tiebreaker: max-tiebreaker right row wins exact (key, ts) ties") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 10L, 1L, "first"), (1L, 10L, 3L, "latest"), (1L, 10L, 2L, "middle"))
+      .toDF("k", "rts", "seq", "rv")
+    val out = AsofJoin.asofForward(left, right.repartition(5), Seq("k"), "ts", "rts",
+      Seq("rv"), rightTieBreaker = Some("seq"))
+    assert(out.select(col("rv")).head().getString(0) === "latest")
+  }
+
   test("asofBackward carries multiple payload columns and preserves left schema") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "ts")
