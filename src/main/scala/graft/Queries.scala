@@ -1576,6 +1576,25 @@ object Queries {
              |FROM orders GROUP BY o_orderpriority""".stripMargin),
       "deterministic stratified hash-sampling (corpus curation; rates bound-checked)"),
 
+    Q("q85_token_shards",
+      (s, d) => Sampling.tokenShards(documents(s, d), "doc_id", "text",
+          tokensPerShard = 4000)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             |  FROM t
+             |)
+             |SELECT doc_id, n_tokens, CAST(before // 4000 AS BIGINT) AS shard_id
+             |FROM b""".stripMargin),
+      "token-budget sharding (scalable prefix-sum: per-partition sums + driver-folded offsets)"),
+
     Q("q58_range_join",
       (s, d) => {
         // customers matched to same-nation suppliers whose

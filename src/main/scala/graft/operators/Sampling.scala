@@ -54,4 +54,46 @@ object Sampling {
     sources.map { case (df, key, f) => hashSample(df, key, f) }
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
+
+  /** Token-budget sharding for pretraining prep: assign each document a
+    * shard id so every shard holds ≈ `tokensPerShard` tokens of
+    * `orderCol`-consecutive documents — the step that sizes training
+    * shards/epoch files from a curated corpus. shard_id =
+    * floor(tokens-before-this-doc / budget): a document straddling a
+    * boundary belongs to the shard it starts in, so shards overshoot by
+    * at most one document (documented contract; exact bin packing is a
+    * sequential fold — this prefix-sum form scales).
+    *
+    * Scale shape: the [[graft.operators.Relational.globalRowNumberScalable]]
+    * structure generalized from prefix-COUNT to prefix-SUM — range
+    * repartition on the order key, per-partition running sums in the
+    * sort's own stage, per-partition totals (≤ #partitions rows at any
+    * scale) folded to offsets on the driver. NO single-partition
+    * window, no join: the big frame only gains a literal-map lookup.
+    */
+  def tokenShards(df: DataFrame, orderCol: String, textCol: String,
+                  tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0)
+    val sorted = df
+      .withColumn("n_tokens", graft.plans.Exprs.scanTokens(col(textCol)).cast("long"))
+      .repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
+    val withPid = sorted
+      .withColumn("_pid", shiftrightunsigned(monotonically_increasing_id(), 33))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totals = withPid.groupBy(col("_pid"))
+      .agg(sum(col("n_tokens")).as("_ptoks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] =
+      totals.scanLeft((-1L, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+        .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toMap
+    withPid
+      .withColumn("_before",
+        coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", floor(col("_before") / lit(tokensPerShard)).cast("long"))
+      .drop("_pid", "_before")
+  }
 }

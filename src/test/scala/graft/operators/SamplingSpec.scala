@@ -59,4 +59,31 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("tokenShards: prefix-sum semantics, layout invariance, bounded overshoot") {
+    import spark.implicits._
+    // doc i has (i % 7) + 1 tokens; budget 10
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenShards(df, "id", "text", tokensPerShard = 10)
+        .select(col("id"), col("n_tokens"), col("shard_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = run(docs.repartition(3))
+    val b = run(docs.repartition(17).sort(col("id").desc))
+    assert(a.toSeq === b.toSeq, "shard ids must not depend on input layout")
+    // brute-force prefix sum
+    var acc = 0L
+    a.foreach { case (id, n, shard) =>
+      assert(n === (id % 7) + 1)
+      assert(shard === acc / 10, s"doc $id")
+      acc += n
+    }
+    // each shard's token total overshoots the budget by < one max doc
+    val perShard = a.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    perShard.toSeq.sortBy(_._1).dropRight(1).foreach { case (sid, tot) =>
+      assert(tot < 10 + 7, s"shard $sid total $tot")
+    }
+  }
 }
