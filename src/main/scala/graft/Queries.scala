@@ -970,6 +970,50 @@ object Queries {
              |WHERE rank <= 5""".stripMargin),
       "IVF coarse-quantizer ANN (spherical k-means cells; full probe ⇒ exact oracle)"),
 
+    Q("q86_label_centroids",
+      (s, d) => Similarity.labelCentroids(embeddings(s, d), "label", "embedding")
+        // round(3): float sums accumulate in unspecified order on both
+        // engines; the ~1e-13 relative double noise is 10 orders below
+        // the rounding granularity
+        // + 0.0 normalizes IEEE −0.0 (round of a tiny negative mean) to
+        // +0.0 — engines render signed zero differently in text
+        .select(col("label").cast("long").as("label"), col("dim"),
+          (round(col("centroid"), 3) + lit(0.0)).as("centroid")),
+      Some("""SELECT CAST(label AS BIGINT) AS label, dim, round(avg(x), 3) + 0.0 AS centroid
+             |FROM (
+             |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings)
+             |GROUP BY 1, 2""".stripMargin),
+      "per-label embedding centroids (prototype vectors; bounded (label×dim) agg state)"),
+
+    Q("q87_retention",
+      (s, d) => {
+        // cohort retention: users grouped by first-activity day; count
+        // distinct active users per (cohort_day, days_since). Exact
+        // integer outputs — the standard product-analytics rollup.
+        val firstDay = events(s, d).groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("cohort_day"))
+        events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+          .join(firstDay, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("days_since"))
+          .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+      },
+      Some("""WITH fd AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+             |  FROM events GROUP BY user_id
+             |), act AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+             |)
+             |SELECT fd.cohort_day,
+             |       CAST(date_diff('day', fd.cohort_day, act.day) AS BIGINT) AS days_since,
+             |       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+             |FROM act JOIN fd USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+      "cohort retention rollup (first-activity cohorts × days-since, exact counts)"),
+
     // ---------------------------------------------------------- text
     Q("q39_text_stats",
       (s, d) => documents(s, d).select(

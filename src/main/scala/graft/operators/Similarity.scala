@@ -92,6 +92,18 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-label embedding centroids (prototype vectors / class means):
+    * explode to (label, dim, component) rows and average per (label,
+    * dim) — per-group aggregation state is one running (sum, count)
+    * scalar, so group count = labels × dim regardless of corpus size
+    * (never a per-label vector buffer). Returns (label, dim, centroid).
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(avg(col("x").cast("double")).as("centroid"))
+
   /** Per-query top-k reduction via [[TopKAgg]] — partial aggregation
     * bounds map-side state to k rows per query; the final explode emits
     * rank = position in the (cosine desc, id asc) order, matching the

@@ -339,5 +339,6 @@ object Exprs {
     reg.createOrReplaceTempFunction("punct_ratio", es => PunctRatio(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("scan_tokens", es => ScanTokens(es.head), "scala_udf")
   }
 }
