@@ -77,23 +77,36 @@ object Sampling {
     val sorted = df
       .withColumn("n_tokens", graft.plans.Exprs.scanTokens(col(textCol)).cast("long"))
       .repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
-    val withPid = sorted
-      .withColumn("_pid", shiftrightunsigned(monotonically_increasing_id(), 33))
+    // per-partition prefix scan as a narrow mapPartitions in the sort's
+    // own stage — a window partitioned on the task id would force a
+    // second (hash) exchange + re-sort, measured in the plan; a
+    // sequential fold is the one shape a prefix sum genuinely needs
+    val nIdx = sorted.schema.fieldIndex("n_tokens")
+    val outSchema = sorted.schema
+      .add("_pid", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("_lbefore", org.apache.spark.sql.types.LongType, nullable = false)
+    val local = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var acc = 0L
+      it.map { r =>
+        val before = acc
+        acc += r.getLong(nIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ before)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val totals = withPid.groupBy(col("_pid"))
+    // per-partition totals are ≤ #partitions rows at any scale — fold
+    // the running offsets on the driver (the q14 structure)
+    val totals = local.groupBy(col("_pid"))
       .agg(sum(col("n_tokens")).as("_ptoks"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Long, Long] =
       totals.scanLeft((-1L, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
         .sliding(2).collect { case Array((_, off), (pid, _)) => pid -> off }.toMap
-    withPid
-      .withColumn("_before",
-        coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)) +
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("shard_id", floor(col("_before") / lit(tokensPerShard)).cast("long"))
-      .drop("_pid", "_before")
+    local
+      .withColumn("shard_id",
+        floor((coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)) +
+          col("_lbefore")) / lit(tokensPerShard)).cast("long"))
+      .drop("_pid", "_lbefore")
   }
 }

@@ -60,6 +60,15 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("tokenShards plans NO hash exchange (prefix scan rides the range sort's stage)") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, "a b c")).toDF("id", "text")
+    val plan = Sampling.tokenShards(docs, "id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a pid-partitioned window would re-shuffle the frame:\n$plan")
+  }
+
   test("tokenShards: prefix-sum semantics, layout invariance, bounded overshoot") {
     import spark.implicits._
     // doc i has (i % 7) + 1 tokens; budget 10
