@@ -107,6 +107,13 @@ object Sketches {
   class MisraGries(capacity: Int) extends Aggregator[String, MgBuf, Map[String, Long]] {
     require(capacity >= 1)
     def zero: MgBuf = MgBuf(Map.empty)
+    // per-row updates use the immutable HAMT: `updated` is O(log32 cap)
+    // with structural sharing — NOT the O(capacity) full-copy-per-row
+    // pattern the KMV sketch had to engineer away (its sorted primitive
+    // array made every insert a memmove; a persistent map shares all
+    // untouched branches). The O(capacity) paths below (decrement
+    // sweep, merge trim) run per miss-with-full-buffer / per merge,
+    // not per row.
     def reduce(b: MgBuf, t: String): MgBuf = {
       val m = b.counts
       m.get(t) match {
