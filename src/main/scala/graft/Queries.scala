@@ -1912,6 +1912,111 @@ object Queries {
       },
       "composed corpus-cleaning pipeline (quality → language → dedup → fingerprint)"),
 
+    Q("q88_curation_pipeline",
+      (s, d) => {
+        // the COMPLETE modern curation pipeline in one lazy DAG:
+        // plant PII → quality gate → language gate → repetition gate →
+        // PII redaction → exact dedup (hash-first) → token-budget
+        // shards. Every stage is individually oracle-checked
+        // (q78/q40/q41/q77/q47/q85); this query checks the composition.
+        val planted = documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit(" contact bob.smith+x@example-mail.com now"))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              lit(" server at 192.168.1.77 port"))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              lit(" call +1-555-0142 today"))
+            .otherwise(lit(""))).as("t"))
+        val gated = planted.select(col("doc_id"), col("t"),
+            TextFunctions.qualityScore(col("t")).as("quality"),
+            TextFunctions.langIdCol(col("t")).as("lang"),
+            round(TextFunctions.repeatedNgramFraction(col("t"), 2), 6).as("rep2"))
+          .filter(col("quality") >= 0.7 && col("lang").isin("fr", "en") &&
+            col("rep2") <= 0.05)
+        val redacted = gated.withColumn("rt", TextFunctions.redactPii(col("t")))
+        val deduped = Dedup.exactDedup(redacted, "rt", "doc_id")
+        Sampling.tokenShards(deduped, "doc_id", "rt", tokensPerShard = 2000)
+          .select(col("doc_id"), col("quality"), col("lang"), col("rep2"),
+            col("n_tokens"), col("shard_id"))
+      },
+      Some {
+        val profiles = TextFunctions.LangProfiles.toSeq.sortBy(_._1)
+        val scoreExprs = profiles.map { case (lang, grams) =>
+          val hits = grams.map(g => s"CAST(contains(lt, '$g') AS INT)").mkString(" + ")
+          s"($hits) AS s_$lang"
+        }.mkString(", ")
+        s"""WITH planted AS (
+           |  SELECT doc_id, text || CASE
+           |    WHEN doc_id % 4 = 0 THEN ' contact bob.smith+x@example-mail.com now'
+           |    WHEN doc_id % 4 = 1 THEN ' server at 192.168.1.77 port'
+           |    WHEN doc_id % 4 = 2 THEN ' call +1-555-0142 today'
+           |    ELSE '' END AS t
+           |  FROM documents
+           |), base AS (
+           |  SELECT doc_id, t, lower(t) AS lt,
+           |    string_split_regex(lower(trim(t)), '\\s+') AS toks,
+           |    list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS tk
+           |  FROM planted
+           |), m AS (
+           |  SELECT doc_id, t, lt, toks, tk,
+           |    CAST(len(list_filter(toks, x -> list_contains(
+           |      [${TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) /
+           |      greatest(len(toks), 1) AS stopword_ratio,
+           |    CAST(length(t) - length(regexp_replace(t, '[^A-Za-z0-9\\s]', '', 'g'))
+           |      AS DOUBLE) / greatest(length(t), 1) AS punct_ratio,
+           |    CAST(len(toks) AS DOUBLE) AS n FROM base
+           |), q AS (
+           |  SELECT doc_id, t, lt, tk,
+           |    round((least(n / 50, 1) + (1 - least(punct_ratio * 4, 1)) +
+           |      least(stopword_ratio * 5, 1)) / 3, 4) AS quality FROM m
+           |), l AS (SELECT doc_id, t, tk, quality, $scoreExprs FROM q
+           |), lang AS (
+           |  SELECT doc_id, t, tk, quality, CASE
+           |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+           |    WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+           |    WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+           |    WHEN s_de > 0 THEN 'de'
+           |    ELSE 'und' END AS lang FROM l
+           |), rep AS (
+           |  SELECT doc_id, t, quality, lang,
+           |    round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |      (greatest(len(tk) - 1, 1) - len(list_distinct(
+           |        [array_to_string(tk[i:i+1], ' ')
+           |         FOR i IN range(1, greatest(len(tk) - 1, 1) + 1)])))
+           |      / CAST(greatest(len(tk) - 1, 1) AS DOUBLE) END, 6) AS rep2
+           |  FROM lang
+           |), gated AS (
+           |  SELECT * FROM rep
+           |  WHERE quality >= 0.7 AND lang IN ('fr', 'en') AND rep2 <= 0.05
+           |), red AS (
+           |  SELECT doc_id, quality, lang, rep2,
+           |    regexp_replace(regexp_replace(regexp_replace(t,
+           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           |      '\\+\\d{1,2}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS rt
+           |  FROM gated
+           |), dedup AS (
+           |  SELECT doc_id, quality, lang, rep2, rt FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY rt ORDER BY doc_id) AS rn
+           |    FROM red) WHERE rn = 1
+           |), counted AS (
+           |  SELECT doc_id, quality, lang, rep2,
+           |    CAST(len(list_filter(string_split_regex(rt, '\\s+'), x -> x <> ''))
+           |      AS BIGINT) AS n_tokens
+           |  FROM dedup
+           |), sharded AS (
+           |  SELECT doc_id, quality, lang, rep2, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           |  FROM counted
+           |)
+           |SELECT doc_id, quality, lang, rep2, n_tokens,
+           |       CAST(before // 2000 AS BIGINT) AS shard_id
+           |FROM sharded""".stripMargin
+      },
+      "composed curation pipeline v2 (PII plant → quality/lang/repetition gates → redact → dedup → shards)"),
+
     Q("q42_fingerprint",
       (s, d) => {
         val toks = split(lower(trim(col("text"))), "\\s+")
