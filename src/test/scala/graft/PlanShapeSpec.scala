@@ -99,6 +99,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("l_comment"), "unused wide column must be pruned from the scan")
   }
 
+  test("q82: the incoming batch's band keys broadcast against the corpus scan") {
+    val p = plan("q82_minhash_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate generation must broadcast the incoming side:\n$p")
+  }
+
   test("q80: line dedup shuffles on the 8-byte line hash, window reuses it") {
     // the keep-first window's (hash, line) clustering must be satisfied
     // by the explicit hash repartition — no second exchange for the
