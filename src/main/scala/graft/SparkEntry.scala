@@ -28,8 +28,10 @@ object SparkEntry {
     Queries.all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (driver records a weaker rows-only check). */
+    * the same parquet tables. As of round 4 EVERY catalog entry has an
+    * oracle — the sketch/LSH pipelines are re-derived in SQL via
+    * [[OracleSql]]'s mod-2^64 HUGEINT fragments, so nothing falls back
+    * to the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }
