@@ -1912,6 +1912,33 @@ object Queries {
       },
       "composed corpus-cleaning pipeline (quality → language → dedup → fingerprint)"),
 
+    Q("q89_chunk_windows",
+      (s, d) => documents(s, d)
+        // RAG-prep chunking: 30-token windows, stride 20 (10-token
+        // overlap); each chunk becomes its own row with its position
+        .select(col("doc_id"),
+          posexplode(graft.plans.Exprs.chunkWindows(col("text"), 30, 20))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          TextFunctions.tokenCount(col("chunk")).cast("long").as("n_tokens"),
+          length(col("chunk")).cast("long").as("n_chars")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), ch AS (
+             |  SELECT doc_id,
+             |    [array_to_string(tk[o*20+1 : o*20+30], ' ')
+             |     FOR o IN range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))] AS chunks
+             |  FROM toks WHERE len(tk) > 0
+             |)
+             |SELECT doc_id,
+             |  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,
+             |  CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(length(unnest(chunks)) AS BIGINT) AS n_chars
+             |FROM ch""".stripMargin),
+      "RAG chunking: overlapping token windows → per-chunk rows (single-pass kernel + posexplode)"),
+
     Q("q88_curation_pipeline",
       (s, d) => {
         // the COMPLETE modern curation pipeline in one lazy DAG:

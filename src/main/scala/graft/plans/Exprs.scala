@@ -198,6 +198,19 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class ChunkWindows(child: Expression, n: Int, stride: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "chunk_windows"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.chunkWindows(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, stride)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.chunkWindows($c, $n, $stride)")
+    override protected def withNewChildInternal(newChild: Expression): ChunkWindows =
+      copy(child = newChild)
+  }
+
   case class ScanTokens(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -311,6 +324,8 @@ object Exprs {
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))
   def scanTokens(c: Column): Column = col(ScanTokens(ex(c)))
   def chunkTokens(c: Column, n: Int): Column = col(ChunkTokens(ex(c), n))
+  def chunkWindows(c: Column, n: Int, stride: Int): Column =
+    col(ChunkWindows(ex(c), n, stride))
   def bloomContains(c: Column, words: Array[Long], mBits: Int, k: Int): Column =
     col(BloomContains(ex(c), words, mBits, k))
   def tokenCount(c: Column): Column = col(TokenCount(ex(c)))

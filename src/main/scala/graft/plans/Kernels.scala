@@ -422,6 +422,51 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Overlapping token windows (RAG / long-context chunking): lowercase
+    * whitespace tokens grouped into windows of `n` tokens advancing by
+    * `stride` (stride < n ⇒ overlap), each window joined by single
+    * spaces. The last window may be short; windows start at token
+    * offsets 0, stride, 2·stride, … while an offset < nTokens. No
+    * tokens → empty array. Single pass over the string + one slice per
+    * window.
+    */
+  def chunkWindows(text: UTF8String, n: Int, stride: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    var tokStarts = new Array[Int](16)
+    var tokEnds = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokStarts.length) {
+          tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
+          tokEnds = java.util.Arrays.copyOf(tokEnds, nTok * 2)
+        }
+        tokStarts(nTok) = start; tokEnds(nTok) = i; nTok += 1
+      }
+    }
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]
+    var off = 0
+    while (off < nTok) {
+      val end = math.min(off + n, nTok)
+      val sb = new java.lang.StringBuilder((end - off) * 8)
+      var t = off
+      while (t < end) {
+        if (t > off) sb.append(' ')
+        sb.append(s, tokStarts(t), tokEnds(t))
+        t += 1
+      }
+      out += UTF8String.fromString(sb.toString)
+      off += stride
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** Bloom-filter probe: true iff all `k` probe positions of content
     * fingerprint `h` are set in the packed `words` bit array (`mBits`
     * bits). Positions mirror [[graft.operators.Bloom.setBits]] exactly:

@@ -329,6 +329,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3L) === "")
   }
 
+  test("chunkWindows: overlap, short tail, empty input") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c d e f g"), (1L, "x"), (2L, "  ")).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.plans.Exprs.chunkWindows(col("text"), 3, 2).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // starts at 0,2,4,6 while < 7 tokens
+    assert(got(0L) === Seq("a b c", "c d e", "e f g", "g"))
+    assert(got(1L) === Seq("x"))
+    assert(got(2L) === Seq.empty)
+  }
+
   test("PII counts and redaction") {
     import spark.implicits._
     val df = Seq(
