@@ -257,6 +257,11 @@ object Dedup {
     * Per-document reassembly state is one document's own lines — never
     * a cross-document buffer. Returns (id, n_kept, text_dedup) with
     * docs whose every line was deduplicated away kept as empty strings.
+    *
+    * Empty lines (doubled/trailing separators) are ordinary lines: the
+    * corpus-wide FIRST empty line survives, every later one is dropped
+    * — deterministic, and the usual short-line quality gates remove
+    * them upstream anyway.
     */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 sep: String = "\n"): DataFrame = {
