@@ -329,6 +329,45 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3L) === "")
   }
 
+  test("token kernels match scala brute force on generated adversarial strings") {
+    import spark.implicits._
+    // scalatestplus-scalacheck isn't in the offline cache; sample Gen
+    // directly (the repo's established pattern)
+    val charGen = org.scalacheck.Gen.frequency(
+      (5, org.scalacheck.Gen.alphaNumChar),
+      (3, org.scalacheck.Gen.oneOf(' ', ' ', '\t', '\n')),
+      (1, org.scalacheck.Gen.oneOf('é', 'ß', '.', '-', '')))
+    val strGen = org.scalacheck.Gen.chooseNum(0, 60)
+      .flatMap(n => org.scalacheck.Gen.listOfN(n, charGen).map(_.mkString))
+    val seed = org.scalacheck.rng.Seed(42L)
+    val samples = Iterator.iterate((seed, List.empty[String])) { case (s, acc) =>
+      val r = strGen.pureApply(org.scalacheck.Gen.Parameters.default, s)
+      (s.next, r :: acc)
+    }.drop(200).next()._2
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.plans.Exprs.scanTokens(col("text")).as("n"),
+        graft.plans.Exprs.chunkTokens(col("text"), 3).as("ct"),
+        graft.plans.Exprs.chunkWindows(col("text"), 4, 2).as("cw"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(2), r.getSeq[String](3))).toMap
+    samples.zipWithIndex.foreach { case (t, i) =>
+      val tk = toks(t)
+      val wantChunk = tk.grouped(3).map(g =>
+        g.mkString(" ")).mkString("\n")
+      val starts = 0 until math.max(tk.size, 0) by 2
+      val wantWin = starts.map(o => tk.slice(o, o + 4).mkString(" "))
+      val (gn, gct, gcw) = got(i.toLong)
+      // Character.isWhitespace vs regex \s agree on this whole
+      // alphabet: VT is whitespace in both, NBSP a token char in both
+      assert(gn === tk.size, s"scanTokens on ${t.map(_.toInt)}")
+      assert(gct === wantChunk, s"chunkTokens on ${t.map(_.toInt)}")
+      assert(gcw === wantWin, s"chunkWindows on ${t.map(_.toInt)}")
+    }
+  }
+
   test("chunkWindows: overlap, short tail, empty input") {
     import spark.implicits._
     val df = Seq((0L, "a b c d e f g"), (1L, "x"), (2L, "  ")).toDF("id", "text")
