@@ -1912,6 +1912,21 @@ object Queries {
       },
       "composed corpus-cleaning pipeline (quality → language → dedup → fingerprint)"),
 
+    Q("q90_length_histogram",
+      (s, d) => documents(s, d)
+        // corpus length report: 20-token buckets over the document
+        // length distribution — the curation dashboard histogram
+        .select(graft.plans.Exprs.scanTokens(col("text")).cast("long").as("n"))
+        .groupBy((floor(col("n") / 20) * 20).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens")),
+      Some("""SELECT CAST((n // 20) * 20 AS BIGINT) AS bucket_lo,
+             |count(*) AS n_docs, min(n) AS min_tokens, max(n) AS max_tokens
+             |FROM (SELECT CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |        x -> x <> '')) AS BIGINT) AS n FROM documents)
+             |GROUP BY 1""".stripMargin),
+      "corpus length histogram (fixed token buckets, exact counts)"),
+
     Q("q89_chunk_windows",
       (s, d) => documents(s, d)
         // RAG-prep chunking: 30-token windows, stride 20 (10-token
