@@ -1601,7 +1601,10 @@ object Queries {
         // like q63/q66 the oracle bound-checks the realized rates
         // against the exact stratum counts — the sample itself is
         // hash-deterministic, so the realized deviation is a fixed
-        // property of the data, pinned here within ±0.03
+        // property of the data. Bound: max(0.03, 3σ binomial) — the
+        // fixed 0.03 governs at sf ≥ 0.01, the 3σ term keeps tiny
+        // strata (sf0.001: ~300 rows) from flagging ordinary
+        // hash-sampling variance
         val o = orders(s, d)
         val sampled = Sampling.stratifiedHashSample(o, col("o_orderkey"),
           col("o_orderpriority"), Map("1-URGENT" -> 0.1, "5-LOW" -> 0.5),
@@ -1611,9 +1614,11 @@ object Queries {
         val target = when(col("o_orderpriority") === "1-URGENT", 0.1)
           .when(col("o_orderpriority") === "5-LOW", 0.5)
           .otherwise(0.25)
+        val bound = greatest(lit(0.03),
+          lit(3.0) * sqrt(target * (lit(1.0) - target) / col("_n")))
         totals.join(kept, Seq("o_orderpriority"))
           .select(col("o_orderpriority"), col("_n").as("n_total"),
-            (abs(col("_k").cast("double") / col("_n") - target) <= 0.03)
+            (abs(col("_k").cast("double") / col("_n") - target) <= bound)
               .as("rate_in_bound"))
       },
       Some("""SELECT o_orderpriority, count(*) AS n_total, TRUE AS rate_in_bound
