@@ -729,6 +729,51 @@ object Queries {
         "existing_id", "incoming_id", 0.2)),
       "incremental MinHash near-dup (new batch broadcast against the corpus band index)"),
 
+    Q("q91_cluster_canonical",
+      (s, d) => {
+        // pairs → clusters → one kept doc per cluster (longest member,
+        // ties to the lowest id) — the classic keep-longest canonical
+        // rule, on the 10-token-prefix dup pairs of q33
+        val docs = documents(s, d)
+        val pairs = Dedup.exactDupPairs(
+          docs.withColumn("prefix", graft.plans.Exprs.prefixTokens(col("text"), 10)),
+          "prefix", "doc_id")
+        Dedup.selectCanonical(pairs, "canonical_id", "dup_id",
+            docs, "doc_id", "n_chars")
+          .select(col("cluster_id").cast("long").as("cluster_id"),
+            col("canonical_id").cast("long").as("canonical_id"),
+            col("n_members"), col("best_score").cast("long").as("best_score"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT canonical_id AS a, dup_id AS b FROM
+             |  (SELECT min(doc_id) OVER (PARTITION BY prefix) AS canonical_id,
+             |          doc_id AS dup_id
+             |   FROM (SELECT doc_id,
+             |     array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:10], ' ')
+             |       AS prefix
+             |     FROM documents))
+             |  WHERE dup_id <> canonical_id
+             |), e AS (
+             |  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+             |), reach AS (
+             |  SELECT s AS id, s AS r FROM e
+             |  UNION
+             |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+             |), comp AS (
+             |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+             |), ranked AS (
+             |  SELECT c.cluster_id, c.id, d.n_chars,
+             |    row_number() OVER (PARTITION BY c.cluster_id
+             |      ORDER BY d.n_chars DESC, c.id ASC) AS rn
+             |  FROM comp c JOIN documents d ON d.doc_id = c.id
+             |)
+             |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+             |  CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS canonical_id,
+             |  count(*) AS n_members,
+             |  CAST(max(n_chars) AS BIGINT) AS best_score
+             |FROM ranked GROUP BY cluster_id""".stripMargin),
+      "canonical selection per dup cluster (keep-longest, tie lowest id; pairs → CC → max_by)"),
+
     Q("q74_incremental_dedup",
       (s, d) => {
         val docs = documents(s, d)

@@ -415,6 +415,32 @@ object Dedup {
     labels
   }
 
+  /** Canonical-representative selection — the final step of the dedup
+    * story: near-dup PAIRS → [[connectedComponents]] clusters → ONE
+    * kept document per cluster, chosen by the highest `scoreCol`
+    * (ties: lowest id). `attrs` supplies (idCol, scoreCol); typical
+    * scores are document length (keep-longest) or a quality gate's
+    * output. Returns (cluster_id, canonical_id, n_members, best_score)
+    * — filter the corpus with a left-anti join on (cluster member ∧
+    * id ≠ canonical) to drop the losers.
+    *
+    * Scale: components is a skinny (id, label) frame; the attrs join
+    * shuffles only cluster MEMBERS (a small fraction of the corpus),
+    * and max_by per cluster is O(1) aggregation state.
+    */
+  def selectCanonical(edges: DataFrame, srcCol: String, dstCol: String,
+                      attrs: DataFrame, idCol: String, scoreCol: String,
+                      maxIter: Int = 25): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+    comp.join(attrs.select(col(idCol).as("id"), col(scoreCol).as("_score")), "id")
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        max_by(col("id"), struct(col("_score"), (-col("id")).as("_negid")))
+          .as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        max(col("_score")).as("best_score"))
+  }
+
   /** Embedding near-duplicate pairs: hyperplane-LSH bucket join on a
     * 64-bit sign signature split into 4 × 16-bit bands (65,536 bucket
     * values per band — NOT the 16-value bands a 16-bit signature would
