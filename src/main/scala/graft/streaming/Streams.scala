@@ -90,6 +90,56 @@ object Streams {
     * session in batch — a documented divergence of running-total
     * streaming semantics.
     */
+  case class FunnelIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                      event_type: String)
+  case class FunnelState(pendingViews: Seq[Long], nViews: Long,
+                         nConverted: Long, maxTs: Long)
+  case class FunnelOut(user_id: Long, n_views: Long, n_converted: Long)
+
+  /** Stateful streaming funnel (the streaming twin of the batch q83):
+    * a view CONVERTS when some click of the same user follows it within
+    * `gapSeconds`. State per user is (pending view timestamps within
+    * the gap horizon, running counters) — pending views older than
+    * `maxTs − gap` can never be converted by a later on-time click and
+    * are evicted each batch, so state is bounded by the click window,
+    * not the stream.
+    *
+    * Ordering contract mirrors [[sessionize]]: rows are sorted
+    * (ts, event_id) within each micro-batch; a cross-batch late click
+    * still converts any pending view in its window, but a view whose
+    * convertible window was already evicted stays unconverted — the
+    * documented divergence of running-total streaming semantics.
+    */
+  def funnelStream(events: Dataset[FunnelIn], gapSeconds: Long): Dataset[FunnelOut] = {
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(Vector.empty, 0L, 0L, Long.MinValue))
+          var pending = st.pendingViews.toVector
+          var (nViews, nConv, maxTs) = (st.nViews, st.nConverted, st.maxTs)
+          val gapMs = gapSeconds * 1000
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            maxTs = math.max(maxTs, t)
+            e.event_type match {
+              case "view" => pending :+= t; nViews += 1
+              case "click" =>
+                val (converted, still) = pending.partition(v => v <= t && t - v <= gapMs)
+                nConv += converted.size
+                pending = still
+              case _ => ()
+            }
+          }
+          // horizon eviction: no future on-time click can convert these
+          pending = pending.filter(v => maxTs - v <= gapMs)
+          state.update(FunnelState(pending, nViews, nConv, maxTs))
+          Iterator.single(FunnelOut(userId, nViews, nConv))
+      }(Encoders.product[FunnelState], Encoders.product[FunnelOut])
+  }
+
   def sessionize(events: Dataset[EventIn], gapSeconds: Long): Dataset[SessionOut] = {
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)

@@ -105,6 +105,43 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("funnelStream: stream conversion totals equal the batch suffix-min funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(400)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ds = stream.toDS().map { case (u, t, e, ty) => FunnelIn(u, t, e, ty) }
+    val out = funnelStream(ds, gapSeconds = 900)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    stream.addData(events.take(200).map(e => (e._1, e._2, e._3, e._4)))
+    out.processAllAvailable()
+    stream.addData(events.drop(200).map(e => (e._1, e._2, e._3, e._4)))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("funnel_out")
+      .groupBy(col("user_id"))
+      .agg(last(col("n_views")).as("v"), last(col("n_converted")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch oracle: the q83 suffix-min formulation on the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val batch = events.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("_next_click",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("v"),
+        sum(when(col("_next_click").isNotNull &&
+          col("_next_click").cast("double") - col("ts").cast("double") <= 900,
+          1L).otherwise(0L)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._3 > 0), "fixture must produce conversions")
+  }
+
   test("sessionize: stateful stream totals equal the batch lag-based sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
