@@ -134,6 +134,36 @@ object Queries {
              |GROUP BY r_name, n_name""".stripMargin),
       "J5 (join chain over dims, broadcast both)"),
 
+    Q("q92_anti_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_orderdate") >= "1998-01-01")
+          .select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1998-01-01')""".stripMargin),
+      "left-anti join (customers with no recent orders; NOT EXISTS twin)"),
+
+    Q("q93_sql_surface",
+      (s, d) => {
+        // the spark.sql(...) text surface over registered views — the
+        // same catalog semantics reachable without the DataFrame DSL
+        orders(s, d).createOrReplaceTempView("v_orders")
+        customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""SELECT c_mktsegment, o_orderpriority,
+                 count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+                 FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+                 WHERE o_orderdate < DATE '1997-01-01'
+                 GROUP BY c_mktsegment, o_orderpriority""")
+      },
+      Some("""SELECT c_mktsegment, o_orderpriority,
+             |count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderdate < DATE '1997-01-01'
+             |GROUP BY c_mktsegment, o_orderpriority""".stripMargin),
+      "SQL-text surface (spark.sql over temp views; join + filter + agg parity)"),
+
     // ---------------------------------------------------------- filters
     Q("q04_filter_range",
       (s, d) => lineitem(s, d)
