@@ -212,6 +212,32 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("selectCanonical picks the argmax-score member per cluster (random graph)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val edges = (0 until 150).map(_ => (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+    // deterministic scores with deliberate ties: score = id % 7
+    val attrs = (0L until 80L).map(i => (i, i % 7)).toDF("id", "score")
+    // driver ground truth: union-find → per-component argmax
+    val parent = Array.tabulate(80)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(v => find(v.toInt).toLong)
+    val expected = members.map { case (cluster, vs) =>
+      // highest score, ties to the LOWEST id
+      val canonical = vs.minBy(v => (-(v % 7), v))
+      (cluster, canonical, vs.size.toLong, vs.map(_ % 7).max)
+    }.toSet
+    val got = Dedup.selectCanonical(edges.toDF("a", "b"), "a", "b",
+        attrs, "id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("connectedComponents on an empty edge list is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
