@@ -212,6 +212,27 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("lineDedup matches a sequential brute force on random multi-line docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val lineAlphabet = Vector("aa", "bb", "cc", "dd", "ee", "")
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(rng.nextInt(6) + 1)(
+        lineAlphabet(rng.nextInt(lineAlphabet.size))).mkString("\n"))
+    }
+    // sequential ground truth over (doc_id, pos) order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val kept = text.split(java.util.regex.Pattern.quote("\n"), -1)
+        .filter(l => seen.add(l))
+      (id, kept.length.toLong, kept.mkString("\n"))
+    }.toSet
+    val got = Dedup.lineDedup(docs.toDF("doc_id", "text").repartition(7),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === expected)
+  }
+
   test("selectCanonical picks the argmax-score member per cluster (random graph)") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
