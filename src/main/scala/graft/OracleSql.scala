@@ -78,4 +78,62 @@ object OracleSql {
       (u(graft.plans.Kernels.mix64(2L * p + 1) | 1L), u(graft.plans.Kernels.mix64(2L * p + 2)))
     }
   }
+
+  /** An ordered left-fold sum over a SQL list expression — the
+    * `((0 + x₁) + x₂) …` association every double accumulation in the
+    * kernels uses; NEVER `SUM()`, whose order is unspecified.
+    */
+  def foldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (acc, el) -> acc + el)"
+
+  /** The full [[graft.operators.KMeans]] Lloyd's loop as DuckDB CTEs —
+    * expects a prior CTE `base(vec_id, embedding FLOAT[])`; emits
+    * `vnn` (double-normalized vectors) through `a$iters`, the final
+    * assignment `(vec_id, vn, cluster, d)` against the post-`iters`
+    * centroids. Replays the operator exactly: index-ordered fold sums
+    * for norms and dots, per-iteration means rounded to 6 dp before
+    * the renormalize, empty clusters carrying the previous centroid,
+    * ties to the lowest cluster.
+    */
+  def kmeansCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""vn0 AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS le FROM base
+         |), vnn AS (
+         |  SELECT vec_id, CASE WHEN nrm = 0 THEN le ELSE [x / nrm FOR x IN le] END AS vn
+         |  FROM (SELECT vec_id, le, sqrt(${foldSum("[x * x FOR x IN le]")}) AS nrm FROM vn0)
+         |), c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, vn AS c
+         |  FROM vnn ORDER BY vec_id LIMIT $k
+         |)""".stripMargin)
+    val dot = foldSum("[v.vn[j] * c.c[j] FOR j IN range(1, len(v.vn) + 1)]")
+    (0 to iters).foreach { i =>
+      sb.append(
+        s""", a$i AS (
+           |  SELECT vec_id, vn, cluster, d FROM (
+           |    SELECT vec_id, vn, cluster, d,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster ASC) AS rn
+           |    FROM (SELECT v.vec_id, v.vn, c.cluster, $dot AS d
+           |          FROM vnn v CROSS JOIN c$i c))
+           |  WHERE rn = 1
+           |)""".stripMargin)
+      if (i < iters) {
+        sb.append(
+          s""", m$i AS (
+             |  SELECT cluster, gi, round(avg(x), 6) AS m
+             |  FROM (SELECT cluster, generate_subscripts(vn, 1) AS gi, unnest(vn) AS x FROM a$i)
+             |  GROUP BY cluster, gi
+             |), mc$i AS (
+             |  SELECT cluster, CASE WHEN nrm = 0 THEN lm ELSE [x / nrm FOR x IN lm] END AS c
+             |  FROM (SELECT cluster, lm, sqrt(${foldSum("[x * x FOR x IN lm]")}) AS nrm
+             |        FROM (SELECT cluster, list(m ORDER BY gi) AS lm FROM m$i GROUP BY cluster))
+             |), c${i + 1} AS (
+             |  SELECT p.cluster, coalesce(n.c, p.c) AS c
+             |  FROM c$i p LEFT JOIN mc$i n ON n.cluster = p.cluster
+             |)""".stripMargin)
+      }
+    }
+    sb.toString
+  }
 }

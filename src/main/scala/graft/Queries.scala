@@ -2154,7 +2154,129 @@ object Queries {
              |    x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
              |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
              |FROM documents""".stripMargin),
-      "document fingerprinting (rolling hash over token stream)")
+      "document fingerprinting (rolling hash over token stream)"),
+
+    // ------------------------------------------------- clustering / scoring
+    Q("q94_kmeans",
+      (s, d) => {
+        // full-corpus Lloyd's: 2 distributed rounds then assignment;
+        // the model is pinned to 6 dp per round (see KMeans scaladoc)
+        // so the whole iterative process is reproducible cross-engine
+        val emb = embeddings(s, d)
+        val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+        KMeans.assign(emb, "vec_id", "embedding", model)
+          .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+            // +0.0 normalizes a potential IEEE −0.0 rounded dot
+            (round(col("cos"), 4) + lit(0.0)).as("cos"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+              |${OracleSql.kmeansCtes(8, 2)}
+              |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+              |       round(d, 4) + 0.0 AS cos
+              |FROM a2""".stripMargin),
+      "distributed spherical k-means (full-corpus Lloyd's; codegen assignment, k·dim agg state, 6-dp-pinned model)"),
+
+    Q("q95_semantic_dedup",
+      (s, d) => {
+        // the raw corpus has no near-dups (max cosine ≈ 0.51), so plant
+        // perturbed float32 copies at vec_id+200000 — exactly as the
+        // oracle does (the q37 pattern); clusters then bound the
+        // candidate space and exact cosine verifies
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = emb.select(
+          (col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              lit(0.015) * (pmod(i, lit(5)) - lit(2)).cast("double")))
+              .cast("float")).as("embedding"))
+        KMeans.semanticNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+            k = 8, iters = 1, minCosine = 0.9)
+          .select(col("cluster").cast("long").as("cluster"), col("id_a"),
+            col("id_b"), round(col("cosine"), 6).as("cosine"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 200000,
+              |    [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + 0.015 * (((i-1) % 5) - 2)) AS FLOAT)
+              |     FOR i IN range(1, len(embedding) + 1)]
+              |  FROM embeddings
+              |),
+              |${OracleSql.kmeansCtes(8, 1)}
+              |, pv AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+              |), pairs AS (
+              |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              |), cosd AS (
+              |  SELECT p.cluster, p.id_a, p.id_b,
+              |    ${OracleSql.foldSum("[va.v[i] * vb.v[i] FOR i IN range(1, len(va.v)+1)]")} AS dot,
+              |    ${OracleSql.foldSum("[va.v[i] * va.v[i] FOR i IN range(1, len(va.v)+1)]")} AS na,
+              |    ${OracleSql.foldSum("[vb.v[i] * vb.v[i] FOR i IN range(1, len(vb.v)+1)]")} AS nb
+              |  FROM pairs p JOIN pv va ON va.vec_id = p.id_a JOIN pv vb ON vb.vec_id = p.id_b
+              |), cosv AS (
+              |  SELECT cluster, id_a, id_b,
+              |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cosine
+              |  FROM cosd
+              |)
+              |SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b,
+              |       round(cosine, 6) AS cosine
+              |FROM cosv WHERE cosine >= 0.9""".stripMargin),
+      "SemDeDup-style semantic dedup (k-means clusters bound candidates; exact-cosine verify; planted near-dups oracle-reproduced)"),
+
+    Q("q96_quality_classifier",
+      (s, d) => QualityClassifier.score(
+          documents(s, d).select(col("doc_id"), col("text")), "text",
+          QualityClassifier.pseudoWeights(65536))
+        .select(col("doc_id"), round(col("score"), 6).as("score")),
+      Some {
+        // per term t: bucket = mix64(poly31(t)) mod 2^16, then the
+        // pseudo-weight family w(b) = ((mix64(b+salt) >> 11)/2^53)·2−1.
+        // Staged CTEs (one hash step per projection) — textually
+        // nesting mix64∘mix64∘poly31 in ONE expression macro-expands
+        // the argument at every reference and blows up evaluation
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |    t -> t <> '') AS tk
+           |  FROM documents
+           |), terms AS (
+           |  SELECT doc_id, tk || [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS ts
+           |  FROM toks
+           |), tr AS (
+           |  SELECT doc_id, generate_subscripts(ts, 1) AS ord, unnest(ts) AS t FROM terms
+           |), h1 AS (
+           |  SELECT doc_id, ord, ${OracleSql.poly31("t")} AS pt FROM tr
+           |), h2 AS (
+           |  SELECT doc_id, ord, ${OracleSql.mix64("pt")} % 65536 AS bu FROM h1
+           |), h3 AS (
+           |  SELECT doc_id, ord, ${OracleSql.mix64("CAST(bu + 1000003 AS UBIGINT)")} AS u2 FROM h2
+           |), wv AS (
+           |  SELECT doc_id, ord,
+           |         (CAST((u2 >> 11) AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 AS w
+           |  FROM h3
+           |), zs AS (
+           |  SELECT doc_id, ${OracleSql.foldSum("list(w ORDER BY ord)")} AS z,
+           |         count(*) AS cnt
+           |  FROM wv GROUP BY doc_id
+           |)
+           |SELECT t.doc_id,
+           |  round(CASE WHEN z.cnt IS NULL OR z.cnt = 0 THEN 0.5
+           |        ELSE 0.5 + 0.5 * ((z.z / z.cnt) / (1 + abs(z.z / z.cnt))) END, 6) AS score
+           |FROM toks t LEFT JOIN zs z ON z.doc_id = t.doc_id""".stripMargin
+      },
+      "hashed-feature linear quality classifier (fastText-shaped; injectable weights as a codegen reference object; rational sigmoid for exact cross-engine parity)"),
+
+    Q("q97_stratum_sample",
+      (s, d) => Sampling.topNPerStratum(orders(s, d),
+          col("o_orderkey"), col("o_orderpriority"), n = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("rn").cast("long").as("rn")),
+      Some(s"""SELECT o_orderpriority, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+              |  SELECT o_orderpriority, o_orderkey,
+              |    row_number() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY ${OracleSql.mix64Signed("o_orderkey")}, o_orderkey) AS rn
+              |  FROM orders) WHERE rn <= 3""".stripMargin),
+      "fixed-n per-stratum deterministic sample (mix64 order; exact quota per stratum)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -43,6 +43,27 @@ object Sampling {
     df.filter(pmod(xxhash64(key), lit(Buckets)) < threshold)
   }
 
+  /** Fixed-size per-stratum sample: the `n` rows of each stratum with
+    * the smallest `mix64(key)` — i.e. a deterministic uniform draw with
+    * an EXACT output size per stratum (vs the binomial-sized
+    * [[stratifiedHashSample]]); the eval-set / per-source-quota shape.
+    * Same stability property: a row's rank among survivors can only be
+    * displaced by later-added rows hashing below it.
+    *
+    * Scale: one shuffle on the stratum key; the per-stratum sort is a
+    * window over rows WITHIN one stratum. For few huge strata prefer a
+    * two-phase top-n (partial per-partition top-n before the exchange)
+    * — with ≥ thousands of strata the plain window's per-group state is
+    * already bounded and the exchange is well-spread.
+    */
+  def topNPerStratum(df: DataFrame, key: Column, stratum: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0)
+    val w = Window.partitionBy(stratum)
+      .orderBy(graft.plans.Exprs.mix64(key.cast("long")), key)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
   /** Weighted corpus mix: unions a deterministic `fraction`-sample of
     * each source (aligned by name, missing columns null). The standard
     * "mix N datasets at given rates" step of a training-data pipeline;

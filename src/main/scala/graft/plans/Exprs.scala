@@ -294,6 +294,61 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Double-precision L2 normalize of a float embedding (index-order
+    * squared-norm fold — see [[Kernels.normalizeD]]). The k-means
+    * entry point: every downstream dot runs on these doubles.
+    */
+  case class NormalizeD(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "normalize_d"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.normalizeD(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.normalizeD($c)")
+    override protected def withNewChildInternal(newChild: Expression): NormalizeD =
+      copy(child = newChild)
+  }
+
+  /** Spherical k-means assignment `[cluster, dot]` against a broadcast
+    * double-precision centroid matrix (the [[NearestCentroid]]
+    * reference-object pattern, but double-exact so the Lloyd's loop is
+    * oracle-reproducible).
+    */
+  case class NearestCentroidScoreD(child: Expression, cents: Array[Double], dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "nearest_centroid_score_d"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.nearestCentroidScoreD(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centsD", cents, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.nearestCentroidScoreD($c, $ref, $dim)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroidScoreD =
+      copy(child = newChild)
+  }
+
+  /** Hashed-feature linear text score against a broadcast weight
+    * vector ([[Kernels.linearTextScore]]) — apply-a-pretrained-model
+    * at scan speed; the weights ride as a codegen reference object.
+    */
+  case class LinearTextScore(child: Expression, weights: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "linear_text_score"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.linearTextScore(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], weights)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("clfWeights", weights, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.linearTextScore($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): LinearTextScore =
+      copy(child = newChild)
+  }
+
   case class HyperplaneSig(child: Expression, bits: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -339,6 +394,11 @@ object Exprs {
     col(NearestCentroid(ex(c), flat, dim))
   def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =
     col(TopCells(ex(c), flat, dim, nProbe))
+  def normalizeD(c: Column): Column = col(NormalizeD(ex(c)))
+  def nearestCentroidScoreD(c: Column, cents: Array[Double], dim: Int): Column =
+    col(NearestCentroidScoreD(ex(c), cents, dim))
+  def linearTextScore(c: Column, weights: Array[Double]): Column =
+    col(LinearTextScore(ex(c), weights))
 
   /** Register SQL names for the kernels on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

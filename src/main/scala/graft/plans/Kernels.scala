@@ -611,4 +611,111 @@ object Kernels {
     }
     out
   }
+
+  /** Double-precision L2 normalization of a float embedding: xᵢ/‖x‖
+    * with the squared norm accumulated in index order from 0.0 — the
+    * exact arithmetic an ordered SQL left-fold (`list_reduce` with a
+    * prepended 0.0) replays, so downstream dot products are
+    * bit-reproducible cross-engine. Zero norm → the values pass
+    * through widened to double, unscaled.
+    */
+  def normalizeD(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      out(i) = if (nrm == 0.0) x else x / nrm
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Spherical k-means assignment against DOUBLE centroids (row-major
+    * `k × dim`): returns `[bestCluster, bestDot]` for an
+    * already-normalized double vector. Each dot accumulates in index
+    * order from 0.0 and ties break to the lowest cluster index
+    * (strict `>`), mirroring what a SQL ordered list_reduce +
+    * `ORDER BY d DESC, cluster` window reproduces.
+    */
+  def nearestCentroidScoreD(vn: ArrayData, cents: Array[Double], dim: Int): ArrayData = {
+    val n = vn.numElements()
+    val k = cents.length / dim
+    var best = 0
+    var bestD = Double.MinValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, dim)
+      while (j < m) { d += vn.getDouble(j) * cents(off + j); j += 1 }
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    new GenericArrayData(Array[Double](best.toDouble, bestD))
+  }
+
+  /** Hashed-bag-of-features linear text score (the fastText-style
+    * quality-classifier shape): unigram hashes then bigram hashes — the
+    * [[minhash]] tokenizer and poly31+mix64 hash family — index a
+    * bucketed weight vector via the hashing trick (unsigned mod), the
+    * mean weight is squashed through the rational sigmoid
+    * 0.5 + 0.5·z/(1+|z|). Every step is correctly-rounded IEEE double
+    * arithmetic in a pinned fold order (all unigrams in token order,
+    * then all bigrams), so an engine replaying the same order
+    * reproduces the score bit-for-bit — deliberately no exp/tanh,
+    * whose libm rounding varies across platforms. No terms → 0.5.
+    */
+  def linearTextScore(text: UTF8String, weights: Array[Double]): Double = {
+    val s = text.toString.toLowerCase
+    var tokStarts = new Array[Int](16)
+    var tokEnds = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokStarts.length) {
+          tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
+          tokEnds = java.util.Arrays.copyOf(tokEnds, nTok * 2)
+        }
+        tokStarts(nTok) = start; tokEnds(nTok) = i; nTok += 1
+      }
+    }
+    val m = weights.length
+    var z = 0.0
+    var t = 0
+    while (t < nTok) {
+      var h = 1125899906842597L
+      var j = tokStarts(t)
+      while (j < tokEnds(t)) { h = 31L * h + s.charAt(j); j += 1 }
+      z += weights(java.lang.Long.remainderUnsigned(mix64(h), m).toInt)
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      var h = 1125899906842597L
+      var j = tokStarts(t)
+      while (j < tokEnds(t)) { h = 31L * h + s.charAt(j); j += 1 }
+      h = 31L * h + ' '
+      j = tokStarts(t + 1)
+      while (j < tokEnds(t + 1)) { h = 31L * h + s.charAt(j); j += 1 }
+      z += weights(java.lang.Long.remainderUnsigned(mix64(h), m).toInt)
+      t += 1
+    }
+    val cnt = if (nTok == 0) 0 else nTok + (nTok - 1)
+    if (cnt == 0) 0.5
+    else {
+      val zn = z / cnt
+      0.5 + 0.5 * (zn / (1.0 + math.abs(zn)))
+    }
+  }
 }

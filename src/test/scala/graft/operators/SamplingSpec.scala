@@ -42,6 +42,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("wiki") / perStratum - 0.5) < 0.03)
   }
 
+  test("topNPerStratum: exact quota, layout invariance, later-rows-only displacement") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "stratum")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.topNPerStratum(d, col("id"), col("stratum"), n = 4)
+        .select(col("stratum"), col("id")).as[(String, Long)].collect().toSet
+    val a = run(df.repartition(3))
+    assert(a.size === 5 * 4, "exactly n rows per stratum")
+    assert(a.groupBy(_._1).forall(_._2.size == 4))
+    // deterministic under layout changes
+    assert(run(df.repartition(17).sort(col("id").desc)) === a)
+    // dropping unselected rows does not change the selection; adding
+    // rows can only displace by hashing below a current member
+    val kept = run(df.filter(col("id").isin(a.map(_._2).toSeq: _*)))
+    assert(kept === a)
+  }
+
   test("weightedMix unions per-source samples by name, filling missing columns") {
     import spark.implicits._
     val webDocs = (0L until 1000L).map(i => (i, s"w$i", "en")).toDF("id", "text", "lang")
