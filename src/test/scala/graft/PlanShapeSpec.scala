@@ -117,6 +117,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(windowExchanges === 1, s"one hash exchange expected:\n$p")
   }
 
+  test("q94: k-means assignment is a single scan-speed projection (no exchange)") {
+    // after fit, labeling 100 TB is one narrow codegen pass — any
+    // exchange here would mean the assignment shuffles the corpus
+    val p = plan("q94_kmeans")
+    assert(p.contains("nearest_centroid_score_d"), "assignment must be the codegen kernel")
+    assert(!p.contains("Exchange"), s"assignment must be narrow:\n$p")
+  }
+
+  test("q95: semantic-dedup candidates come from a cluster-keyed equi-join") {
+    // the SemDeDup shape: candidate pairs join on the cluster id (the
+    // id inequality rides as a join filter) — never a nested-loop /
+    // cartesian over the corpus, and no exchanges beyond the two
+    // cluster-keyed ones (AQE reuses the identical sides at runtime)
+    val p = plan("q95_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidates must be an equi-join on cluster:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(cluster") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"only the cluster-keyed exchanges expected:\n$p")
+  }
+
+  test("q96: classifier scoring is a narrow codegen pass over the scan") {
+    val p = plan("q96_quality_classifier")
+    assert(p.contains("linear_text_score"), "scoring must be the codegen kernel")
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+  }
+
+  test("q97: stratum quota window partitions by stratum (never global)") {
+    val p = plan("q97_stratum_sample")
+    assert(!p.contains("No Partition Defined"))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges === 1, s"one stratum exchange expected:\n$p")
+  }
+
   test("q79: Misra-Gries partial-aggregates below the single-partition exchange") {
     // the global heavy-hitter agg must combine map-side (bounded
     // capacity-sized buffers travel, never the token stream)
