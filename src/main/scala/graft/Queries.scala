@@ -2266,6 +2266,22 @@ object Queries {
       },
       "hashed-feature linear quality classifier (fastText-shaped; injectable weights as a codegen reference object; rational sigmoid for exact cross-engine parity)"),
 
+    Q("q98_covariance",
+      (s, d) => Gram.covarianceMatrix(embeddings(s, d), "embedding", 64)
+        // round(3): cross-row double sums accumulate in unspecified
+        // order on both engines (the q86 precedent); +0.0 folds −0.0
+        .select(col("i"), col("j"), (round(col("cov"), 3) + lit(0.0)).as("cov")),
+      Some("""WITH ex AS (
+             |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings)
+             |SELECT a.i, b.i AS j,
+             |       round(sum(a.x * b.x) / count(*) -
+             |             (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 3) + 0.0 AS cov
+             |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |GROUP BY a.i, b.i""".stripMargin),
+      "embedding covariance/Gram matrix (one-pass mutable Aggregator, dim² buffer state; PCA-whitening prep)"),
+
     Q("q97_stratum_sample",
       (s, d) => Sampling.topNPerStratum(orders(s, d),
           col("o_orderkey"), col("o_orderpriority"), n = 3)
