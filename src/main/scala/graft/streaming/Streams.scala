@@ -41,6 +41,32 @@ object Streams {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keyCol, tsCol)
 
+  /** Streaming corpus-ingest curation: score each arriving document
+    * with the hashed linear classifier (the same narrow codegen
+    * projection as batch — kernels run at scan speed inside
+    * micro-batches), keep docs above `minScore`, and drop exact
+    * re-deliveries by 8-byte content hash. The watermark bounds the
+    * dedup state: one hash per kept doc within the lateness horizon —
+    * never the text, never unbounded.
+    */
+  def curateStream(docs: DataFrame, textCol: String, tsCol: String,
+                   weights: Array[Double], minScore: Double,
+                   watermark: String = "1 hour"): DataFrame = {
+    val gated = docs.withWatermark(tsCol, watermark)
+      .withColumn("score",
+        graft.operators.QualityClassifier.scoreCol(col(textCol), weights))
+      .filter(col("score") >= minScore)
+      .withColumn("_h", xxhash64(col(textCol)))
+    // dedup on the hash ALONE (same text at a different ts is still a
+    // dup); WithinWatermark gives state eviction without the event-time
+    // column in the key — but only exists for streams, so the batch
+    // twin of the same pipeline uses plain dropDuplicates
+    val deduped =
+      if (docs.isStreaming) gated.dropDuplicatesWithinWatermark("_h")
+      else gated.dropDuplicates("_h")
+    deduped.drop("_h")
+  }
+
   /** Stream-stream inner equi-join with an event-time interval: each
     * left row pairs with right rows of the same key whose timestamp is
     * within `[leftTs - lowerSec, leftTs + upperSec]`. Both sides carry

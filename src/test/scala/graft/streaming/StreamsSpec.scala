@@ -71,6 +71,48 @@ class StreamsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("curateStream: quality gate + content dedup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = graft.operators.QualityClassifier.pseudoWeights(4096)
+    val t0 = 1700000000000L
+    val docs = (0 until 60).map(i =>
+      (i.toLong, new java.sql.Timestamp(t0 + i * 1000L),
+        (0 to i % 9).map(j => s"tok${(i * 3 + j) % 40}").mkString(" ")))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Streams.curateStream(
+        stream.toDF().toDF("doc_id", "ts", "text"), "text", "ts", w, minScore = 0.5)
+      .select(col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    stream.addData(docs.take(30))
+    out.processAllAvailable()
+    // batch 2 re-delivers five already-kept texts (different doc ids /
+    // ts) and adds the rest — content dedup must drop the re-deliveries
+    val kept1 = spark.table("curate_out").select(col("text")).as[String].collect().toSet
+    val redelivered = docs.filter(d => kept1.contains(d._3)).take(5)
+      .map { case (id, ts, t) => (id + 10000, new java.sql.Timestamp(ts.getTime + 1000), t) }
+    stream.addData(docs.drop(30) ++ redelivered)
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("curate_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every surviving text is unique and above the gate
+    assert(streamed.map(_._2).distinct.length === streamed.length)
+    assert(streamed.forall { case (_, t) =>
+      graft.plans.Kernels.linearTextScore(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), w) >= 0.5
+    })
+    // no re-delivered id survived
+    assert(streamed.forall(_._1 < 10000))
+    // and the kept set equals the batch equivalent on the same rows
+    val batch = Streams.curateStream(
+        docs.toDF("doc_id", "ts", "text"), "text", "ts", w, minScore = 0.5)
+      .select(col("text")).as[String].collect().toSet
+    assert(streamed.map(_._2).toSet === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("intervalJoin: stream-stream join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
