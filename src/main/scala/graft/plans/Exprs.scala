@@ -294,6 +294,22 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Row-local term-frequency map ([[Kernels.termCounts]]) — exploding
+    * it replaces TF-IDF's corpus-wide `(doc, term)` count shuffle with
+    * in-row counting.
+    */
+  case class TermCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      MapType(StringType, IntegerType, valueContainsNull = false)
+    override def prettyName: String = "term_counts"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.termCounts(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.termCounts($c)")
+    override protected def withNewChildInternal(newChild: Expression): TermCounts =
+      copy(child = newChild)
+  }
+
   /** Double-precision L2 normalize of a float embedding (index-order
     * squared-norm fold — see [[Kernels.normalizeD]]). The k-means
     * entry point: every downstream dot runs on these doubles.
@@ -394,6 +410,7 @@ object Exprs {
     col(NearestCentroid(ex(c), flat, dim))
   def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =
     col(TopCells(ex(c), flat, dim, nProbe))
+  def termCounts(c: Column): Column = col(TermCounts(ex(c)))
   def normalizeD(c: Column): Column = col(NormalizeD(ex(c)))
   def nearestCentroidScoreD(c: Column, cents: Array[Double], dim: Int): Column =
     col(NearestCentroidScoreD(ex(c), cents, dim))

@@ -612,6 +612,42 @@ object Kernels {
     out
   }
 
+  /** Per-document term frequencies in ONE row-local pass: lowercase
+    * whitespace tokens (the `split(lower(trim(s)), "\\s+")` +
+    * nonempty-filter semantics) → insertion-ordered term→count map.
+    * Exploding this map replaces the corpus-wide `(doc, term)`
+    * count aggregation — the first and biggest shuffle of TF-IDF —
+    * with in-row work: term multiplicity never crosses the wire.
+    */
+  def termCounts(text: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val s = text.toString.toLowerCase
+    val counts = new java.util.LinkedHashMap[String, Integer]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val t = s.substring(start, i)
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1 else c + 1)
+      }
+    }
+    val keys = new Array[AnyRef](counts.size)
+    val vals = new Array[Int](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   /** Double-precision L2 normalization of a float embedding: xᵢ/‖x‖
     * with the squared norm accumulated in index order from 0.0 — the
     * exact arithmetic an ordered SQL left-fold (`list_reduce` with a
