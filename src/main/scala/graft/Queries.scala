@@ -2282,6 +2282,69 @@ object Queries {
              |GROUP BY a.i, b.i""".stripMargin),
       "embedding covariance/Gram matrix (one-pass mutable Aggregator, dim² buffer state; PCA-whitening prep)"),
 
+    Q("q99_pq_topk",
+      (s, d) => {
+        // PQ encode + ADC top-k with the deterministic pseudo-codebook
+        // family (the q50 stub-encoder precedent: plumbing — subspace
+        // argmin encode, per-query table, lookup-sum scoring, bounded
+        // top-k — fully oracle-checked; TRAINED-codebook quality is
+        // measured in PqSpec against brute force)
+        val emb = embeddings(s, d)
+        val cb = Pq.pseudoCodebooks(m = 8, k = 16, dsub = 8)
+        val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+        Pq.adcTopK(codes, emb.filter(col("vec_id") < 8),
+            "vec_id", "vec_id", "embedding", cb, topK = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            (round(col("adist"), 6) + lit(0.0)).as("adist"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some {
+        val hu = OracleSql.mix64("su")
+        s"""WITH cbi AS (
+           |  SELECT mi, j, t, CAST((mi*16 + j)*8 + t + 777 AS UBIGINT) AS su
+           |  FROM (SELECT unnest(range(8)) AS mi),
+           |       (SELECT unnest(range(16)) AS j),
+           |       (SELECT unnest(range(8)) AS t)
+           |), cbh AS (
+           |  SELECT mi, j, t, $hu AS hu FROM cbi
+           |), cb AS (
+           |  SELECT mi, j, t,
+           |         (CAST((hu >> 11) AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 AS c
+           |  FROM cbh
+           |), ex AS (
+           |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS t,
+           |         CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM embeddings
+           |), exs AS (
+           |  SELECT vec_id, t // 8 AS mi, t % 8 AS tt, x FROM ex
+           |), dists AS (
+           |  SELECT e.vec_id, e.mi, c.j,
+           |    ${OracleSql.foldSum("list((e.x - c.c) * (e.x - c.c) ORDER BY e.tt)")} AS d
+           |  FROM exs e JOIN cb c ON c.mi = e.mi AND c.t = e.tt
+           |  GROUP BY e.vec_id, e.mi, c.j
+           |), codes AS (
+           |  SELECT vec_id, mi, j AS code FROM (
+           |    SELECT vec_id, mi, j,
+           |           row_number() OVER (PARTITION BY vec_id, mi ORDER BY d ASC, j ASC) AS rn
+           |    FROM dists) WHERE rn = 1
+           |), qtab AS (
+           |  SELECT vec_id AS query_id, mi, j, d FROM dists WHERE vec_id < 8
+           |), adc AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |    ${OracleSql.foldSum("list(q.d ORDER BY q.mi)")} AS adist
+           |  FROM codes c JOIN qtab q ON q.mi = c.mi AND q.j = c.code
+           |  GROUP BY q.query_id, c.vec_id
+           |)
+           |SELECT query_id, neighbor_id, round(adist, 6) + 0.0 AS adist,
+           |       CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT query_id, neighbor_id, adist,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY adist ASC, neighbor_id ASC) AS rank
+           |      FROM adc)
+           |WHERE rank <= 5""".stripMargin
+      },
+      "product-quantization ANN (codegen encode + per-query ADC table + m-lookup scoring; 32x index memory cut; pseudo-codebooks oracle-reproduced)"),
+
     Q("q97_stratum_sample",
       (s, d) => Sampling.topNPerStratum(orders(s, d),
           col("o_orderkey"), col("o_orderpriority"), n = 3)

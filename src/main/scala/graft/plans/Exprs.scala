@@ -294,6 +294,58 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** PQ encode: per-subspace nearest sub-centroid indices against a
+    * broadcast codebook ([[Kernels.pqEncode]]).
+    */
+  case class PqEncode(child: Expression, cb: Array[Double], m: Int, k: Int, dsub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.pqEncode(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cb, m, k, dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCb", cb, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.pqEncode($c, $ref, $m, $k, $dsub)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** Per-query ADC distance table ([[Kernels.pqTable]]). */
+  case class PqTable(child: Expression, cb: Array[Double], m: Int, k: Int, dsub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "pq_table"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.pqTable(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cb, m, k, dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCb", cb, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.pqTable($c, $ref, $m, $k, $dsub)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqTable =
+      copy(child = newChild)
+  }
+
+  /** ADC lookup-sum score ([[Kernels.pqAdc]]): m table loads per
+    * (query, row) pair — the point of PQ.
+    */
+  case class PqAdc(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc"
+    override protected def nullSafeEval(table: Any, codes: Any): Any =
+      Kernels.pqAdc(
+        table.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, c) => s"graft.plans.Kernels.pqAdc($t, $c, $k)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): PqAdc =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Row-local term-frequency map ([[Kernels.termCounts]]) — exploding
     * it replaces TF-IDF's corpus-wide `(doc, term)` count shuffle with
     * in-row counting.
@@ -411,6 +463,12 @@ object Exprs {
   def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =
     col(TopCells(ex(c), flat, dim, nProbe))
   def termCounts(c: Column): Column = col(TermCounts(ex(c)))
+  def pqEncode(c: Column, cb: Array[Double], m: Int, k: Int, dsub: Int): Column =
+    col(PqEncode(ex(c), cb, m, k, dsub))
+  def pqTable(c: Column, cb: Array[Double], m: Int, k: Int, dsub: Int): Column =
+    col(PqTable(ex(c), cb, m, k, dsub))
+  def pqAdc(table: Column, codes: Column, k: Int): Column =
+    col(PqAdc(ex(table), ex(codes), k))
   def normalizeD(c: Column): Column = col(NormalizeD(ex(c)))
   def nearestCentroidScoreD(c: Column, cents: Array[Double], dim: Int): Column =
     col(NearestCentroidScoreD(ex(c), cents, dim))

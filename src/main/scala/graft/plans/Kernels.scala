@@ -648,6 +648,76 @@ object Kernels {
       new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** Product-quantization encode: for each of `m` subspaces of `dsub`
+    * dims, the index of the L2-nearest sub-centroid (codebook row-major
+    * `[m][k][dsub]` doubles). Distances accumulate in index order from
+    * 0.0; ties to the lowest index — ordered-fold-reproducible.
+    */
+  def pqEncode(v: ArrayData, cb: Array[Double], m: Int, k: Int, dsub: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val vOff = mi * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val cOff = (mi * k + j) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = v.getFloat(vOff + t).toDouble - cb(cOff + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Per-query ADC table: distance from the query's `mi`-th subvector
+    * to every sub-centroid — `m·k` doubles, laid out `[mi][j]`. Built
+    * ONCE per query; scoring a corpus row is then `m` lookups
+    * ([[pqAdc]]), not a dim-length scan.
+    */
+  def pqTable(q: ArrayData, cb: Array[Double], m: Int, k: Int, dsub: Int): ArrayData = {
+    val out = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      val vOff = mi * dsub
+      var j = 0
+      while (j < k) {
+        val cOff = (mi * k + j) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = q.getFloat(vOff + t).toDouble - cb(cOff + t)
+          d += diff * diff
+          t += 1
+        }
+        out(mi * k + j) = d
+        j += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance score of a PQ-coded row against a query's ADC
+    * table: Σ_mi table[mi·k + code_mi], accumulated in subspace order.
+    */
+  def pqAdc(table: ArrayData, codes: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var d = 0.0
+    var mi = 0
+    while (mi < m) { d += table.getDouble(mi * k + codes.getInt(mi)); mi += 1 }
+    d
+  }
+
   /** Double-precision L2 normalization of a float embedding: xᵢ/‖x‖
     * with the squared norm accumulated in index order from 0.0 — the
     * exact arithmetic an ordered SQL left-fold (`list_reduce` with a

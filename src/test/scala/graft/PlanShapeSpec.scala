@@ -152,6 +152,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges === 1, s"one stratum exchange expected:\n$p")
   }
 
+  test("q99: PQ scores via broadcast query tables with partial top-k below the exchange") {
+    // the coded corpus is scanned once (no shuffle of codes); the query
+    // ADC tables broadcast; top-k state bounds the exchange like q38
+    val p = plan("q99_pq_topk")
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      "PQ must run as codegen kernels")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query tables must broadcast:\n$p")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l => l.contains("partial_topkagg") ||
+      (l.contains("ObjectHashAggregate") && l.contains("partial")))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(query_id"))
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"bounded top-k must partial-aggregate before the exchange:\n$p")
+  }
+
   test("q79: Misra-Gries partial-aggregates below the single-partition exchange") {
     // the global heavy-hitter agg must combine map-side (bounded
     // capacity-sized buffers travel, never the token stream)
