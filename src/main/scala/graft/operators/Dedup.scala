@@ -375,9 +375,16 @@ object Dedup {
     * convergence certificate. Each round `localCheckpoint`s (eager) to
     * truncate lineage — without it round k replays all k−1 prior
     * shuffles.
+    *
+    * Graphs at or below `driverEdgeLimit` edges (post-distinct, ≤16 MB
+    * at the default 2²⁰) short-circuit to a driver union-find: at that
+    * size the distributed rounds cost only scheduler overhead, and the
+    * bounded collect is the same config-scale contract as
+    * [[Ivf.ivfTopK]]'s training sample. Identical labels either way.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          driverEdgeLimit: Long = 1L << 20): DataFrame = {
     // bidirectional fan-out via ONE explode, not a self-union: a union
     // of e with its reversal evaluates the (possibly expensive)
     // upstream edge pipeline twice — e.g. q64's near-dup pair
@@ -389,6 +396,37 @@ object Dedup {
       .select(col("_e._s").as("_s"), col("_e._d").as("_d"))
       .distinct()
       .localCheckpoint(true)
+    // ADAPTIVE: after dedup the near-dup graph is usually tiny relative
+    // to the corpus (only documents WITH a duplicate appear). Below the
+    // bounded threshold (16 bytes/edge ⇒ ≤ 16 MB at the default), a
+    // driver union-find replaces O(diameter) Spark rounds whose cost at
+    // that size is pure job-scheduling overhead — the same
+    // config-scale-collect contract as Ivf's training sample. Larger
+    // graphs take the distributed min-label path below.
+    val nBi = bi.count()
+    if (nBi <= driverEdgeLimit &&
+        bi.schema.head.dataType == org.apache.spark.sql.types.LongType) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      bi.collect().foreach { row =>
+        val s = row.getLong(0); val t = row.getLong(1)
+        parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(t, t)
+        val rs = find(s); val rt = find(t)
+        if (rs != rt) { // union by MIN root so the label is the min id
+          if (rs < rt) parent(rt) = rs else parent(rs) = rt
+        }
+      }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toDF("id", "component")
+    }
     // init fuses the first propagation round for free: label(v) =
     // min(v, neighbours(v)) straight off the edge list — one
     // aggregation instead of a distinct + a full join round

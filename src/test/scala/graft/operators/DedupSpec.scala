@@ -210,6 +210,12 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
+    // the DISTRIBUTED min-label path (forced past the union-find
+    // short-circuit) must produce identical labels
+    val distributed = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === expected)
   }
 
   test("lineDedup matches a sequential brute force on random multi-line docs") {
