@@ -2355,7 +2355,157 @@ object Queries {
               |    row_number() OVER (PARTITION BY o_orderpriority
               |      ORDER BY ${OracleSql.mix64Signed("o_orderkey")}, o_orderkey) AS rn
               |  FROM orders) WHERE rn <= 3""".stripMargin),
-      "fixed-n per-stratum deterministic sample (mix64 order; exact quota per stratum)")
+      "fixed-n per-stratum deterministic sample (mix64 order; exact quota per stratum)"),
+
+    Q("q100_cube",
+      (s, d) => orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          grouping_id().cast("long").as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |round(sum(o_totalprice), 2) AS sum_price,
+             |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
+      "CUBE grouping sets with GROUPING_ID (single-pass partial-agg expansion)"),
+
+    Q("q101_split_assign",
+      (s, d) => Sampling.assignSplits(documents(s, d), col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"), col("n_chars")),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, n_chars,
+              |    ((${OracleSql.mix64Signed("doc_id")}) % 1000000 + 1000000) % 1000000 AS hb
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |  CASE WHEN hb < 800000 THEN 'train'
+              |       WHEN hb < 900000 THEN 'val'
+              |       ELSE 'test' END AS split, n_chars
+              |FROM h""".stripMargin),
+      "deterministic train/val/test split assignment (disjoint+exhaustive hash bands; narrow)"),
+
+    Q("q102_sequence_packing",
+      (s, d) => Packing.packSequences(
+          documents(s, d)
+            .withColumn("n_tokens", graft.plans.Exprs.scanTokens(col("text")).cast("long"))
+            .select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", capacity = 512, nShards = 8),
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              |      AS BIGINT) AS n_tokens,
+              |    ((${OracleSql.mix64Signed("doc_id")}) % 8 + 8) % 8 AS shard
+              |  FROM documents
+              |), r AS (
+              |  SELECT doc_id, n_tokens, shard,
+              |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              |  FROM t
+              |), p AS (
+              |  SELECT doc_id, n_tokens, shard, rn,
+              |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+              |    n_tokens AS used
+              |  FROM r WHERE rn = 1
+              |  UNION ALL
+              |  SELECT r.doc_id, r.n_tokens, r.shard, r.rn,
+              |    CASE WHEN p.used + r.n_tokens <= 512 OR p.used = 0
+              |         THEN p.seq_id ELSE p.seq_id + 1 END,
+              |    CASE WHEN p.used + r.n_tokens <= 512 OR p.used = 0
+              |         THEN p.used ELSE CAST(0 AS BIGINT) END,
+              |    CASE WHEN p.used + r.n_tokens <= 512 OR p.used = 0
+              |         THEN p.used + r.n_tokens ELSE r.n_tokens END
+              |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1
+              |)
+              |SELECT doc_id, n_tokens, shard, seq_id, seq_offset FROM p""".stripMargin),
+      "greedy next-fit sequence packing (shard-parallel sequential fold; oracle replays it recursively)"),
+
+    Q("q103_knn_label",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.knnClassify(
+            emb.filter(col("vec_id") % 25 =!= 0),
+            emb.filter(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", "label", "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("pred_label").cast("long").as("pred_label"),
+            col("votes"))
+      },
+      Some("""WITH nb AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |        CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+             |  FROM embeddings c, embeddings q
+             |  WHERE q.vec_id % 25 = 0 AND c.vec_id % 25 <> 0
+             |), v AS (
+             |  SELECT query_id, label, count(*) AS votes
+             |  FROM nb WHERE rank <= 5 GROUP BY query_id, label
+             |)
+             |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes FROM (
+             |  SELECT query_id, label, votes,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY votes DESC, label ASC) AS rn
+             |  FROM v) WHERE rn = 1""".stripMargin),
+      "kNN majority-vote label propagation (broadcast top-k back over the corpus; deterministic ties)"),
+
+    Q("q104_winsorize",
+      (s, d) => {
+        val li = lineitem(s, d)
+        // two-pass robust clamp: tiny per-group percentile frame
+        // broadcast back over the big scan — the big side never shuffles
+        val bounds = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("_b"))
+          .select(col("l_returnflag"),
+            element_at(col("_b"), 1).as("_lo"), element_at(col("_b"), 2).as("_hi"))
+        li.join(broadcast(bounds), Seq("l_returnflag"))
+          // round(4) pins clamped values onto a grid both engines agree
+          // on before the order-unspecified sum (q53 establishes the
+          // interpolated percentiles themselves are bit-identical)
+          .select(col("l_returnflag"),
+            round(greatest(col("_lo"), least(col("_hi"), col("l_extendedprice"))), 4).as("_w"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("_w")), 2).as("sum_w"),
+            round(min(col("_w")), 4).as("min_w"),
+            round(max(col("_w")), 4).as("max_w"))
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    quantile_cont(l_extendedprice, 0.05) AS lo,
+             |    quantile_cont(l_extendedprice, 0.95) AS hi
+             |  FROM lineitem GROUP BY l_returnflag
+             |), w AS (
+             |  SELECT l.l_returnflag,
+             |    round(greatest(b.lo, least(b.hi, l.l_extendedprice)), 4) AS w
+             |  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+             |)
+             |SELECT l_returnflag, count(*) AS n, round(sum(w), 2) AS sum_w,
+             |  round(min(w), 4) AS min_w, round(max(w), 4) AS max_w
+             |FROM w GROUP BY l_returnflag""".stripMargin),
+      "winsorized (percentile-clamped) aggregation — robust outlier handling, two-pass broadcast"),
+
+    Q("q105_zorder", {
+      (s, d) =>
+        lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            Layout.zorder2(col("l_partkey"), col("l_suppkey"), 16).as("zval"))
+          .groupBy(shiftright(col("zval"), 14).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+            min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      },
+      Some {
+        val zsql = (0 until 16).map(i =>
+          s"(((l_partkey >> $i) & 1) << ${2 * i + 1}) + (((l_suppkey >> $i) & 1) << ${2 * i})")
+          .mkString(" + ")
+        s"""WITH z AS (
+           |  SELECT l_partkey, l_suppkey, CAST($zsql AS BIGINT) AS zval FROM lineitem
+           |)
+           |SELECT zval >> 14 AS bucket, count(*) AS n,
+           |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+           |FROM z GROUP BY zval >> 14""".stripMargin
+      },
+      "Z-order (Morton) layout key — per-bucket min/max stay narrow on BOTH dims (file-skipping layout)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -64,6 +64,32 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Deterministic multi-way split assignment (train/val/test): every
+    * row gets exactly one split label, chosen by which cumulative-
+    * fraction band `mix64(key) mod 1e6` falls into. Unlike filtering
+    * twice with different seeds, the bands partition the hash space, so
+    * splits are disjoint and exhaustive BY CONSTRUCTION, stable under
+    * re-runs and re-partitioning, and a row added later never moves an
+    * existing row between splits — the leakage-safety property a
+    * train/eval split must have on a growing 100 TB corpus.
+    *
+    * Narrow (a codegen'd hash + when-chain per row, no shuffle); split
+    * sizes are Binomial(n, fraction) like [[hashSample]].
+    */
+  def assignSplits(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                   outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val h = pmod(graft.plans.Exprs.mix64(key.cast("long")), lit(Buckets))
+    val assigned = splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+        when(h < lit(math.round(c * Buckets)), lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, assigned)
+  }
+
   /** Weighted corpus mix: unions a deterministic `fraction`-sample of
     * each source (aligned by name, missing columns null). The standard
     * "mix N datasets at given rates" step of a training-data pipeline;

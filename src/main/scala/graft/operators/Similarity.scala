@@ -92,6 +92,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** kNN label propagation: each query row gets the majority label of
+    * its `k` nearest labeled neighbors by cosine — the standard cheap
+    * classifier for extending a small labeled seed set (quality tiers,
+    * topics, toxicity) over an unlabeled corpus. Ties are deterministic:
+    * most votes first, then the smallest label. Returns
+    * (query_id, pred_label, votes).
+    *
+    * Scale shape: the expensive part is [[cosineTopK]] (labeled corpus
+    * scanned once, bounded-heap top-k); the vote join then BROADCASTS
+    * the ≤ |queries|·k top-k rows against the corpus — the big side is
+    * never shuffled — and the majority window runs over ≤ k rows per
+    * query.
+    */
+  def knnClassify(labeled: DataFrame, queries: DataFrame,
+                  corpusId: String, corpusVec: String, labelCol: String,
+                  queryId: String, queryVec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = cosineTopK(labeled, queries, corpusId, corpusVec, queryId, queryVec, k)
+    val votes = labeled.select(col(corpusId).as("neighbor_id"), col(labelCol).as("_lbl"))
+      .join(broadcast(topk.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_lbl").asc)
+    votes.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("query_id"), col("_lbl").as("pred_label"), col("votes"))
+  }
+
   /** Per-label embedding centroids (prototype vectors / class means):
     * explode to (label, dim, component) rows and average per (label,
     * dim) — per-group aggregation state is one running (sum, count)

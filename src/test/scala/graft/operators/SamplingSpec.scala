@@ -112,4 +112,30 @@ class SamplingSpec extends SparkSpec {
       assert(tot < 10 + 7, s"shard $sid total $tot")
     }
   }
+
+  test("assignSplits is disjoint, exhaustive, near the target rates, stable under growth") {
+    import spark.implicits._
+    val out = Sampling.assignSplits(ids, col("id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("id"), col("split")).as[(Long, String)].collect()
+    assert(out.length === 20000, "every row got exactly one split")
+    val byId = out.toMap
+    assert(byId.size === 20000)
+    val rates = out.groupBy(_._2).view.mapValues(_.length / 20000.0).toMap
+    assert(math.abs(rates("train") - 0.8) < 0.02, s"train ${rates("train")}")
+    assert(math.abs(rates("val") - 0.1) < 0.01)
+    assert(math.abs(rates("test") - 0.1) < 0.01)
+    // adding rows later never moves an existing row between splits
+    val shrunk = Sampling.assignSplits(ids.filter(col("id") < 5000), col("id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("id"), col("split")).as[(Long, String)].collect()
+    shrunk.foreach { case (id, s) => assert(byId(id) === s) }
+  }
+
+  test("assignSplits plan is a narrow projection (no shuffle)") {
+    val plan = Sampling.assignSplits(ids, col("id"),
+        Seq(("train", 0.9), ("test", 0.1)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split assignment must not shuffle:\n$plan")
+  }
 }
