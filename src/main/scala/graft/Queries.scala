@@ -1187,15 +1187,10 @@ object Queries {
       "C4-style text cleaning (URL strip/count, whitespace normalize, control chars)"),
 
     Q("q77_repetition",
-      (s, d) => {
-        val docs = documents(s, d)
-        val reps = docs.select(col("doc_id"),
-          round(TextFunctions.repeatedNgramFraction(col("text"), 2), 6).as("rep2"),
-          round(TextFunctions.repeatedNgramFraction(col("text"), 3), 6).as("rep3"))
-        reps.join(TfIdf.topTokenShare(docs, "doc_id", "text"), Seq("doc_id"))
-          .select(col("doc_id"), col("rep2"), col("rep3"),
-            round(col("top_tok_share"), 6).as("top_tok_share"))
-      },
+      (s, d) => documents(s, d).select(col("doc_id"),
+        round(TextFunctions.repeatedNgramFraction(col("text"), 2), 6).as("rep2"),
+        round(TextFunctions.repeatedNgramFraction(col("text"), 3), 6).as("rep3"),
+        round(TextFunctions.topTokenShare(col("text")), 6).as("top_tok_share")),
       // distinct-over-total positional k-grams and max-token share,
       // recomputed string-side with DuckDB list comprehensions (hash
       // distinct = string distinct, collision-free at this scale)

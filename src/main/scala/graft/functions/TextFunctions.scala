@@ -50,6 +50,14 @@ object TextFunctions {
       .otherwise((total - nDistinct).cast("double") / total.cast("double"))
   }
 
+  /** Most-frequent-token share per document (1.0 = one word over and
+    * over) — the companion repetition gate to
+    * [[repeatedNgramFraction]]. Per-row codegen kernel; replaced an
+    * explode → (doc,term) count → per-doc max/sum pipeline whose two
+    * corpus-wide shuffles crossed every token occurrence over the wire.
+    */
+  def topTokenShare(text: Column): Column = Exprs.topTokenShare(text)
+
   /** Characters per token — a crude fertility measure. */
   def charsPerToken(text: Column): Column =
     length(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")

@@ -53,21 +53,4 @@ object TfIdf {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
-  /** Most-frequent-token share per document: max token multiplicity /
-    * total tokens — the companion repetition gate to
-    * [[graft.functions.TextFunctions.repeatedNgramFraction]] (a doc
-    * that is one word over and over scores 1). Explode + two bounded
-    * aggregations — per-group state is O(1), so unlike a per-doc
-    * sort-and-count HOF chain this stays vectorized and survives
-    * arbitrarily long documents.
-    */
-  def topTokenShare(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-    toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-        .as("top_tok_share"))
-  }
 }

@@ -149,6 +149,18 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class TopTokenShare(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "top_token_share"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.topTokenShare(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.topTokenShare($c)")
+    override protected def withNewChildInternal(newChild: Expression): TopTokenShare =
+      copy(child = newChild)
+  }
+
   case class SubwordCount(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -455,6 +467,7 @@ object Exprs {
   def meanTokenLen(c: Column): Column = col(MeanTokenLen(ex(c)))
   def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))
   def punctRatio(c: Column): Column = col(PunctRatio(ex(c)))
+  def topTokenShare(c: Column): Column = col(TopTokenShare(ex(c)))
   def fingerprint64(c: Column): Column = col(Fingerprint64(ex(c)))
   def subwordCount(c: Column): Column = col(SubwordCount(ex(c)))
   def langId(c: Column): Column = col(LangId(ex(c)))

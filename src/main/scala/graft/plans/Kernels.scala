@@ -467,6 +467,60 @@ object Kernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** Most-frequent-token share: max multiplicity of any lowercase
+    * whitespace token over the total token count (0.0 for empty text).
+    * Counts by 64-bit token hash (same poly31+[[mix64]] family as
+    * [[simhash]]) in an open-addressing map sized to the document —
+    * per-ROW state bounded by document vocabulary, nothing crosses the
+    * wire. Replaced an explode → (doc,term) count → per-doc max/sum
+    * pipeline: two corpus-wide shuffles and a join for a quantity each
+    * row can compute alone (measured 2.0 s → map-only on q77).
+    */
+  def topTokenShare(text: UTF8String): Double = {
+    val s = text.toString.toLowerCase
+    var cap = 64 // power of two; grown at 70% load
+    var keys = new Array[Long](cap)
+    var cnts = new Array[Int](cap)
+    var used = 0
+    var total = 0
+    var maxC = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        var h = 1125899906842597L
+        var j = start
+        while (j < i) { h = 31L * h + s.charAt(j); j += 1 }
+        h = mix64(h)
+        total += 1
+        var slot = (h & (cap - 1)).toInt
+        while (cnts(slot) != 0 && keys(slot) != h) slot = (slot + 1) & (cap - 1)
+        if (cnts(slot) == 0) { keys(slot) = h; used += 1 }
+        cnts(slot) += 1
+        if (cnts(slot) > maxC) maxC = cnts(slot)
+        if (used * 10 >= cap * 7) {
+          val oldKeys = keys; val oldCnts = cnts
+          cap <<= 1
+          keys = new Array[Long](cap)
+          cnts = new Array[Int](cap)
+          var o = 0
+          while (o < oldKeys.length) {
+            if (oldCnts(o) != 0) {
+              var ns = (oldKeys(o) & (cap - 1)).toInt
+              while (cnts(ns) != 0) ns = (ns + 1) & (cap - 1)
+              keys(ns) = oldKeys(o); cnts(ns) = oldCnts(o)
+            }
+            o += 1
+          }
+        }
+      }
+    }
+    if (total == 0) 0.0 else maxC.toDouble / total.toDouble
+  }
+
   /** Bloom-filter probe: true iff all `k` probe positions of content
     * fingerprint `h` are set in the packed `words` bit array (`mBits`
     * bits). Positions mirror [[graft.operators.Bloom.setBits]] exactly:

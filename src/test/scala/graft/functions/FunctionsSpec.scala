@@ -350,22 +350,41 @@ class FunctionsSpec extends SparkSpec {
     val got = df.select(col("id"),
         graft.plans.Exprs.scanTokens(col("text")).as("n"),
         graft.plans.Exprs.chunkTokens(col("text"), 3).as("ct"),
-        graft.plans.Exprs.chunkWindows(col("text"), 4, 2).as("cw"))
+        graft.plans.Exprs.chunkWindows(col("text"), 4, 2).as("cw"),
+        graft.plans.Exprs.topTokenShare(col("text")).as("tts"))
       .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), r.getString(2), r.getSeq[String](3))).toMap
+        (r.getInt(1), r.getString(2), r.getSeq[String](3), r.getDouble(4))).toMap
     samples.zipWithIndex.foreach { case (t, i) =>
       val tk = toks(t)
       val wantChunk = tk.grouped(3).map(g =>
         g.mkString(" ")).mkString("\n")
       val starts = 0 until math.max(tk.size, 0) by 2
       val wantWin = starts.map(o => tk.slice(o, o + 4).mkString(" "))
-      val (gn, gct, gcw) = got(i.toLong)
+      val wantTts = if (tk.isEmpty) 0.0
+        else tk.groupBy(identity).values.map(_.size).max.toDouble / tk.size
+      val (gn, gct, gcw, gtts) = got(i.toLong)
       // Character.isWhitespace vs regex \s agree on this whole
       // alphabet: VT is whitespace in both, NBSP a token char in both
       assert(gn === tk.size, s"scanTokens on ${t.map(_.toInt)}")
       assert(gct === wantChunk, s"chunkTokens on ${t.map(_.toInt)}")
       assert(gcw === wantWin, s"chunkWindows on ${t.map(_.toInt)}")
+      assert(gtts === wantTts, s"topTokenShare on ${t.map(_.toInt)}")
     }
+  }
+
+  test("topTokenShare: map resize past 64 slots and exact share") {
+    import spark.implicits._
+    // 500 distinct tokens + one token 50 more times forces several
+    // open-addressing grows (64 -> 1024) and a known exact share
+    val longDoc = ((0 until 500).map(i => s"tok$i") ++ Seq.fill(50)("tok7"))
+      .mkString(" ")
+    val df = Seq((0L, longDoc), (1L, "x X x"), (2L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.plans.Exprs.topTokenShare(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) === 51.0 / 550.0)
+    assert(got(1L) === 1.0) // lowercased: all three are 'x'
+    assert(got(2L) === 0.0)
   }
 
   test("chunkWindows: overlap, short tail, empty input") {
