@@ -2500,7 +2500,43 @@ object Queries {
            |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
            |FROM z GROUP BY zval >> 14""".stripMargin
       },
-      "Z-order (Morton) layout key — per-bucket min/max stay narrow on BOTH dims (file-skipping layout)")
+      "Z-order (Morton) layout key — per-bucket min/max stay narrow on BOTH dims (file-skipping layout)"),
+
+    Q("q106_bpe_pairs",
+      (s, d) => documents(s, d)
+        .select(explode(graft.plans.Exprs.chunkWindows(col("text"), 2, 1)).as("pair"))
+        // the kernel's trailing 1-token window has no space — drop it
+        .filter(col("pair").contains(" "))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20),
+      Some("""WITH toks AS (
+             |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM documents
+             |), pairs AS (
+             |  SELECT unnest([tk[i] || ' ' || tk[i+1]
+             |                 FOR i IN range(1, len(tk))]) AS pair
+             |  FROM toks
+             |)
+             |SELECT pair, count(*) AS n FROM pairs
+             |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      "adjacent token-pair frequencies, top-20 (the BPE merge-candidate scan; deterministic count/pair order)"),
+
+    Q("q107_fuzzy_edit",
+      (s, d) => Dedup.editDistancePairs(documents(s, d), "text", "doc_id",
+        maxDist = 10, shingleK = 3, numPerms = 64, bands = 16,
+        candThreshold = 0.2),
+      // candidate generation is q34's oracle-recomputed LSH pipeline
+      // as a derived table; the verify re-runs DuckDB's levenshtein
+      // on the same lowercased texts (classic two-phase fuzzy join)
+      Some(s"""SELECT c.id_a, c.id_b,
+              |  CAST(levenshtein(lower(a.text), lower(b.text)) AS BIGINT) AS edit_dist
+              |FROM (${minhashOracleSql("a.doc_id < b.doc_id", "id_a", "id_b", 0.2)}) c
+              |JOIN documents a ON a.doc_id = c.id_a
+              |JOIN documents b ON b.doc_id = c.id_b
+              |WHERE levenshtein(lower(a.text), lower(b.text)) <= 10""".stripMargin),
+      "fuzzy dedup by edit distance (LSH candidates, then bounded Levenshtein verify on survivors only)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

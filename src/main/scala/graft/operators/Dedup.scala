@@ -90,6 +90,34 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Fuzzy near-dup pairs by EDIT DISTANCE: MinHash+LSH candidate
+    * generation (banded — no all-pairs stage anywhere) followed by an
+    * exact Levenshtein verify on the surviving candidates only. The
+    * classic two-phase fuzzy-join shape: the cheap recall-oriented
+    * filter runs corpus-wide on skinny keys; the O(len·maxDist)
+    * verify (Spark's bounded 3-arg `levenshtein` early-exits above
+    * the threshold) touches only candidate pairs, after a free
+    * |len(a)−len(b)| ≤ maxDist prefilter. Texts are fetched by
+    * joining back on id — candidate rows never carry two documents
+    * through the banding shuffle.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int, shingleK: Int = 3, numPerms: Int = 64,
+                        bands: Int = 16,
+                        candThreshold: Double = 0.2): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numPerms,
+        bands, candThreshold)
+      .select(col("id_a"), col("id_b"))
+    val txt = df.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+    cand
+      .join(txt.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_dist").cast("long").as("edit_dist"))
+  }
+
   /** Ingest-time near-dup check: MinHash+LSH candidates of `incoming`
     * documents against an `existing` corpus — the approximate
     * counterpart of [[exactDupsAgainst]]. The incoming batch is small

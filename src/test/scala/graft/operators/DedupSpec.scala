@@ -143,6 +143,32 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.2, s"est $est vs exact $exact")
   }
 
+  test("editDistancePairs: LSH candidates verified by exact Levenshtein") {
+    // fixture pairs (0,1) and (0,3) differ by small token edits; the
+    // brute-force Levenshtein on lowercased text is the ground truth
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val maxDist = 8
+    val got = Dedup.editDistancePairs(docsDf(fixture), "text", "doc_id",
+        maxDist = maxDist, candThreshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every reported pair must carry the exact distance and be <= max
+    got.foreach { case ((a, b), d) =>
+      assert(d === lev(fixture(a.toInt).toLowerCase, fixture(b.toInt).toLowerCase).toLong)
+      assert(d <= maxDist)
+    }
+    // the two single-token edits of doc 0 must be found
+    assert(got.contains((0L, 1L)), "missed planted near-dup (0,1)")
+    assert(got.contains((0L, 3L)), "missed planted near-dup (0,3)")
+    // the disjoint doc must not pair with anything
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   test("exactDupsAgainst flags only incoming docs whose content exists in the corpus") {
     import spark.implicits._
     val corpus = docsDf(Seq(base, "corpus only text here"))
