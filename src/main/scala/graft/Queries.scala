@@ -2536,7 +2536,91 @@ object Queries {
               |JOIN documents a ON a.doc_id = c.id_a
               |JOIN documents b ON b.doc_id = c.id_b
               |WHERE levenshtein(lower(a.text), lower(b.text)) <= 10""".stripMargin),
-      "fuzzy dedup by edit distance (LSH candidates, then bounded Levenshtein verify on survivors only)")
+      "fuzzy dedup by edit distance (LSH candidates, then bounded Levenshtein verify on survivors only)"),
+
+    Q("q108_bigram_lm",
+      (s, d) => LanguageModel.bigramScore(documents(s, d), "doc_id", "text"),
+      // the oracle retrains the same add-one bigram model in SQL. The
+      // per-bigram ln snaps to integer micro-nats so the per-doc total
+      // is exact integer arithmetic and the mean is one IEEE division
+      // of identical integers in both engines (see LanguageModel
+      // scaladoc for why rounding the mean instead structurally fails)
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM documents
+             |), pt AS (
+             |  SELECT doc_id, pair, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+             |                           FOR i IN range(1, len(tk))]) AS pair
+             |    FROM toks) GROUP BY doc_id, pair
+             |), bc AS (SELECT pair, sum(tf) AS bc FROM pt GROUP BY pair
+             |), ut AS (
+             |  SELECT doc_id, term, count(*) AS utf FROM (
+             |    SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+             |), uc AS (SELECT term, sum(utf) AS uc FROM ut GROUP BY term
+             |), v AS (SELECT count(*) AS v FROM uc
+             |), lp AS (
+             |  SELECT pt.doc_id, pt.tf,
+             |    CAST(round(ln(CAST(bc.bc + 1 AS DOUBLE) / CAST(uc.uc + v.v AS DOUBLE)) * 1e6, 0)
+             |      AS BIGINT) AS lp_micro
+             |  FROM pt JOIN bc USING (pair)
+             |  JOIN uc ON uc.term = string_split(pt.pair, ' ')[1]
+             |  CROSS JOIN v
+             |)
+             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(tf * lp_micro) AS DOUBLE) /
+             |    CAST(sum(tf) * 1000000 AS DOUBLE) AS avg_logprob
+             |FROM lp GROUP BY doc_id""".stripMargin),
+      "corpus-trained bigram LM quality score (KenLM-style gate; in-row gram counts, model re-joined on gram key)"),
+
+    Q("q109_scd2_merge",
+      (s, d) => {
+        val c = customer(s, d)
+        // four deterministic snapshot batches; the 1998-03 batch
+        // repeats the 1995-06 state for its keys (a no-op update the
+        // collapse must drop), the 1998-09 batch changes both attrs
+        def snap(f: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column,
+                 seg: org.apache.spark.sql.Column, eff: String) =
+          c.filter(f).select(col("c_custkey"), bal.as("bal"), seg.as("seg"),
+            to_date(lit(eff)).as("eff"))
+        val snaps =
+          snap(lit(true), col("c_acctbal"), col("c_mktsegment"), "1992-01-01")
+            .unionByName(snap(col("c_custkey") % 7 === 0,
+              col("c_acctbal") + 100.0, col("c_mktsegment"), "1995-06-01"))
+            .unionByName(snap(col("c_custkey") % 14 === 0,
+              col("c_acctbal") + 100.0, col("c_mktsegment"), "1998-03-01"))
+            .unionByName(snap(col("c_custkey") % 21 === 0,
+              col("c_acctbal") + 250.0, lit("MACHINERY"), "1998-09-01"))
+        Scd.collapseHistory(snaps, Seq("c_custkey"), "eff", Seq("bal", "seg"))
+          .select(col("c_custkey"), col("bal"), col("seg"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+      },
+      Some("""WITH snaps AS (
+             |  SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg,
+             |         DATE '1992-01-01' AS eff FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal + 100.0, c_mktsegment,
+             |         DATE '1995-06-01' FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal + 100.0, c_mktsegment,
+             |         DATE '1998-03-01' FROM customer WHERE c_custkey % 14 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal + 250.0, 'MACHINERY',
+             |         DATE '1998-09-01' FROM customer WHERE c_custkey % 21 = 0
+             |), lagged AS (
+             |  SELECT *, lag(bal) OVER w AS lb, lag(seg) OVER w AS ls,
+             |         row_number() OVER w AS rn
+             |  FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY eff)
+             |), kept AS (
+             |  SELECT c_custkey, bal, seg, eff FROM lagged
+             |  WHERE rn = 1 OR bal IS DISTINCT FROM lb OR seg IS DISTINCT FROM ls
+             |)
+             |SELECT c_custkey, bal, seg, eff AS valid_from,
+             |  lead(eff) OVER w2 AS valid_to,
+             |  lead(eff) OVER w2 IS NULL AS is_current
+             |FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY eff)""".stripMargin),
+      "SCD Type-2 history build (no-op updates collapsed, validity intervals; one exchange for both windows)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

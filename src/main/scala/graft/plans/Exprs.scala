@@ -374,6 +374,18 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class PairCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      MapType(StringType, IntegerType, valueContainsNull = false)
+    override def prettyName: String = "pair_counts"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.pairCounts(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.pairCounts($c)")
+    override protected def withNewChildInternal(newChild: Expression): PairCounts =
+      copy(child = newChild)
+  }
+
   /** Double-precision L2 normalize of a float embedding (index-order
     * squared-norm fold — see [[Kernels.normalizeD]]). The k-means
     * entry point: every downstream dot runs on these doubles.
@@ -476,6 +488,7 @@ object Exprs {
   def topCells(c: Column, flat: Array[Float], dim: Int, nProbe: Int): Column =
     col(TopCells(ex(c), flat, dim, nProbe))
   def termCounts(c: Column): Column = col(TermCounts(ex(c)))
+  def pairCounts(c: Column): Column = col(PairCounts(ex(c)))
   def pqEncode(c: Column, cb: Array[Double], m: Int, k: Int, dsub: Int): Column =
     col(PqEncode(ex(c), cb, m, k, dsub))
   def pqTable(c: Column, cb: Array[Double], m: Int, k: Int, dsub: Int): Column =

@@ -702,6 +702,46 @@ object Kernels {
       new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** Per-document adjacent-token-PAIR frequencies in one row-local
+    * pass ([[termCounts]]'s bigram sibling; same `\\s+` tokenizer,
+    * pairs joined by a single space). Exploding this map keeps
+    * bigram-model training shuffles distinct-pair-per-doc sized —
+    * pair multiplicity never crosses the wire.
+    */
+  def pairCounts(text: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val s = text.toString.toLowerCase
+    val counts = new java.util.LinkedHashMap[String, Integer]()
+    var prev: String = null
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val t = s.substring(start, i)
+        if (prev != null) {
+          val p = prev + " " + t
+          val c = counts.get(p)
+          counts.put(p, if (c == null) 1 else c + 1)
+        }
+        prev = t
+      }
+    }
+    val keys = new Array[AnyRef](counts.size)
+    val vals = new Array[Int](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   /** Product-quantization encode: for each of `m` subspaces of `dsub`
     * dims, the index of the L2-nearest sub-centroid (codebook row-major
     * `[m][k][dsub]` doubles). Distances accumulate in index order from

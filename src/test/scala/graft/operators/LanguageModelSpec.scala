@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpec {
+
+  test("bigramScore: hand-computed add-one bigram model on a tiny corpus") {
+    import spark.implicits._
+    // corpus: unigrams a=4 b=2 solo=1 (V=3); bigrams "a b"=2, "b a"=1, "a a"=1
+    val df = Seq((0L, "a b a b"), (1L, "a a"), (2L, "solo")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    def micro(p: Double): Long = math.round(math.log(p) * 1e6)
+    // doc 0: "a b"×2 at ln(3/(4+3)), "b a"×1 at ln(2/(2+3))
+    val d0 = (2 * micro(3.0 / 7) + 1 * micro(2.0 / 5)).toDouble / (3 * 1000000L)
+    // doc 1: "a a"×1 at ln(2/(4+3))
+    val d1 = micro(2.0 / 7).toDouble / 1000000L
+    assert(got(0L) === ((3L, d0)))
+    assert(got(1L) === ((1L, d1)))
+    // single-token doc has no bigrams and drops out
+    assert(!got.contains(2L))
+  }
+
+  test("pairCounts kernel: multiplicity, ordering, single/empty input") {
+    import spark.implicits._
+    val df = Seq((0L, "x y x y x"), (1L, "one"), (2L, " ")).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.plans.Exprs.pairCounts(col("text")).as("pc"))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Int](1)).toMap
+    assert(got(0L) === Map("x y" -> 2, "y x" -> 2))
+    assert(got(1L) === Map.empty)
+    assert(got(2L) === Map.empty)
+  }
+}
