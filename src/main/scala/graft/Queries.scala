@@ -2620,7 +2620,66 @@ object Queries {
              |  lead(eff) OVER w2 AS valid_to,
              |  lead(eff) OVER w2 IS NULL AS is_current
              |FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY eff)""".stripMargin),
-      "SCD Type-2 history build (no-op updates collapsed, validity intervals; one exchange for both windows)")
+      "SCD Type-2 history build (no-op updates collapsed, validity intervals; one exchange for both windows)"),
+
+    Q("q110_weighted_sample",
+      (s, d) => Sampling.weightedTopNPerStratum(orders(s, d),
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), n = 5)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("rn").cast("long").as("rn")),
+      // rank values are floats but rank GAPS dwarf cross-engine pow
+      // ulp noise, so only the selected keys + integer rank are output
+      Some(s"""WITH u AS (
+              |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+              |    (((${OracleSql.mix64Signed("o_orderkey")}) % 1000000 + 1000000) % 1000000
+              |      + 0.5) / 1000000.0 AS u
+              |  FROM orders
+              |)
+              |SELECT o_orderpriority, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+              |  SELECT o_orderpriority, o_orderkey,
+              |    row_number() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY pow(u, 1.0 / o_totalprice) DESC, o_orderkey) AS rn
+              |  FROM u) WHERE rn <= 5""".stripMargin),
+      "weight-proportional per-stratum sample without replacement (Efraimidis-Spirakis A-Res, deterministic)"),
+
+    Q("q111_grid_join",
+      (s, d) => {
+        // deterministic planar positions in [0,1000)^2 hashed off the
+        // keys (offsets decorrelate x/y and the two tables)
+        def planted(df: DataFrame, key: String, ox: Long, oy: Long,
+                    xc: String, yc: String) =
+          df.select(col(key),
+            (pmod(graft.plans.Exprs.mix64(col(key) + ox), lit(1000000L))
+              .cast("double") / lit(1000.0)).as(xc),
+            (pmod(graft.plans.Exprs.mix64(col(key) + oy), lit(1000000L))
+              .cast("double") / lit(1000.0)).as(yc))
+        val pts = planted(customer(s, d), "c_custkey", 0L, 1000000L, "px", "py")
+        val qs = planted(supplier(s, d), "s_suppkey", 777L, 1000777L, "qx", "qy")
+        SpatialJoin.radiusJoin(pts, "px", "py", qs, "qx", "qy", 15.0)
+          .select(col("s_suppkey"), col("c_custkey"), round(col("dist"), 6).as("dist"))
+      },
+      // oracle brute-forces the cross join with the IDENTICAL distance
+      // expression (same IEEE op order -> same doubles -> same <= verdicts)
+      Some(s"""WITH pts AS (
+              |  SELECT c_custkey,
+              |    (((${OracleSql.mix64Signed("c_custkey")}) % 1000000 + 1000000) % 1000000)
+              |      / 1000.0 AS x,
+              |    (((${OracleSql.mix64Signed("c_custkey + 1000000")}) % 1000000 + 1000000) % 1000000)
+              |      / 1000.0 AS y
+              |  FROM customer
+              |), qs AS (
+              |  SELECT s_suppkey,
+              |    (((${OracleSql.mix64Signed("s_suppkey + 777")}) % 1000000 + 1000000) % 1000000)
+              |      / 1000.0 AS x,
+              |    (((${OracleSql.mix64Signed("s_suppkey + 1000777")}) % 1000000 + 1000000) % 1000000)
+              |      / 1000.0 AS y
+              |  FROM supplier
+              |)
+              |SELECT q.s_suppkey, p.c_custkey,
+              |  round(sqrt((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)), 6) AS dist
+              |FROM qs q JOIN pts p
+              |  ON (p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y) <= 225.0""".stripMargin),
+      "planar radius join via grid-cell binning (one cell-key shuffle, 3x3 probe replication, no all-pairs)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -64,6 +64,32 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Weighted fixed-n per-stratum sample without replacement
+    * (Efraimidis–Spirakis A-Res): each row draws a deterministic
+    * uniform `u = (mix64(key) mod 1e6 + 0.5)/1e6` and ranks by
+    * `u^(1/weight)`; the top `n` per stratum are the sample, so a
+    * row's selection probability is proportional to its weight. Same
+    * reproducibility contract as [[topNPerStratum]] (hash-keyed, layout
+    * independent) — the weighted variant is the "sample documents
+    * proportional to quality score / token count" curation step.
+    *
+    * Ranks of distinct keys are separated by ~1/(rows per stratum ·
+    * ln-scale), many orders of magnitude above cross-engine `pow`
+    * last-ulp noise, so the selected SET is engine-stable even though
+    * the rank values themselves are floats (ties break on the key).
+    * One shuffle on the stratum, like [[topNPerStratum]].
+    */
+  def weightedTopNPerStratum(df: DataFrame, key: Column, stratum: Column,
+                             weight: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0)
+    val u = (pmod(graft.plans.Exprs.mix64(key.cast("long")), lit(Buckets))
+      .cast("double") + lit(0.5)) / lit(Buckets.toDouble)
+    val rank = pow(u, lit(1.0) / weight.cast("double"))
+    val w = Window.partitionBy(stratum).orderBy(rank.desc, key)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
   /** Deterministic multi-way split assignment (train/val/test): every
     * row gets exactly one split label, chosen by which cumulative-
     * fraction band `mix64(key) mod 1e6` falls into. Unlike filtering

@@ -138,4 +138,37 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"split assignment must not shuffle:\n$plan")
   }
+
+  test("weightedTopNPerStratum: exact A-Res selection vs brute force, weight bias") {
+    import spark.implicits._
+    // two strata; in 'heavy' half the rows carry 50x the weight
+    val df = (0L until 2000L).map { i =>
+      val stratum = if (i % 2 == 0) "even" else "odd"
+      val w = if (i % 10 == 0) 50.0 else 1.0
+      (i, stratum, w)
+    }.toDF("id", "stratum", "w")
+    val got = Sampling.weightedTopNPerStratum(df, col("id"), col("stratum"),
+        col("w"), n = 25)
+      .select(col("stratum"), col("id"), col("rn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force the same deterministic draw
+    def rank(id: Long, w: Double): Double = {
+      val h = graft.plans.Kernels.mix64(id)
+      val m = ((h % 1000000L) + 1000000L) % 1000000L
+      math.pow((m + 0.5) / 1000000.0, 1.0 / w)
+    }
+    val want = (0L until 2000L).map { i =>
+      val stratum = if (i % 2 == 0) "even" else "odd"
+      (stratum, i, rank(i, if (i % 10 == 0) 50.0 else 1.0))
+    }.groupBy(_._1).flatMap { case (st, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(25).zipWithIndex
+        .map { case ((s, id, _), k) => (s, id, k + 1) }
+    }.toSet
+    assert(got === want)
+    // heavy rows (id%10==0) all land in the 'even' stratum, where they
+    // are 20% of rows but hold 92% of the weight -> they should sweep
+    // that stratum's sample (sim expectation ≈ 24.8 of 25)
+    val heavy = got.count { case (st, id, _) => st == "even" && id % 10 == 0 }
+    assert(heavy >= 20, s"expected heavy-weight dominance in 'even', got $heavy/25")
+  }
 }
