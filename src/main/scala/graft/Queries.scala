@@ -2679,7 +2679,38 @@ object Queries {
               |  round(sqrt((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)), 6) AS dist
               |FROM qs q JOIN pts p
               |  ON (p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y) <= 225.0""".stripMargin),
-      "planar radius join via grid-cell binning (one cell-key shuffle, 3x3 probe replication, no all-pairs)")
+      "planar radius join via grid-cell binning (one cell-key shuffle, 3x3 probe replication, no all-pairs)"),
+
+    Q("q112_countmin", {
+      (s, d) => Sketches.cmsPointEstimates(lineitem(s, d), col("l_partkey"),
+        probes = (1L to 20L).toSeq, d = 4, w = 1024)
+      },
+      // the oracle REBUILDS the whole sketch in SQL — the mix64 cell
+      // hashing staged through CTE projections (never nested textually),
+      // unsigned mod for the bucket, missing cells coalesce to 0 — and
+      // takes the same min-over-rows point estimates
+      Some {
+        val m64 = OracleSql.M64
+        val hkPlusR = OracleSql.mix64(s"CAST((CAST(hk AS HUGEINT) + r) % $m64 AS UBIGINT)")
+        s"""WITH h1 AS (
+           |  SELECT ${OracleSql.mix64("CAST(l_partkey AS UBIGINT)")} AS hk FROM lineitem
+           |), hr AS (
+           |  SELECT hk, r FROM h1 CROSS JOIN (SELECT unnest(range(4)) AS r)
+           |), cells AS (
+           |  SELECT r, ($hkPlusR) % 1024 AS c, count(*) AS cnt
+           |  FROM hr GROUP BY 1, 2
+           |), ph AS (
+           |  SELECT probe_key, ${OracleSql.mix64("CAST(probe_key AS UBIGINT)")} AS hk
+           |  FROM (SELECT unnest(range(1, 21)) AS probe_key)
+           |), pc AS (
+           |  SELECT probe_key, r, ($hkPlusR) % 1024 AS c
+           |  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS r)
+           |)
+           |SELECT pc.probe_key, CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_count
+           |FROM pc LEFT JOIN cells ON cells.r = pc.r AND cells.c = pc.c
+           |GROUP BY pc.probe_key""".stripMargin
+      },
+      "count-min sketch point frequencies (mergeable d x w counter matrix; sketch oracle-rebuilt in SQL)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -143,6 +143,82 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Mutable count-min state: row-major `d × w` counter matrix. Same
+    * case-class-over-primitive-array pattern as [[KmvBuf]]: product
+    * encoder at shuffle boundaries, in-place mutation between rows.
+    */
+  case class CmsBuf(counts: Array[Long])
+
+  /** Count-min sketch over pre-hashed 64-bit keys: `d` rows of `w`
+    * counters; row `r` buckets a key at `mix64(keyHash + r) mod w`.
+    * Point estimate = min over rows — an upper bound on the true
+    * count that overshoots only when a key collides in ALL `d` rows
+    * (error ≤ 2n/w with prob ≥ 1 − (1/2)^d for w = 2e/ε). Fully
+    * deterministic (the [[graft.plans.Kernels.mix64]] family, no RNG)
+    * and mergeable by counter addition, so partial aggregation
+    * combines map-side and the shuffle carries d·w longs per group —
+    * the frequency-table complement to [[MisraGries]] (which keeps
+    * top keys, not point-queryable counts).
+    */
+  class CountMin(d: Int, w: Int) extends Aggregator[Long, CmsBuf, Array[Long]] {
+    require(d >= 1 && w >= 2)
+    def zero: CmsBuf = CmsBuf(new Array[Long](d * w))
+    def reduce(b: CmsBuf, keyHash: Long): CmsBuf = {
+      var r = 0
+      while (r < d) {
+        val c = java.lang.Long.remainderUnsigned(
+          graft.plans.Kernels.mix64(keyHash + r), w.toLong).toInt
+        b.counts(r * w + c) += 1
+        r += 1
+      }
+      b
+    }
+    def merge(x: CmsBuf, y: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < x.counts.length) { x.counts(i) += y.counts(i); i += 1 }
+      x
+    }
+    def finish(b: CmsBuf): Array[Long] = b.counts
+    def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The count-min point estimate for `keyHash` given the flattened
+    * `d × w` counter array — min over the same cells [[CountMin]]
+    * incremented. Usable driver-side or as a Column over the collected
+    * sketch literal.
+    */
+  def cmsEstimate(counts: Array[Long], keyHash: Long, d: Int, w: Int): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < d) {
+      val c = java.lang.Long.remainderUnsigned(
+        graft.plans.Kernels.mix64(keyHash + r), w.toLong).toInt
+      est = math.min(est, counts(r * w + c))
+      r += 1
+    }
+    est
+  }
+
+  /** Point-query a count-min sketch of `keyCol` for every distinct key
+    * in `probes`: the sketch aggregates distributed (one d·w array
+    * total), the bounded probe set estimates against the collected
+    * sketch and returns (key, est_count). The big side is ONE
+    * aggregation pass; probes never join against it.
+    */
+  def cmsPointEstimates(df: org.apache.spark.sql.DataFrame, keyCol: Column,
+                        probes: Seq[Long], d: Int = 4, w: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    import df.sparkSession.implicits._
+    val agg = udaf(new CountMin(d, w), Encoders.scalaLong)
+    val counts = df.select(graft.plans.Exprs.mix64(keyCol.cast("long")).as("h"))
+      .agg(agg(col("h")).as("cms"))
+      .collect()(0).getSeq[Long](0).toArray
+    probes.map(k => (k, cmsEstimate(counts, graft.plans.Kernels.mix64(k), d, w)))
+      .toDF("probe_key", "est_count")
+  }
+
   /** Corpus-wide approximate top-`topN` heavy hitters of a string
     * column. One pass, bounded state (`capacity` counters per
     * partition-local buffer); with capacity above the distinct count

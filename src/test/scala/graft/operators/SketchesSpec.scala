@@ -57,4 +57,24 @@ class SketchesSpec extends SparkSpec {
     val est = top.head._2
     assert(est <= 1000 && est >= 1000 - n / 50, s"estimate $est outside MG bound")
   }
+
+  test("count-min: upper bound, error bound, and partitioning-invariant merge") {
+    import spark.implicits._
+    // zipf-ish: key k appears 1000/k times, k = 1..50 (n = 4500)
+    val rows = (1L to 50L).flatMap(k => Seq.fill((1000 / k).toInt)(k))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = new scala.util.Random(7).shuffle(rows).toDF("k")
+    val w = 256
+    def ests(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsPointEstimates(d, col("k"), (1L to 50L).toSeq, d = 4, w = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e1 = ests(df)
+    (1L to 50L).foreach { k =>
+      assert(e1(k) >= truth(k), s"CMS must never undercount (key $k)")
+      // ε = 2n/w with prob ≥ 1 − 2⁻⁴; all 50 inside is overwhelmingly likely
+      assert(e1(k) <= truth(k) + 2L * rows.size / w, s"key $k overshoot ${e1(k)} vs ${truth(k)}")
+    }
+    // the sketch is algebraic: any partitioning merges to the same counters
+    assert(ests(df.repartition(13)) === e1)
+  }
 }
