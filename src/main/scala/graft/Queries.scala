@@ -2710,7 +2710,38 @@ object Queries {
            |FROM pc LEFT JOIN cells ON cells.r = pc.r AND cells.c = pc.c
            |GROUP BY pc.probe_key""".stripMargin
       },
-      "count-min sketch point frequencies (mergeable d x w counter matrix; sketch oracle-rebuilt in SQL)")
+      "count-min sketch point frequencies (mergeable d x w counter matrix; sketch oracle-rebuilt in SQL)"),
+
+    Q("q113_jaro_winkler",
+      (s, d) => {
+        // entity resolution: best fuzzy customer-name match per
+        // supplier, blocked on nation (the join never goes all-pairs)
+        val c = customer(s, d)
+          .select(col("c_nationkey").as("nk"), col("c_custkey"), col("c_name"))
+        val sup = supplier(s, d)
+          .select(col("s_nationkey").as("nk"), col("s_suppkey"), col("s_name"))
+        val scored = sup.join(c, "nk")
+          .withColumn("jw", round(Exprs.jaroWinkler(col("s_name"), col("c_name")), 6))
+        // top-1 as a MAX over (jw, -key): partial-aggregates map-side
+        // (one row per supplier crosses the wire) where a rank window
+        // would sort every candidate group post-shuffle
+        scored.groupBy(col("s_suppkey"))
+          .agg(max(struct(col("jw"), (-col("c_custkey")).as("nck"))).as("best"))
+          .select(col("s_suppkey"), (-col("best.nck")).as("c_custkey"), col("best.jw").as("jw"))
+      },
+      // the kernel reproduces DuckDB's jaro_winkler_similarity exactly
+      // (same shortcuts, window, boost rule — see Kernels.jaroWinkler);
+      // ranking ties break on the 6-dp-rounded score then the key
+      Some("""WITH scored AS (
+             |  SELECT s.s_suppkey, c.c_custkey,
+             |    round(jaro_winkler_similarity(s.s_name, c.c_name), 6) AS jw
+             |  FROM supplier s JOIN customer c ON c.c_nationkey = s.s_nationkey
+             |)
+             |SELECT s_suppkey, c_custkey, jw FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY s_suppkey
+             |    ORDER BY jw DESC, c_custkey) AS rnk FROM scored)
+             |WHERE rnk = 1""".stripMargin),
+      "Jaro-Winkler fuzzy match (native codegen expression mirroring DuckDB's; nation-blocked best match)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -101,6 +101,20 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.jaroWinkler(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) => s"graft.plans.Kernels.jaroWinkler($l, $r)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+      copy(left = l, right = r)
+  }
+
   case class TokenCount(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
@@ -466,6 +480,7 @@ object Exprs {
   def shingleHashes(c: Column, shingleK: Int): Column =
     col(ShingleHashes(ex(c), shingleK))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def jaroWinkler(a: Column, b: Column): Column = col(JaroWinkler(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))

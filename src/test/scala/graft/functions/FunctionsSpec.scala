@@ -372,6 +372,60 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("jaroWinkler: pinned DuckDB battery + brute-force equality on generated pairs") {
+    import spark.implicits._
+    // values pinned from DuckDB jaro_winkler_similarity (the oracle engine)
+    val battery = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("Supplier#000000013", "Customer#000000130", 0.7891737891737892), // odd-mismatch floor case
+      ("ab", "ba", 0.0), ("x", "x", 1.0), ("", "abc", 0.0), ("", "", 0.0),
+      ("ABC", "abc", 0.0))
+    // independent scala brute force (floor-transposition rule)
+    def brute(s1: String, s2: String): Double = {
+      val (l1, l2) = (s1.length, s2.length)
+      if (l1 == 0 || l2 == 0) return 0.0
+      if (s1 == s2) return 1.0
+      val win = math.max(l1, l2) / 2 - 1
+      val m2 = new Array[Boolean](l2)
+      val matched1 = scala.collection.mutable.ArrayBuffer[Char]()
+      for (i <- 0 until l1) {
+        val lo = math.max(0, i - win)
+        val hi = math.min(l2, i + win + 1)
+        var j = lo
+        var hit = false
+        while (j < hi && !hit) {
+          if (!m2(j) && s2(j) == s1(i)) { m2(j) = true; matched1 += s1(i); hit = true }
+          j += 1
+        }
+      }
+      val m = matched1.size
+      if (m == 0) return 0.0
+      val matched2 = (0 until l2).filter(m2).map(s2)
+      val t = matched1.zip(matched2).count { case (a, b) => a != b }
+      val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t / 2).toDouble / m) / 3.0
+      if (jaro > 0.7) {
+        val l = s1.zip(s2).take(4).takeWhile { case (a, b) => a == b }.size
+        jaro + l * 0.1 * (1.0 - jaro)
+      } else jaro
+    }
+    val rng = new scala.util.Random(11)
+    def str() = (0 until rng.nextInt(12)).map(_ => "abcde# 01".charAt(rng.nextInt(9))).mkString
+    val pairs = battery.map(p => (p._1, p._2)) ++ (0 until 400).map(_ => (str(), str()))
+    val got = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), graft.plans.Exprs.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    battery.zipWithIndex.foreach { case ((a, b, want), i) =>
+      assert(got(i.toLong) === want, s"pinned ($a, $b)")
+    }
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i.toLong) === brute(a, b), s"brute ($a, $b)")
+    }
+  }
+
   test("topTokenShare: map resize past 64 slots and exact share") {
     import spark.implicits._
     // 500 distinct tokens + one token 50 more times forces several
