@@ -2741,7 +2741,58 @@ object Queries {
              |  SELECT *, row_number() OVER (PARTITION BY s_suppkey
              |    ORDER BY jw DESC, c_custkey) AS rnk FROM scored)
              |WHERE rnk = 1""".stripMargin),
-      "Jaro-Winkler fuzzy match (native codegen expression mirroring DuckDB's; nation-blocked best match)")
+      "Jaro-Winkler fuzzy match (native codegen expression mirroring DuckDB's; nation-blocked best match)"),
+
+    Q("q114_bm25", {
+      val probes = Seq((0L, "hash join"), (1L, "fast scan filter"),
+        (2L, "window agg group"), (3L, "customer order data"))
+      (s: SparkSession, d: String) =>
+        Bm25.topDocs(documents(s, d), "doc_id", "text", probes,
+          k1 = 1.2, b = 0.75, topK = 5)
+      },
+      // the oracle rebuilds the whole scorer in SQL with the SAME
+      // literal formulas and operator order (IEEE-identical doubles);
+      // per-term scores snap to integer micro-units before the per-doc
+      // sum (the LanguageModel convention), so ranking compares ints
+      Some {
+        val probes = Seq((0L, "hash join"), (1L, "fast scan filter"),
+          (2L, "window agg group"), (3L, "customer order data"))
+        val vals = probes.flatMap { case (id, t) =>
+          t.split(" ").distinct.map(w => s"($id, '$w')")
+        }.mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |    t -> t <> '') AS tk
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
+           |), dl AS (SELECT doc_id, len(tk) AS dl FROM toks
+           |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+           |), stats AS (
+           |  SELECT count(*) AS n,
+           |    CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           |  FROM toks
+           |), q AS (SELECT * FROM (VALUES $vals) AS q(query_id, term)
+           |), sc AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |    CAST(round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           |      * (tf.tf * (1.2 + 1))
+           |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * 1e6, 0)
+           |      AS BIGINT) AS s_micro
+           |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+           |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+           |), tot AS (
+           |  SELECT query_id, doc_id, sum(s_micro) AS t_micro
+           |  FROM sc GROUP BY 1, 2
+           |)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           |  CAST(t_micro AS DOUBLE) / 1e6 AS score, CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY t_micro DESC, doc_id) AS rank FROM tot)
+           |WHERE rank <= 5""".stripMargin
+      },
+      "Okapi BM25 top-k retrieval (broadcast query probe, in-row tf, length-normalized saturation scoring)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
