@@ -2792,7 +2792,35 @@ object Queries {
            |        ORDER BY t_micro DESC, doc_id) AS rank FROM tot)
            |WHERE rank <= 5""".stripMargin
       },
-      "Okapi BM25 top-k retrieval (broadcast query probe, in-row tf, length-normalized saturation scoring)")
+      "Okapi BM25 top-k retrieval (broadcast query probe, in-row tf, length-normalized saturation scoring)"),
+
+    Q("q115_transition_matrix",
+      (s, d) => {
+        // first-order Markov transitions between consecutive event
+        // types per user — funnel/journey mining. One key shuffle for
+        // the lag; the matrix is |types|^2, so the probability window
+        // runs on a tiny frame
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        pairs.withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type, lag(event_type) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events
+             |), pairs AS (
+             |  SELECT prev_type, event_type AS next_type, count(*) AS n
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+             |)
+             |SELECT prev_type, next_type, n,
+             |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+             |FROM pairs""".stripMargin),
+      "Markov event-transition matrix (per-user lag, exact-integer probability division)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -166,6 +166,39 @@ object Streams {
       }(Encoders.product[FunnelState], Encoders.product[FunnelOut])
   }
 
+  case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  case class TransOut(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of the batch transition matrix (q115): emits one
+    * (prev_type, next_type) pair per consecutive event of a user, as
+    * an APPEND stream — downstream windowed counts turn it into the
+    * running matrix. State is ONE small record per user (the last
+    * event seen), never per event.
+    *
+    * Ordering contract mirrors [[sessionize]]: rows sort by
+    * (ts, event_id) within a micro-batch; across batches a user's
+    * events are assumed in order — a cross-batch late event appends a
+    * transition out of true order (running-total streaming semantics,
+    * documented divergence).
+    */
+  def transitionStream(events: Dataset[FunnelIn]): Dataset[TransOut] = {
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransOut]
+          sorted.foreach { e =>
+            last.foreach(s => out += TransOut(userId, s.lastType, e.event_type))
+            last = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }(Encoders.product[TransState], Encoders.product[TransOut])
+  }
+
   def sessionize(events: Dataset[EventIn], gapSeconds: Long): Dataset[SessionOut] = {
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)

@@ -217,4 +217,35 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === batch)
   }
+
+  test("transitionStream: appended pairs equal the batch lag transition counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(400)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ds = stream.toDS().map { case (u, t, e, ty) => FunnelIn(u, t, e, ty) }
+    val out = transitionStream(ds)
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    // split mid-user so cross-batch state carries the last event over
+    stream.addData(events.take(137).map(e => (e._1, e._2, e._3, e._4)))
+    out.processAllAvailable()
+    stream.addData(events.drop(137).map(e => (e._1, e._2, e._3, e._4)))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("trans_out")
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = events.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
