@@ -2820,7 +2820,72 @@ object Queries {
              |SELECT prev_type, next_type, n,
              |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
              |FROM pairs""".stripMargin),
-      "Markov event-transition matrix (per-user lag, exact-integer probability division)")
+      "Markov event-transition matrix (per-user lag, exact-integer probability division)"),
+
+    Q("q116_rolling_median",
+      (s, d) => {
+        // rolling robust stats over each user's event-value series:
+        // 10-row median + IQR outlier flag (the time-series cleaning
+        // primitive). Exact percentile as a WINDOW function — state is
+        // the 10-row frame, not the series (q53 establishes the
+        // interpolation matches DuckDB's quantile_cont bitwise)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+        events(s, d)
+          .withColumn("med", expr("percentile(value, 0.5)")
+            .over(w))
+          .withColumn("q1", expr("percentile(value, 0.25)").over(w))
+          .withColumn("q3", expr("percentile(value, 0.75)").over(w))
+          .withColumn("is_outlier",
+            col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("med"), col("q1"), col("q3"), col("is_outlier"))
+      },
+      Some("""SELECT event_id, user_id, value, med, q1, q3,
+             |  value > q3 + (q3 - q1) * 1.5 AS is_outlier
+             |FROM (
+             |  SELECT event_id, user_id, value,
+             |    quantile_cont(value, 0.5) OVER w AS med,
+             |    quantile_cont(value, 0.25) OVER w AS q1,
+             |    quantile_cont(value, 0.75) OVER w AS q3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))""".stripMargin),
+      "rolling median + IQR outlier flags (exact windowed percentiles; frame-bounded state)"),
+
+    Q("q117_posting_lists",
+      (s, d) => {
+        // inverted-index build: per-term document frequency, corpus
+        // frequency, and a BOUNDED postings head (rank-filtered before
+        // collect, so agg state is the cap + two counters — never a
+        // hot term's full df-sized list; full postings shard on
+        // (term, bucket) in a real index)
+        val tf = documents(s, d).select(col("doc_id"),
+            explode(Exprs.termCounts(col("text"))).as(Seq("term", "tf_i")))
+          .select(col("doc_id"), col("term"), col("tf_i").cast("long").as("tf"))
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        tf.withColumn("rn", row_number().over(w))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+            concat_ws(",",
+              sort_array(collect_list(when(col("rn") <= 20, col("doc_id")))))
+              .as("postings_head"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+             |    FROM documents) GROUP BY 1, 2
+             |), r AS (
+             |  SELECT doc_id, term, tf,
+             |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+             |  FROM tf
+             |)
+             |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             |  array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 20), ',')
+             |    AS postings_head
+             |FROM r GROUP BY term""".stripMargin),
+      "inverted-index posting lists (df/cf per term + rank-capped postings head; bounded agg state)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
