@@ -2885,7 +2885,42 @@ object Queries {
              |  array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 20), ',')
              |    AS postings_head
              |FROM r GROUP BY term""".stripMargin),
-      "inverted-index posting lists (df/cf per term + rank-capped postings head; bounded agg state)")
+      "inverted-index posting lists (df/cf per term + rank-capped postings head; bounded agg state)"),
+
+    Q("q118_join_cardinality",
+      (s, d) => {
+        // self-join-size guard: estimate |events ⋈ events on user_id|
+        // from the count-min sketch (one agg pass, no join executed)
+        // beside the exact F2 — the optimizer's cardinality check
+        val ev = events(s, d)
+        val est = Sketches.cmsSelfJoinSize(ev, col("user_id"), d = 4, w = 2048)
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).cast("long").as("f2_exact"))
+          .select(col("f2_exact"), lit(est).as("f2_cms"),
+            (lit(est) - col("f2_exact")).as("overshoot"))
+      },
+      Some {
+        val m64 = OracleSql.M64
+        val hkPlusR = OracleSql.mix64(s"CAST((CAST(hk AS HUGEINT) + r) % $m64 AS UBIGINT)")
+        s"""WITH h1 AS (
+           |  SELECT ${OracleSql.mix64("CAST(user_id AS UBIGINT)")} AS hk FROM events
+           |), hr AS (
+           |  SELECT hk, r FROM h1 CROSS JOIN (SELECT unnest(range(4)) AS r)
+           |), cells AS (
+           |  SELECT r, ($hkPlusR) % 2048 AS c, count(*) AS cnt
+           |  FROM hr GROUP BY 1, 2
+           |), cms AS (
+           |  SELECT min(s) AS est FROM (
+           |    SELECT r, sum(cnt * cnt) AS s FROM cells GROUP BY r)
+           |), f2 AS (
+           |  SELECT sum(c * c) AS f FROM (
+           |    SELECT count(*) AS c FROM events GROUP BY user_id)
+           |)
+           |SELECT CAST(f2.f AS BIGINT) AS f2_exact, CAST(cms.est AS BIGINT) AS f2_cms,
+           |  CAST(cms.est - f2.f AS BIGINT) AS overshoot
+           |FROM f2, cms""".stripMargin
+      },
+      "join-cardinality guard: self-join size (F2) exact vs count-min inner-product estimate (no join run)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

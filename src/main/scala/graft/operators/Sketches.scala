@@ -219,6 +219,27 @@ object Sketches {
       .toDF("probe_key", "est_count")
   }
 
+  /** Self-join size (second frequency moment F₂ = Σ_k c(k)²) estimated
+    * from a count-min sketch: `min over rows r of Σ_c counts[r][c]²` —
+    * the classic sketch inner product, an upper bound that overshoots
+    * by the cross-terms colliding in every row. The query optimizer's
+    * join-cardinality guard: one aggregation pass over the input, d·w
+    * longs to the driver, no join executed.
+    */
+  def cmsSelfJoinSize(df: org.apache.spark.sql.DataFrame, keyCol: Column,
+                      d: Int = 4, w: Int = 2048): Long = {
+    val agg = udaf(new CountMin(d, w), Encoders.scalaLong)
+    val counts = df.select(graft.plans.Exprs.mix64(keyCol.cast("long")).as("h"))
+      .agg(agg(col("h")).as("cms"))
+      .collect()(0).getSeq[Long](0)
+    (0 until d).map { r =>
+      var s = 0L
+      var c = 0
+      while (c < w) { val v = counts(r * w + c); s += v * v; c += 1 }
+      s
+    }.min
+  }
+
   /** Corpus-wide approximate top-`topN` heavy hitters of a string
     * column. One pass, bounded state (`capacity` counters per
     * partition-local buffer); with capacity above the distinct count

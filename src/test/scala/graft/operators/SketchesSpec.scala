@@ -77,4 +77,15 @@ class SketchesSpec extends SparkSpec {
     // the sketch is algebraic: any partitioning merges to the same counters
     assert(ests(df.repartition(13)) === e1)
   }
+
+  test("cmsSelfJoinSize: upper-bounds exact F2, tight at large w, layout-invariant") {
+    import spark.implicits._
+    val rows = (1L to 40L).flatMap(k => Seq.fill((800 / k).toInt)(k))
+    val exact = rows.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+    val df = new scala.util.Random(5).shuffle(rows).toDF("k")
+    val est = Sketches.cmsSelfJoinSize(df, col("k"), d = 4, w = 2048)
+    assert(est >= exact, "inner-product estimate must never undercount")
+    assert(est <= (exact * 1.2).toLong, s"overshoot too large: $est vs $exact")
+    assert(Sketches.cmsSelfJoinSize(df.repartition(9), col("k"), d = 4, w = 2048) === est)
+  }
 }
