@@ -180,4 +180,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(partialIdx > exchangeIdx,
       "partial agg must run before the single-partition exchange")
   }
+
+  test("q77: repetition gates are MAP-ONLY (no exchange at all)") {
+    // rep-2/rep-3 and top-token share are all per-row kernels now; the
+    // round-6 shape shuffled every token occurrence twice plus a join
+    val p = plan("q77_repetition")
+    assert(!p.contains("Exchange"), s"q77 must not shuffle:\n$p")
+  }
+
+  test("q111: grid radius join shuffles on the cell key, never cross-joins") {
+    val p = plan("q111_grid_join")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop fallback:\n$p")
+    // the join must be an EQUI-join on the cell key (distance only as a
+    // post-join filter); whether the small probe side broadcasts or
+    // both sides exchange is Spark's size-based choice — both are fine
+    assert(p.contains("HashJoin [_cx") || p.contains("Exchange hashpartitioning(_cx"),
+      s"join must key on the grid cell:\n$p")
+  }
+
+  test("q113: fuzzy-match top-1 partial-aggregates before the exchange") {
+    // max(struct) instead of a rank window: one row per supplier
+    // crosses the wire
+    val p = plan("q113_jaro_winkler")
+    assert(!p.contains("windowspecdefinition"), s"q113 must not plan a Window:\n$p")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l => l.contains("partial_max") ||
+      (l.contains("HashAggregate") && l.contains("partial") && l.contains("max")))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(s_suppkey"))
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"top-1 must partial-aggregate below the exchange:\n$p")
+  }
+
+  test("q114: the BM25 query probe broadcasts; the corpus never shuffles for it") {
+    val p = plan("q114_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+  }
 }
