@@ -2920,7 +2920,69 @@ object Queries {
            |  CAST(cms.est - f2.f AS BIGINT) AS overshoot
            |FROM f2, cms""".stripMargin
       },
-      "join-cardinality guard: self-join size (F2) exact vs count-min inner-product estimate (no join run)")
+      "join-cardinality guard: self-join size (F2) exact vs count-min inner-product estimate (no join run)"),
+
+    Q("q119_fuzzy_clusters",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.editDistancePairs(documents(s, d), "text", "doc_id",
+            maxDist = 10, candThreshold = 0.2)
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b")
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("cluster_id")),
+      // q107's edges (LSH candidates + Levenshtein verify, oracle-
+      // recomputed) closed transitively with q64's recursive CTE
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT c.id_a, c.id_b
+              |  FROM (${minhashOracleSql("a.doc_id < b.doc_id", "id_a", "id_b", 0.2)}) c
+              |  JOIN documents a ON a.doc_id = c.id_a
+              |  JOIN documents b ON b.doc_id = c.id_b
+              |  WHERE levenshtein(lower(a.text), lower(b.text)) <= 10
+              |), e AS (
+              |  SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION
+              |  SELECT id_b, id_a FROM pairs
+              |), reach AS (
+              |  SELECT s AS id, s AS r FROM e
+              |  UNION
+              |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+              |)
+              |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              |FROM reach GROUP BY id""".stripMargin),
+      "fuzzy-edit dedup clusters (edit-distance edges -> distributed connected components)"),
+
+    Q("q120_percentile_normalize",
+      (s, d) => {
+        // cross-source score calibration: percentile-rank the quality
+        // score WITHIN each source so heterogeneous corpora mix on a
+        // uniform [0,1] scale. pct = (rank − 0.5)/n is integer-derived
+        // — deterministic cross-engine, no float rounding anywhere
+        val scored = documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("score"))
+        val w = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+        val n = Window.partitionBy(col("source"))
+        scored.withColumn("pct",
+          (row_number().over(w).cast("double") - lit(0.5)) /
+            count(lit(1)).over(n).cast("double"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text,
+              |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+              |m AS (SELECT doc_id, source,
+              |  CAST(len(list_filter(toks, x -> list_contains(
+              |    [${TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) /
+              |    greatest(len(toks), 1) AS stopword_ratio,
+              |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+              |    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+              |  CAST(len(toks) AS DOUBLE) AS n FROM t),
+              |s AS (SELECT doc_id, source,
+              |  round((least(n / 50, 1) + (1 - least(punct_ratio * 4, 1)) +
+              |    least(stopword_ratio * 5, 1)) / 3, 4) AS score FROM m)
+              |SELECT doc_id, source, score,
+              |  (CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+              |     AS DOUBLE) - 0.5) /
+              |  CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS pct
+              |FROM s""".stripMargin),
+      "per-source percentile-rank normalization (cross-corpus score calibration; integer-exact pct)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
