@@ -93,6 +93,48 @@ object Queries {
        |FROM mt WHERE m / 64.0 >= $threshold""".stripMargin
   }
 
+  /** DuckDB re-derivation of [[graft.operators.Bm25.topDocs]]: full
+    * ranked (query_id, doc_id, t_micro, rank ≤ topK) with the SAME
+    * literal formulas and operator order as the Spark side
+    * (IEEE-identical doubles; micro-int snap before the per-doc sum).
+    * Shared by q114 and the q121 hybrid fusion.
+    */
+  private def bm25RankedSql(probes: Seq[(Long, String)], topK: Int): String = {
+    val vals = probes.flatMap { case (id, t) =>
+      t.split(" ").distinct.map(w => s"($id, '$w')")
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '') AS tk
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
+       |), dl AS (SELECT doc_id, len(tk) AS dl FROM toks
+       |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), stats AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM toks
+       |), q AS (SELECT * FROM (VALUES $vals) AS q(query_id, term)
+       |), sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+       |      * (tf.tf * (1.2 + 1))
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * 1e6, 0)
+       |      AS BIGINT) AS s_micro
+       |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+       |), tot AS (
+       |  SELECT query_id, doc_id, sum(s_micro) AS t_micro
+       |  FROM sc GROUP BY 1, 2
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, t_micro, rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY t_micro DESC, doc_id) AS rank FROM tot)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------- A1 family
@@ -2757,40 +2799,9 @@ object Queries {
       Some {
         val probes = Seq((0L, "hash join"), (1L, "fast scan filter"),
           (2L, "window agg group"), (3L, "customer order data"))
-        val vals = probes.flatMap { case (id, t) =>
-          t.split(" ").distinct.map(w => s"($id, '$w')")
-        }.mkString(", ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-           |    t -> t <> '') AS tk
-           |  FROM documents
-           |), tf AS (
-           |  SELECT doc_id, term, count(*) AS tf FROM (
-           |    SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
-           |), dl AS (SELECT doc_id, len(tk) AS dl FROM toks
-           |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-           |), stats AS (
-           |  SELECT count(*) AS n,
-           |    CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-           |  FROM toks
-           |), q AS (SELECT * FROM (VALUES $vals) AS q(query_id, term)
-           |), sc AS (
-           |  SELECT q.query_id, tf.doc_id,
-           |    CAST(round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-           |      * (tf.tf * (1.2 + 1))
-           |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * 1e6, 0)
-           |      AS BIGINT) AS s_micro
-           |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
-           |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
-           |), tot AS (
-           |  SELECT query_id, doc_id, sum(s_micro) AS t_micro
-           |  FROM sc GROUP BY 1, 2
-           |)
-           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-           |  CAST(t_micro AS DOUBLE) / 1e6 AS score, CAST(rank AS BIGINT) AS rank
-           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-           |        ORDER BY t_micro DESC, doc_id) AS rank FROM tot)
-           |WHERE rank <= 5""".stripMargin
+        s"""SELECT query_id, doc_id, CAST(t_micro AS DOUBLE) / 1e6 AS score,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM (${bm25RankedSql(probes, 5)})""".stripMargin
       },
       "Okapi BM25 top-k retrieval (broadcast query probe, in-row tf, length-normalized saturation scoring)"),
 
@@ -2982,7 +2993,52 @@ object Queries {
               |     AS DOUBLE) - 0.5) /
               |  CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS pct
               |FROM s""".stripMargin),
-      "per-source percentile-rank normalization (cross-corpus score calibration; integer-exact pct)")
+      "per-source percentile-rank normalization (cross-corpus score calibration; integer-exact pct)"),
+
+    Q("q121_hybrid_rrf", {
+      val probes = Seq((0L, "hash join"), (1L, "fast scan filter"),
+        (2L, "window agg group"))
+      (s: SparkSession, d: String) => {
+        // hybrid search: BM25 lexical ranks fused with embedding-cosine
+        // ranks by reciprocal-rank fusion (doc_id ≡ vec_id pairing;
+        // query text q and query vector q share an id)
+        val lex = Bm25.topDocs(documents(s, d), "doc_id", "text",
+            probes.map(p => (p._1, p._2)), topK = 20)
+          .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+        val emb = embeddings(s, d)
+        val vec = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+        Similarity.rrfFuse(Seq(lex, vec), topK = 10)
+      }},
+      // both retrievers are already oracle-exact (q114/q38); RRF adds
+      // only integer-rank rational arithmetic on top
+      Some {
+        val probes = Seq((0L, "hash join"), (1L, "fast scan filter"),
+          (2L, "window agg group"))
+        s"""WITH lex AS (${bm25RankedSql(probes, 20)}),
+           |vec AS (
+           |  SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+           |          CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+           |    FROM embeddings c, embeddings q WHERE q.vec_id < 3)
+           |  WHERE rank <= 20
+           |), contrib AS (
+           |  SELECT query_id, doc_id AS id, 1.0 / (60 + rank) AS c FROM lex
+           |  UNION ALL
+           |  SELECT query_id, neighbor_id, 1.0 / (60 + rank) FROM vec
+           |), fused AS (
+           |  SELECT query_id, id, round(sum(c), 6) AS rrf FROM contrib GROUP BY 1, 2
+           |)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, id, rrf,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rrf DESC, id) AS rank FROM fused)
+           |WHERE rank <= 10""".stripMargin
+      },
+      "hybrid retrieval: BM25 + embedding-cosine fused by reciprocal-rank fusion (integer-rank rational)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

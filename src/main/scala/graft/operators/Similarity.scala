@@ -137,6 +137,32 @@ object Similarity {
     * rank = position in the (cosine desc, id asc) order, matching the
     * row_number() formulation row-for-row.
     */
+  /** Reciprocal-rank fusion of ranked retrieval lists (the standard
+    * hybrid-search combiner): fused(q, doc) = Σ over lists of
+    * `1/(k0 + rank)`, docs missing from a list contribute 0. Inputs
+    * are (query, id, rank) frames — lexical BM25, vector ANN, anything
+    * ranked. RRF needs only RANKS (integers), so the fusion is exact
+    * rational arithmetic — no score normalization across incomparable
+    * scales, and engine-stable by construction.
+    *
+    * Shape: union of the (already top-k-bounded) lists → one
+    * aggregation on (query, id) → per-query top-`topK` window over
+    * ≤ Σ list sizes rows. Everything downstream of the retrievers is
+    * probe-scale, never corpus-scale.
+    */
+  def rrfFuse(lists: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lists.nonEmpty)
+    val contrib = lists.map(_.select(col("query_id"), col("id"),
+        (lit(1.0) / (lit(k0) + col("rank")).cast("double")).as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("c")), 6).as("rrf"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("id"), col("rrf"), col("rank").cast("long").as("rank"))
+  }
+
   private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))

@@ -42,4 +42,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getInt(1) === 3)
     assert(out.getLong(2) === 1L)
   }
+
+  test("rrfFuse: hand-computed fusion, missing-list docs, tie-break on id") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "id", "rank")
+    val vec = Seq((0L, 11L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, vec), topK = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+      .sortBy(_._3)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 11: in both lists (rank 2 lex + rank 1 vec) must lead
+    assert(got.head._1 === 11L)
+    assert(got.head._2 === r6(1.0 / 62 + 1.0 / 61))
+    // doc 10: lex rank 1 only; doc 13: vec rank 2 only; doc 12: lex rank 3
+    assert(got.map(_._1) === List(11L, 10L, 13L, 12L))
+    assert(got.map(_._3) === List(1L, 2L, 3L, 4L))
+  }
 }
