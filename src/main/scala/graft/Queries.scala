@@ -3038,7 +3038,93 @@ object Queries {
            |        ORDER BY rrf DESC, id) AS rank FROM fused)
            |WHERE rank <= 10""".stripMargin
       },
-      "hybrid retrieval: BM25 + embedding-cosine fused by reciprocal-rank fusion (integer-rank rational)")
+      "hybrid retrieval: BM25 + embedding-cosine fused by reciprocal-rank fusion (integer-rank rational)"),
+
+    Q("q122_snapshot_diff",
+      (s, d) => {
+        // deterministic "new snapshot": every 50th key deleted, every
+        // 7th rebalanced, every 100th re-keyed above the range (added)
+        val c = customer(s, d)
+        val newSnap = c.filter(col("c_custkey") % 50 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            col("c_mktsegment"))
+          .unionByName(c.filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              col("c_acctbal"), col("c_mktsegment")))
+        Relational.snapshotDiff(c, newSnap,
+            Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+          .filter(col("status") =!= "unchanged")
+      },
+      Some("""WITH newsnap AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+             |         ELSE c_acctbal END AS c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 50 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 100 = 0
+             |), o AS (SELECT c_custkey, c_acctbal AS old_c_acctbal,
+             |         c_mktsegment AS old_c_mktsegment, true AS in_old FROM customer
+             |), n AS (SELECT c_custkey, c_acctbal AS new_c_acctbal,
+             |         c_mktsegment AS new_c_mktsegment, true AS in_new FROM newsnap
+             |)
+             |SELECT * FROM (
+             |  SELECT c_custkey,
+             |    old_c_acctbal, old_c_mktsegment, new_c_acctbal, new_c_mktsegment,
+             |    CASE WHEN in_old IS NULL THEN 'added'
+             |         WHEN in_new IS NULL THEN 'removed'
+             |         WHEN old_c_acctbal IS DISTINCT FROM new_c_acctbal
+             |           OR old_c_mktsegment IS DISTINCT FROM new_c_mktsegment
+             |           THEN 'changed'
+             |         ELSE 'unchanged' END AS status
+             |  FROM o FULL OUTER JOIN n USING (c_custkey))
+             |WHERE status <> 'unchanged'""".stripMargin),
+      "snapshot diff / CDC classification (one co-partitionable full-outer join, null-safe change test)"),
+
+    Q("q123_drift_psi",
+      (s, d) => {
+        // population-stability-index drift check between the two
+        // event-id parity halves: 10 equal-width bins over the global
+        // range, Laplace-smoothed shares, per-bin PSI terms snapped to
+        // micro-units (integer-exact totals downstream)
+        val ev = events(s, d).select(col("event_id"), col("value"))
+        val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val binned = ev.crossJoin(broadcast(bounds))
+          .withColumn("bin", least(floor((col("value") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(10.0))), lit(9L)).cast("long"))
+          .withColumn("grp", pmod(col("event_id"), lit(2L)))
+        val counts = binned.groupBy(col("bin"))
+          .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c2"))
+        val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("p1", (col("c1") + 0.5) / (col("n1") + 5.0))
+          .withColumn("p2", (col("c2") + 0.5) / (col("n2") + 5.0))
+          .withColumn("psi_term",
+            round((col("p1") - col("p2")) * log(col("p1") / col("p2")) * 1e6)
+              .cast("long").cast("double") / 1e6)
+          .select(col("bin"), col("c1"), col("c2"), col("psi_term"))
+      },
+      Some("""WITH b AS (SELECT min(value) AS mn, max(value) AS mx
+             |           FROM events),
+             |binned AS (
+             |  SELECT least(CAST(floor((value - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+             |    AS bin, event_id % 2 AS grp
+             |  FROM events, b
+             |), c AS (
+             |  SELECT bin,
+             |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c1,
+             |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c2
+             |  FROM binned GROUP BY bin
+             |), t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
+             |SELECT bin, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             |  CAST(CAST(round((((c1 + 0.5) / (n1 + 5.0)) - ((c2 + 0.5) / (n2 + 5.0)))
+             |    * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c2 + 0.5) / (n2 + 5.0))) * 1e6, 0)
+             |    AS BIGINT) AS DOUBLE) / 1e6 AS psi_term
+             |FROM c, t""".stripMargin),
+      "population-stability-index drift (fixed bins, smoothed shares, micro-unit deterministic PSI terms)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

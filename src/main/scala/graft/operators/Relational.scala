@@ -120,4 +120,30 @@ object Relational {
           col("_prn")).cast("long"))
       .drop("_pid", "_prn")
   }
+
+  /** Snapshot diff (the data-engineering CDC primitive): classify every
+    * key across two table versions as `added` / `removed` / `changed` /
+    * `unchanged`, carrying both versions' compared columns (prefixed
+    * `old_`/`new_`). One full-outer join on the key — co-partitionable,
+    * no driver state; change detection is null-safe `<=>` per column.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String], valCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keyCols ++ valCols).map(col): _*)
+      .select(keyCols.map(col) ++ valCols.map(c => col(c).as(s"old_$c")): _*)
+    val n = newDf.select((keyCols ++ valCols).map(col): _*)
+      .select(keyCols.map(col) ++ valCols.map(c => col(c).as(s"new_$c")): _*)
+    // full-outer on keys: coalesce lives in a marker column, not the
+    // key, so "which side exists" stays unambiguous for nullable keys
+    val joined = o.withColumn("_in_old", lit(true))
+      .join(n.withColumn("_in_new", lit(true)), keyCols, "full_outer")
+    val changed = valCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.withColumn("status",
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged"))
+      .drop("_in_old", "_in_new")
+  }
 }
