@@ -3124,7 +3124,43 @@ object Queries {
              |    * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c2 + 0.5) / (n2 + 5.0))) * 1e6, 0)
              |    AS BIGINT) AS DOUBLE) / 1e6 AS psi_term
              |FROM c, t""".stripMargin),
-      "population-stability-index drift (fixed bins, smoothed shares, micro-unit deterministic PSI terms)")
+      "population-stability-index drift (fixed bins, smoothed shares, micro-unit deterministic PSI terms)"),
+
+    Q("q124_group_ols",
+      (s, d) => {
+        // per-event-type value trend: OLS slope/intercept over event
+        // time. The regressor is CENTERED on the per-group min first —
+        // raw epoch seconds (~1.7e9) would put the covariance sums in
+        // catastrophic-cancellation territory where cross-engine
+        // summation order shows; centered spans keep ~10 clean digits
+        // (q60 establishes covar_samp/var_samp agree cross-engine)
+        val ev = events(s, d)
+          .select(col("event_type"), col("ts").cast("double").as("x"), col("value"))
+        val base = ev.groupBy(col("event_type")).agg(min(col("x")).as("x0"))
+        ev.join(broadcast(base), "event_type")
+          .withColumn("xc", col("x") - col("x0"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(covar_samp(col("xc"), col("value")) / var_samp(col("xc")), 6)
+              .as("slope"),
+            round(avg(col("value")) -
+              covar_samp(col("xc"), col("value")) / var_samp(col("xc")) *
+                avg(col("xc")), 6).as("intercept"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch(ts) AS x, value FROM events
+             |), b AS (
+             |  SELECT event_type, min(x) AS x0 FROM ev GROUP BY event_type
+             |), c AS (
+             |  SELECT ev.event_type, ev.x - b.x0 AS xc, ev.value
+             |  FROM ev JOIN b USING (event_type)
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  round(covar_samp(xc, value) / var_samp(xc), 6) AS slope,
+             |  round(avg(value) - covar_samp(xc, value) / var_samp(xc) * avg(xc), 6)
+             |    AS intercept
+             |FROM c GROUP BY event_type""".stripMargin),
+      "per-group OLS trend (centered regressor; single-pass covariance aggregates)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
