@@ -281,9 +281,12 @@ object Queries {
       "C4 (str_trunc with ellipsis)"),
 
     Q("q10_identifier",
+      // the built-in (codegen) variant: exact on ASCII input like
+      // p_name — the UDF form exists for E1's unicode transliteration
+      // (FunctionsSpec pins both agree on ASCII)
       (s, d) => part(s, d).select(
         col("p_partkey"),
-        Identifier.makeIdentifierCol(col("p_name")).as("identifier")),
+        Identifier.makeIdentifierAsciiCol(col("p_name")).as("identifier")),
       Some("""WITH s1 AS (SELECT p_partkey,
              |  regexp_replace(regexp_replace(trim(regexp_replace(lower(p_name),
              |    '[()":'',&/.;]', '', 'g')), '[\s\-]+', '_', 'g'),
