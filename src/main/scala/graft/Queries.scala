@@ -2945,8 +2945,10 @@ object Queries {
         .select(col("id").cast("long").as("doc_id"),
           col("component").cast("long").as("cluster_id")),
       // q107's edges (LSH candidates + Levenshtein verify, oracle-
-      // recomputed) closed transitively with q64's recursive CTE
-      Some(s"""WITH RECURSIVE pairs AS (
+      // recomputed) closed transitively with q64's recursive CTE.
+      // MATERIALIZED is load-bearing: without it DuckDB re-inlines the
+      // whole minhash pipeline into the recursion (measured 55 s -> 19 s)
+      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
               |  SELECT c.id_a, c.id_b
               |  FROM (${minhashOracleSql("a.doc_id < b.doc_id", "id_a", "id_b", 0.2)}) c
               |  JOIN documents a ON a.doc_id = c.id_a
