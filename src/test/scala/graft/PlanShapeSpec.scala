@@ -217,4 +217,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
   }
+
+  test("q116: the three rolling percentiles share ONE Window operator and one exchange") {
+    // same partition/order/frame spec -> Catalyst must collapse
+    // med/q1/q3 into a single Window exec (one sort, one state pass)
+    val p = plan("q116_rolling_median")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(windows === 1, s"expected one collapsed Window op:\n$p")
+    assert(exchanges === 1, s"expected one user-key exchange:\n$p")
+  }
 }
