@@ -3165,7 +3165,67 @@ object Queries {
              |  round(avg(value) - covar_samp(xc, value) / var_samp(xc) * avg(xc), 6)
              |    AS intercept
              |FROM c GROUP BY event_type""".stripMargin),
-      "per-group OLS trend (centered regressor; single-pass covariance aggregates)")
+      "per-group OLS trend (centered regressor; single-pass covariance aggregates)"),
+
+    Q("q125_pmi_collocations",
+      (s, d) => {
+        // collocation mining (word2phrase-style tokenizer prep): PMI of
+        // adjacent token pairs, support-filtered. Counts come from the
+        // in-row pair/term kernels; totals ride as a broadcast 1-row
+        // frame; ln snaps to micro-nats (integer-exact ranking)
+        val docs = documents(s, d)
+        val pairC = docs.select(explode(Exprs.pairCounts(col("text"))).as(Seq("pair", "c_i")))
+          .groupBy(col("pair")).agg(sum(col("c_i").cast("long")).as("c_ab"))
+        val termC = docs.select(explode(Exprs.termCounts(col("text"))).as(Seq("term", "c_i")))
+          .groupBy(col("term")).agg(sum(col("c_i").cast("long")).as("c_t"))
+        val totals = pairC.agg(sum(col("c_ab")).as("n_pairs"))
+          .crossJoin(termC.agg(sum(col("c_t")).as("n_toks")))
+        pairC.filter(col("c_ab") >= 30)
+          .withColumn("w1", substring_index(col("pair"), " ", 1))
+          .withColumn("w2", substring_index(col("pair"), " ", -1))
+          .join(termC.select(col("term").as("w1"), col("c_t").as("c_a")), "w1")
+          .join(termC.select(col("term").as("w2"), col("c_t").as("c_b")), "w2")
+          .crossJoin(broadcast(totals))
+          .withColumn("pmi_micro",
+            round(log((col("c_ab").cast("double") / col("n_pairs").cast("double")) /
+              ((col("c_a").cast("double") / col("n_toks").cast("double")) *
+                (col("c_b").cast("double") / col("n_toks").cast("double")))) * lit(1e6))
+              .cast("long"))
+          .select(col("pair"), col("c_ab"),
+            (col("pmi_micro").cast("double") / 1e6).as("pmi"))
+          .orderBy(col("pmi_micro").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM documents
+             |), pc AS (
+             |  SELECT pair, count(*) AS c_ab FROM (
+             |    SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS pair
+             |    FROM toks) GROUP BY pair
+             |), tc AS (
+             |  SELECT term, count(*) AS c_t FROM (
+             |    SELECT unnest(tk) AS term FROM toks) GROUP BY term
+             |), tot AS (
+             |  SELECT (SELECT sum(c_ab) FROM pc) AS n_pairs,
+             |         (SELECT sum(c_t) FROM tc) AS n_toks
+             |), scored AS (
+             |  SELECT pc.pair, pc.c_ab,
+             |    CAST(round(ln((CAST(pc.c_ab AS DOUBLE) / CAST(tot.n_pairs AS DOUBLE)) /
+             |      ((CAST(a.c_t AS DOUBLE) / CAST(tot.n_toks AS DOUBLE)) *
+             |       (CAST(b.c_t AS DOUBLE) / CAST(tot.n_toks AS DOUBLE)))) * 1e6, 0)
+             |      AS BIGINT) AS pmi_micro
+             |  FROM pc
+             |  JOIN tc a ON a.term = string_split(pc.pair, ' ')[1]
+             |  JOIN tc b ON b.term = string_split(pc.pair, ' ')[2]
+             |  CROSS JOIN tot
+             |  WHERE pc.c_ab >= 30
+             |)
+             |SELECT pair, CAST(c_ab AS BIGINT) AS c_ab,
+             |  CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
+             |FROM scored ORDER BY pmi_micro DESC, pair LIMIT 20""".stripMargin),
+      "PMI collocation mining (word2phrase prep; in-row gram counts, micro-nat integer ranking)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
