@@ -3225,7 +3225,42 @@ object Queries {
              |SELECT pair, CAST(c_ab AS BIGINT) AS c_ab,
              |  CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi
              |FROM scored ORDER BY pmi_micro DESC, pair LIMIT 20""".stripMargin),
-      "PMI collocation mining (word2phrase prep; in-row gram counts, micro-nat integer ranking)")
+      "PMI collocation mining (word2phrase prep; in-row gram counts, micro-nat integer ranking)"),
+
+    Q("q126_bpe_train",
+      (s, d) => Bpe.trainMerges(documents(s, d), "text", k = 3),
+      // the oracle replays the whole merge LOOP in SQL (the kmeansCtes
+      // pattern): per round, pair counts -> argmax -> substring-replace
+      // fuse, each staged through MATERIALIZED CTEs. Plain `replace`
+      // has identical non-overlapping left-to-right semantics in the
+      // JVM and DuckDB, so round n's corpus is byte-identical
+      Some {
+        def pStage(i: Int, src: String) =
+          s"""p$i AS (
+             |  SELECT pair, count(*) AS c FROM (
+             |    SELECT unnest([tk[j] || ' ' || tk[j+1] FOR j IN range(1, len(tk))]) AS pair
+             |    FROM (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM $src))
+             |  GROUP BY pair)""".stripMargin
+        def mStage(i: Int) =
+          s"""m$i AS MATERIALIZED (SELECT pair, replace(pair, ' ', '_') AS merged, c
+             |  FROM p$i ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+        def cStage(i: Int, src: String) =
+          s"""c$i AS MATERIALIZED (
+             |  SELECT replace($src.t, ' ' || m$i.pair || ' ', ' ' || m$i.merged || ' ') AS t
+             |  FROM $src, m$i)""".stripMargin
+        val stages = Seq(
+          """c0 AS MATERIALIZED (
+            |  SELECT ' ' || array_to_string(list_filter(
+            |    string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ') || ' ' AS t
+            |  FROM documents)""".stripMargin,
+          pStage(1, "c0"), mStage(1), cStage(1, "c0"),
+          pStage(2, "c1"), mStage(2), cStage(2, "c1"),
+          pStage(3, "c2"), mStage(3))
+        val unions = (1 to 3).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, pair, merged, CAST(c AS BIGINT) AS c FROM m$i")
+        s"WITH ${stages.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
+      },
+      "BPE merge training, first 3 rounds (iterative argmax-fuse loop; corpus re-derived per round in SQL)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

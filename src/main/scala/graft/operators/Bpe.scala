@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.plans.Exprs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-merge training at the TOKEN level (the word2phrase /
+  * first-k-BPE-merges step of tokenizer prep): iteratively find the
+  * most frequent adjacent token pair and fuse its occurrences with an
+  * underscore, re-counting after each merge so later merges see fused
+  * tokens (e.g. `new_york` can pair with `city` in round 2).
+  *
+  * Scale shape per round (the Lloyd's-loop pattern of [[KMeans]]): one
+  * in-row pair-count explode + one count aggregation on the pair key;
+  * only the single argmax row reaches the driver; the merge itself is
+  * a narrow `replace` projection over the corpus. k rounds = k corpus
+  * passes, each whole-stage-codegen.
+  *
+  * Determinism contract: texts are whitespace-normalized and
+  * space-padded once, the argmax breaks ties on (count desc, pair
+  * asc), and the fuse is plain non-overlapping left-to-right substring
+  * `replace` — identical semantics in the JVM and DuckDB, so the whole
+  * loop is SQL-replayable. (Consecutive overlapping occurrences
+  * "a b a b" fuse only the first — the shared separator space is
+  * consumed; both engines agree. Documented greedy-miss.)
+  */
+object Bpe {
+
+  /** The first `k` merges: one row per round —
+    * (step, pair, merged, c = the pair's count when it won).
+    */
+  def trainMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(concat(lit(" "),
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " "), lit(" ")).as("t"))
+    val steps = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val top = cur.select(explode(Exprs.pairCounts(col("t"))).as(Seq("pair", "c_i")))
+        .groupBy(col("pair")).agg(sum(col("c_i").cast("long")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()(0)
+      val pair = top.getString(0)
+      val merged = pair.replace(' ', '_')
+      steps += ((step, pair, merged, top.getLong(1)))
+      cur = cur.select(replace(col("t"),
+        lit(s" $pair "), lit(s" $merged ")).as("t"))
+    }
+    steps.result().toDF("step", "pair", "merged", "c")
+      .select(col("step").cast("long").as("step"), col("pair"),
+        col("merged"), col("c"))
+  }
+}
