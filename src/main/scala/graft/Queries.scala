@@ -3260,7 +3260,96 @@ object Queries {
           s"SELECT CAST($i AS BIGINT) AS step, pair, merged, CAST(c AS BIGINT) AS c FROM m$i")
         s"WITH ${stages.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}"
       },
-      "BPE merge training, first 3 rounds (iterative argmax-fuse loop; corpus re-derived per round in SQL)")
+      "BPE merge training, first 3 rounds (iterative argmax-fuse loop; corpus re-derived per round in SQL)"),
+
+    Q("q127_ndcg", {
+      val probes = Seq((0L, "hash join"), (1L, "fast scan filter"),
+        (2L, "window agg group"))
+      (s: SparkSession, d: String) => {
+        // retrieval evaluation: NDCG@10 of the BM25 ranking against
+        // graded relevance = 21 − rank under a NAIVE ranker (raw
+        // query-term frequency, top-20, else 0) — correlated but not
+        // identical (BM25 reorders by length normalization and idf),
+        // so the metric is non-trivial. Per-position gains snap to
+        // micro-units: DCG/IDCG are exact integers, NDCG one division
+        import s.implicits._
+        val docs = documents(s, d)
+        val lex = Bm25.topDocs(docs, "doc_id", "text",
+            probes.map(p => (p._1, p._2)), topK = 10)
+          .select(col("query_id"), col("doc_id").as("id"), col("rank").as("pos"))
+        val qterms = probes.flatMap { case (qid, q) =>
+          q.split(" ").distinct.map(t => (qid, t))
+        }.toDF("query_id", "term")
+        val naiveW = Window.partitionBy(col("query_id"))
+          .orderBy(col("s").desc, col("id"))
+        val rel = docs.select(col("doc_id").as("id"),
+            explode(Exprs.termCounts(col("text"))).as(Seq("term", "tf_i")))
+          .join(broadcast(qterms), "term")
+          .groupBy(col("query_id"), col("id"))
+          .agg(sum(col("tf_i").cast("long")).as("s"))
+          .withColumn("rank", row_number().over(naiveW))
+          .filter(col("rank") <= 20)
+          .select(col("query_id"), col("id"), (lit(21L) - col("rank")).as("rel"))
+        val gain = (relC: Column, posC: Column) =>
+          round(relC.cast("double") / log2(posC.cast("double") + lit(1.0)) * lit(1e6))
+            .cast("long")
+        val dcg = lex.join(rel, Seq("query_id", "id"), "left")
+          .na.fill(0L, Seq("rel"))
+          .groupBy(col("query_id"))
+          .agg(sum(gain(col("rel"), col("pos"))).as("dcg_micro"))
+        val idealW = Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("id"))
+        val idcg = rel.withColumn("pos", row_number().over(idealW))
+          .filter(col("pos") <= 10)
+          .groupBy(col("query_id"))
+          .agg(sum(gain(col("rel"), col("pos"))).as("idcg_micro"))
+        dcg.join(idcg, "query_id")
+          .select(col("query_id"),
+            (col("dcg_micro").cast("double") / 1e6).as("dcg"),
+            (col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+              .as("ndcg"))
+      }},
+      Some {
+        val probes = Seq((0L, "hash join"), (1L, "fast scan filter"),
+          (2L, "window agg group"))
+        val vals = probes.flatMap { case (id, t) =>
+          t.split(" ").distinct.map(w => s"($id, '$w')")
+        }.mkString(", ")
+        s"""WITH lex AS (${bm25RankedSql(probes, 10)}),
+           |tf2 AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(list_filter(
+           |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
+           |    FROM documents) GROUP BY 1, 2
+           |), q2 AS (SELECT * FROM (VALUES $vals) AS q(query_id, term)
+           |), nv AS (
+           |  SELECT query_id, doc_id AS id, sum(tf) AS s
+           |  FROM tf2 JOIN q2 USING (term) GROUP BY 1, 2
+           |), rel AS (
+           |  SELECT query_id, id, 21 - rank AS rel FROM (
+           |    SELECT query_id, id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) AS rank
+           |    FROM nv)
+           |  WHERE rank <= 20
+           |), dcg AS (
+           |  SELECT lex.query_id,
+           |    sum(CAST(round(CAST(COALESCE(rel.rel, 0) AS DOUBLE)
+           |      / log2(CAST(lex.rank AS DOUBLE) + 1.0) * 1e6, 0) AS BIGINT)) AS dcg_micro
+           |  FROM lex LEFT JOIN rel ON rel.query_id = lex.query_id AND rel.id = lex.doc_id
+           |  GROUP BY lex.query_id
+           |), idcg AS (
+           |  SELECT query_id,
+           |    sum(CAST(round(CAST(rel AS DOUBLE)
+           |      / log2(CAST(pos AS DOUBLE) + 1.0) * 1e6, 0) AS BIGINT)) AS idcg_micro
+           |  FROM (SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY rel DESC, id) AS pos FROM rel)
+           |  WHERE pos <= 10 GROUP BY query_id
+           |)
+           |SELECT dcg.query_id, CAST(dcg_micro AS DOUBLE) / 1e6 AS dcg,
+           |  CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) AS ndcg
+           |FROM dcg JOIN idcg USING (query_id)""".stripMargin
+      },
+      "NDCG@10 retrieval evaluation (BM25 vs graded cosine relevance; micro-int gains, exact ratio)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
