@@ -50,7 +50,23 @@ object Bench {
     // from the headline total
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file: with a 120+-query catalog the
+    // all-queries map is ~4 KB, and the driver keeps only the last 2 KB of
+    // stdout — a line that long loses its opening brace and parses as
+    // nothing. The printed line stays under that window by carrying the
+    // 20 slowest queries (the ones a perf reader actually wants) plus the
+    // aggregate; everything else is in benchDetailPath.
+    val detailPath = "bench_full.json"
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val slowest = results.filter(_._3).sortBy(-_._2).take(20)
+      .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._3)},"queries":$slowest,"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
