@@ -3349,7 +3349,258 @@ object Queries {
            |  CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) AS ndcg
            |FROM dcg JOIN idcg USING (query_id)""".stripMargin
       },
-      "NDCG@10 retrieval evaluation (BM25 vs graded cosine relevance; micro-int gains, exact ratio)")
+      "NDCG@10 retrieval evaluation (BM25 vs graded cosine relevance; micro-int gains, exact ratio)"),
+
+    Q("q128_pagerank",
+      (s, d) => {
+        // weighted PageRank over the nation-level trade graph: edge
+        // cust_nation -> supp_nation weighted by lineitem count. The
+        // heavy, 100TB-relevant part is the edge derivation (three
+        // co-partitioned shuffle joins + a groupBy); the iterative
+        // rank loop runs over the aggregated graph (Graph.pageRank
+        // persists it so the derivation executes once, not per round)
+        val e = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))), col("c_nationkey") === col("cnk"))
+          .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))), col("s_nationkey") === col("snk"))
+          .select(col("src"), col("dst"), lit(1L).as("w"))
+        Graph.pageRank(e, "src", "dst", "w", iters = 3)
+      },
+      Some {
+        // three unrolled rounds as staged CTEs (the kmeansCtes
+        // pattern); all rank state is integer micro-mass so the only
+        // float op per round is the single 0.85 damping multiply
+        def round(i: Int, prev: String) =
+          s"""c$i AS (
+             |  SELECT e.dst, sum((r.r * e.w) // ow.wout) AS s
+             |  FROM e JOIN $prev r ON r.n = e.src JOIN ow ON ow.src = e.src
+             |  GROUP BY e.dst
+             |), r$i AS MATERIALIZED (
+             |  SELECT nodes.n, 150000000000 // nn.c +
+             |    CAST(COALESCE(round(0.85 * CAST(c$i.s AS DOUBLE)), 0) AS BIGINT) AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.n)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+           |  JOIN customer c ON c.c_custkey = o.o_custkey
+           |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           |  GROUP BY 1, 2
+           |), nodes AS MATERIALIZED (
+           |  SELECT src AS n FROM e UNION SELECT dst FROM e
+           |), nn AS (SELECT count(*) AS c FROM nodes),
+           |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+           |r0 AS (SELECT n, 1000000000000 // nn.c AS r FROM nodes CROSS JOIN nn),
+           |${round(1, "r0")},
+           |${round(2, "r1")},
+           |${round(3, "r2")}
+           |SELECT n AS node, CAST(r AS DOUBLE) / 1e6 AS rank_micro FROM r3""".stripMargin
+      },
+      "weighted PageRank, 3 synchronous rounds (integer micro-mass ranks; edge graph from a 3-join derivation)"),
+
+    Q("q129_assoc_rules",
+      (s, d) => {
+        // market-basket association rules over brands co-bought in one
+        // order. Pair generation is IN-ROW (sorted brand set per order
+        // -> combinations via nested transform), so the only shuffles
+        // are the part join, one groupBy(orderkey), and the tiny pair
+        // count — no quadratic self-join of the order-brand table.
+        // Integer-only scoring: conf/lift in exact micro units (the
+        // 1e6*c_ab*N product stays < 2^63 through sf100; at larger
+        // scales switch the lift numerator to HUGEINT-style splitting)
+        val ob = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+        val sets = ob.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        val pairs = sets.select(explode(expr(
+            "flatten(transform(bs, (x, i) -> " +
+              "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS b1, y AS b2))))"))
+            .as("p"))
+          .select(col("p.b1"), col("p.b2"))
+          .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c_ab"))
+        val bc = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+        val n = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        pairs.filter(col("c_ab") >= 50)
+          .join(broadcast(bc.select(col("p_brand").as("b1"), col("c").as("c_a"))), "b1")
+          .join(broadcast(bc.select(col("p_brand").as("b2"), col("c").as("c_b"))), "b2")
+          .crossJoin(broadcast(n))
+          .select(col("b1"), col("b2"), col("c_ab").as("support"),
+            expr("(1000000 * c_ab) div c_a").as("conf_micro"),
+            expr("(1000000 * c_ab * n_orders) div (c_a * c_b)").as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("b1"), col("b2"))
+          .limit(25)
+          .select(col("b1"), col("b2"), col("support"),
+            (col("conf_micro").cast("double") / 1e6).as("confidence"),
+            (col("lift_micro").cast("double") / 1e6).as("lift"))
+      },
+      Some("""WITH ob AS MATERIALIZED (
+             |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |), pc AS (
+             |  SELECT a.b AS b1, b.b AS b2, count(*) AS c_ab
+             |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b GROUP BY 1, 2
+             |), bc AS (SELECT b, count(*) AS c FROM ob GROUP BY b),
+             |nn AS (SELECT count(DISTINCT ok) AS n FROM ob)
+             |SELECT b1, b2, CAST(c_ab AS BIGINT) AS support,
+             |  CAST((1000000 * c_ab) // ba.c AS DOUBLE) / 1e6 AS confidence,
+             |  CAST((1000000 * c_ab * nn.n) // (ba.c * bb.c) AS DOUBLE) / 1e6 AS lift
+             |FROM pc JOIN bc ba ON ba.b = pc.b1 JOIN bc bb ON bb.b = pc.b2
+             |CROSS JOIN nn
+             |WHERE c_ab >= 50
+             |ORDER BY (1000000 * c_ab * nn.n) // (ba.c * bb.c) DESC, b1, b2
+             |LIMIT 25""".stripMargin),
+      "market-basket association rules (in-row pair combinations, integer micro confidence/lift)"),
+
+    Q("q130_ewma",
+      (s, d) => {
+        // per-user EWMA (alpha = 1/2) over a bounded 16-event trailing
+        // window. All weights are powers of two, so every fold step
+        // (acc + x) / 2 is an exact-scaling IEEE op and the fixed fold
+        // order (oldest -> newest, pinned by ts + event_id) makes the
+        // double bit-identical in any engine — no micro-grid needed
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+        events(s, d).filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            collect_list(col("value")).over(w).as("l"))
+          .select(col("user_id"), col("event_id"),
+            expr("aggregate(slice(l, 2, size(l) - 1), element_at(l, 1), " +
+              "(acc, x) -> (acc + x) / 2D)").as("ewma"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  list_reduce(l, (acc, x) -> (acc + x) / 2) AS ewma
+             |FROM (
+             |  SELECT user_id, event_id,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+             |  FROM events WHERE value IS NOT NULL)""".stripMargin),
+      "per-key EWMA smoothing (power-of-two weights -> bit-exact doubles, bounded window frame)"),
+
+    Q("q131_readability",
+      (s, d) => {
+        // Flesch-style reading ease from three deterministic counts:
+        // whitespace tokens (termCounts kernel), [.!?]+ sentence
+        // breaks, [aeiouy]+ vowel groups as the syllable heuristic.
+        // Score snaps to micro units; the arithmetic tree is mirrored
+        // op-for-op in the oracle so each IEEE step agrees
+        documents(s, d)
+          .select(col("doc_id"), col("text"), Exprs.termCounts(col("text")).as("m"))
+          .select(col("doc_id"),
+            expr("aggregate(map_values(m), 0L, (a, c) -> a + CAST(c AS BIGINT))").as("words"),
+            greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+              .cast("long").as("sentences"),
+            regexp_count(lower(col("text")), lit("[aeiouy]+"))
+              .cast("long").as("syllables"))
+          .filter(col("words") > 0)
+          .withColumn("flesch_micro",
+            round((lit(206.835)
+              - lit(1.015) * (col("words").cast("double") / col("sentences").cast("double"))
+              - lit(84.6) * (col("syllables").cast("double") / col("words").cast("double")))
+              * lit(1e6)).cast("long"))
+          .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+            (col("flesch_micro").cast("double") / 1e6).as("flesch"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '')) AS BIGINT) AS words,
+             |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+             |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables,
+             |  CAST(CAST(round((206.835
+             |    - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))
+             |    * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS flesch
+             |FROM documents WHERE words > 0""".stripMargin),
+      "readability scoring (Flesch-style; regex syllable heuristic, micro-int determinism)"),
+
+    Q("q132_entropy",
+      (s, d) => {
+        // per-document token Shannon entropy (nats), fully in-row: the
+        // termCounts kernel gives the tf map, each term's -p*ln(p)
+        // contribution is rounded to micro-nats as a LONG, and longs
+        // sum order-free — a map-only plan with zero shuffles vs the
+        // oracle's explode + two-level groupBy
+        documents(s, d)
+          .select(col("doc_id"), Exprs.termCounts(col("text")).as("m"))
+          .select(col("doc_id"),
+            expr("aggregate(map_values(m), 0L, (a, c) -> a + CAST(c AS BIGINT))").as("n_tokens"),
+            col("m"))
+          .filter(col("n_tokens") > 0)
+          .select(col("doc_id"), col("n_tokens"),
+            expr("aggregate(map_values(m), 0L, (acc, c) -> acc + CAST(round(" +
+              "-(CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens) * 1e6) AS BIGINT))")
+              .as("ent_micro"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("ent_micro").cast("double") / 1e6).as("entropy"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+             |    FROM documents) GROUP BY 1, 2
+             |), nt AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+             |SELECT tf.doc_id, CAST(nt.n AS BIGINT) AS n_tokens,
+             |  CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / nt.n)
+             |    * ln(CAST(c AS DOUBLE) / nt.n) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS entropy
+             |FROM tf JOIN nt ON nt.doc_id = tf.doc_id
+             |GROUP BY tf.doc_id, nt.n""".stripMargin),
+      "token entropy quality signal (in-row micro-nat kernel vs oracle's exploded two-level agg)"),
+
+    Q("q133_skyline",
+      (s, d) => {
+        // 2-D skyline (Pareto frontier) of customers maximizing
+        // (acctbal, lifetime spend). Distributed shape: coarse
+        // integer-bucket prefix-max prunes to a candidate sliver
+        // (the per-bucket window is over ~thousands of buckets, and
+        // the exact single-partition pass only sees survivors), spend
+        // is exact integer cents so no float sum order can bite
+        val spend = orders(s, d).groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_cents"))
+        val pts = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_acctbal"), col("spend_cents"))
+        val b = pts.withColumn("bkt", floor(col("c_acctbal")).cast("long"))
+        val wB = Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bpref = b.groupBy(col("bkt")).agg(max(col("spend_cents")).as("bmax"))
+          .withColumn("bstrict", max(col("bmax")).over(wB))
+        val cand = b.join(bpref.select(col("bkt"), col("bstrict")), "bkt")
+          .filter(col("bstrict").isNull || col("spend_cents") >= col("bstrict"))
+        // exact pass over the pruned candidates: a point survives iff
+        // it has the max spend at its own acctbal AND beats every
+        // strictly-higher acctbal's max
+        val pa = cand.groupBy(col("c_acctbal")).agg(max(col("spend_cents")).as("amax"))
+        val wA = Window.orderBy(col("c_acctbal").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pref = pa.withColumn("runmax", max(col("amax")).over(wA))
+        cand.join(pref, "c_acctbal")
+          .filter((col("runmax").isNull || col("spend_cents") > col("runmax")) &&
+            col("spend_cents") === col("amax"))
+          .select(col("c_custkey"), col("c_acctbal"), col("spend_cents"))
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+             |  FROM orders GROUP BY 1
+             |), pts AS (
+             |  SELECT c.c_custkey, c.c_acctbal AS a, sp.s
+             |  FROM customer c JOIN spend sp ON sp.o_custkey = c.c_custkey
+             |), pa AS (SELECT a, max(s) AS amax FROM pts GROUP BY a),
+             |pr AS (SELECT a, amax, max(amax) OVER (ORDER BY a DESC
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM pa)
+             |SELECT p.c_custkey, p.a AS c_acctbal, CAST(p.s AS BIGINT) AS spend_cents
+             |FROM pts p JOIN pr ON pr.a = p.a
+             |WHERE (pr.runmax IS NULL OR p.s > pr.runmax) AND p.s = pr.amax""".stripMargin),
+      "2-D skyline / Pareto frontier (bucket prefix-max pruning + exact pass on survivors)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

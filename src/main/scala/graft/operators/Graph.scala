@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge DataFrames.
+  *
+  * The reference pipeline has no graph workloads (its only "graph" is
+  * the dedup cluster merge, see [[Dedup.connectedComponents]]); this
+  * operator covers the link-analysis slot a training-data curation
+  * stack needs — e.g. ranking crawl domains by weighted link mass
+  * before sampling.
+  */
+object Graph {
+
+  /** Weighted PageRank with `iters` unrolled synchronous rounds,
+    * damping 0.85.
+    *
+    * Determinism contract (DuckDB-oracle parity): ranks live as longs
+    * in 1e-12 units of total mass. Per-edge contributions are integer
+    * truncated divisions `rank * w div wout` (exact, order-free to
+    * sum); the damping step is the single floating-point operation per
+    * round — `0.85 * (sum of longs < 2^53)` is one IEEE-754 multiply
+    * with an identical result in any engine, and `round` half-away-
+    * from-zero agrees between Spark and DuckDB for positive values.
+    * Nodes with no out-edges leak their damped mass (the standard
+    * simplified formulation, e.g. GraphX's static PageRank); teleport
+    * keeps every node's rank positive.
+    *
+    * Scale shape: one shuffle to aggregate parallel edges, one to
+    * build out-degrees, then per round an edges⋈ranks shuffle join on
+    * `src` plus a groupBy(dst) — the canonical distributed PageRank
+    * plan. `edges` is persisted so the (possibly expensive) upstream
+    * edge derivation runs once, not once per round.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, iters: Int): DataFrame = {
+    val e = edges
+      .groupBy(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .agg(sum(col(wCol).cast("long")).as("_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("_src").as("_n"))
+      .union(e.select(col("_dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy(col("_src")).agg(sum(col("_w")).as("_wout"))
+    // 1-row node count, broadcast into every rank projection so the
+    // whole thing stays one lazy plan (no driver-side collect)
+    val n = nodes.agg(count(lit(1)).as("_cnt"))
+
+    var rank = nodes.crossJoin(broadcast(n))
+      .select(col("_n"), expr("1000000000000 div _cnt").as("_r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank, e("_src") === rank("_n"))
+        .join(outw, "_src")
+        .select(col("_dst"), expr("(_r * _w) div _wout").as("_c"))
+        .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
+      rank = nodes.crossJoin(broadcast(n))
+        .join(contrib, col("_n") === col("_dst"), "left")
+        .select(col("_n"),
+          (expr("150000000000 div _cnt") +
+            coalesce(round(col("_s").cast("double") * lit(0.85)), lit(0.0))
+              .cast("long")).as("_r"))
+    }
+    rank.select(col("_n").as("node"),
+      (col("_r").cast("double") / 1e6).as("rank_micro"))
+  }
+}
