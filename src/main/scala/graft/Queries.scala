@@ -3355,21 +3355,28 @@ object Queries {
       (s, d) => {
         // weighted PageRank over the nation-level trade graph: edge
         // cust_nation -> supp_nation weighted by lineitem count. The
-        // heavy, 100TB-relevant part is the edge derivation (three
-        // co-partitioned shuffle joins + a groupBy); the iterative
-        // rank loop runs over the aggregated graph (Graph.pageRank
-        // persists it so the derivation executes once, not per round)
-        val e = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
+        // heavy, 100TB-relevant part is the edge derivation; it's kept
+        // to TWO big-table shuffles — supplier⋈nation broadcasts onto
+        // the lineitem scan map-side, orders⋈customer shuffles on
+        // custkey, and the two meet once on orderkey before the
+        // partial-agg groupBy collapses to nation pairs. The rank loop
+        // then runs over the aggregated graph (persisted inside
+        // Graph.pageRank, derivation executes once)
+        val suppNat = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
+            col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("dst"))
+        val custOrders = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
           .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation(s, d)
-            .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))), col("c_nationkey") === col("cnk"))
-          .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
-            col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(nation(s, d)
-            .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))), col("s_nationkey") === col("snk"))
+            .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
+            col("c_nationkey") === col("cnk"))
+          .select(col("o_orderkey"), col("src"))
+        val e = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .join(custOrders, col("l_orderkey") === col("o_orderkey"))
           .select(col("src"), col("dst"), lit(1L).as("w"))
         Graph.pageRank(e, "src", "dst", "w", iters = 3)
       },
