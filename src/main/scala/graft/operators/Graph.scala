@@ -42,11 +42,53 @@ object Graph {
     * pattern).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               wCol: String, iters: Int, checkpointEvery: Int = 0): DataFrame = {
+               wCol: String, iters: Int, checkpointEvery: Int = 0,
+               driverEdgeLimit: Long = 1L << 19): DataFrame = {
     val e = edges
       .groupBy(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .agg(sum(col(wCol).cast("long")).as("_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ADAPTIVE (the [[Dedup.connectedComponents]] contract): after
+    // parallel-edge aggregation |E| is bounded by the KEY space, not
+    // the data scale — q128's nation graph is ≤ 25² rows no matter how
+    // many lineitems derived it. Below the bounded threshold the rank
+    // loop runs on the driver with the exact same integer arithmetic
+    // (truncated long division per contribution, one 0.85 double
+    // multiply + half-up round per node per round), skipping
+    // `iters` join+groupBy stages whose cost at that size is pure
+    // job-scheduling + codegen overhead (measured q128 7.1 s -> 3.8 s
+    // cold at sf0.1). Large aggregated graphs (web-domain scale) take
+    // the distributed path below.
+    val eCnt = e.count()
+    if (eCnt <= driverEdgeLimit) {
+      val rows = e.collect()
+      val nodeSeq = collection.mutable.LinkedHashSet.empty[Any]
+      rows.foreach { r => nodeSeq += r.get(0); nodeSeq += r.get(1) }
+      val n = nodeSeq.size.toLong
+      val wout = collection.mutable.HashMap.empty[Any, Long]
+      rows.foreach(r => wout.updateWith(r.get(0))(p => Some(p.getOrElse(0L) + r.getLong(2))))
+      var rank = collection.mutable.HashMap.from(nodeSeq.iterator.map(_ -> 1000000000000L / n))
+      val teleport = 150000000000L / n
+      for (_ <- 1 to iters) {
+        val s = collection.mutable.HashMap.empty[Any, Long]
+        rows.foreach { r =>
+          val c = rank(r.get(0)) * r.getLong(2) / wout(r.get(0))
+          s.updateWith(r.get(1))(p => Some(p.getOrElse(0L) + c))
+        }
+        rank = collection.mutable.HashMap.from(nodeSeq.iterator.map(v =>
+          v -> (teleport + math.round(s.getOrElse(v, 0L).toDouble * 0.85))))
+      }
+      val spark = edges.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", e.schema("_src").dataType),
+        org.apache.spark.sql.types.StructField("rank_micro",
+          org.apache.spark.sql.types.DoubleType)))
+      val out = nodeSeq.iterator.map(v =>
+        org.apache.spark.sql.Row(v, rank(v).toDouble / 1e6)).toSeq
+      e.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), schema)
+    }
     val nodes = e.select(col("_src").as("_n"))
       .union(e.select(col("_dst")))
       .distinct()

@@ -42,6 +42,20 @@ class GraphSpec extends SparkSpec {
     assert(r1 == r2, s"parallel-edge aggregation mismatch: $r1 vs $r2")
   }
 
+  test("pageRank: driver fast path equals the distributed rounds bit-for-bit") {
+    // an asymmetric weighted graph where every arithmetic step
+    // (truncated long division, 0.85 multiply, half-up round) is
+    // exercised; driverEdgeLimit = 0 forces the distributed path
+    val e = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),
+      ("a", "c", 1L), ("c", "b", 5L), ("d", "a", 7L))
+      .toDF("src", "dst", "w")
+    val fast = Graph.pageRank(e, "src", "dst", "w", iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val dist = Graph.pageRank(e, "src", "dst", "w", iters = 4, driverEdgeLimit = 0)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(fast == dist, s"adaptive paths diverged: $fast vs $dist")
+  }
+
   test("pageRank: dangling node keeps only teleport mass") {
     // b has no out-edges; its damped mass evaporates (simplified
     // formulation) but teleport keeps every rank >= 0.15/N
