@@ -3728,7 +3728,59 @@ object Queries {
            |  round(quantile_cont(m, 0.975), 4) AS ci_hi
            |FROM ms""".stripMargin
       },
-      "bootstrap confidence interval (deterministic hash multiplier weights, 64 replicas, map-side combine)")
+      "bootstrap confidence interval (deterministic hash multiplier weights, 64 replicas, map-side combine)"),
+
+    Q("q137_substring_spans",
+      (s, d) =>
+        // exact repeated-span mining (the suffix-array-dedup slot):
+        // maximal verbatim token runs >= 16 tokens shared by document
+        // pairs, from position-ordered shingle hashes + the constant-
+        // offset run merge. The oracle rebuilds the same base-31+mix64
+        // shingle hashes in SQL, so the whole pipeline (tokenize,
+        // hash, df-filter, pair join, run reconstruction) is verified
+        // cross-engine, not just row counts
+        Dedup.substringSpans(documents(s, d), "text", "doc_id",
+            shingleK = 8, minSpanTokens = 16, dfCap = 64)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"),
+            col("n_spans"), col("max_span_tokens").cast("long").as("max_span_tokens"),
+            col("first_start_a").cast("long").as("first_start_a")),
+      Some {
+        val h = OracleSql.toSigned(OracleSql.mix64(OracleSql.poly31("sg")))
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+           |  FROM documents
+           |), sh AS (
+           |  SELECT doc_id,
+           |    [array_to_string(tk[i:i+7], ' ')
+           |     FOR i IN range(1, greatest(len(tk) - 7, 1) + 1)] AS ss
+           |  FROM toks WHERE len(tk) > 0
+           |), posts AS (
+           |  SELECT doc_id, generate_subscripts(ss, 1) AS pos, unnest(ss) AS sg FROM sh
+           |), ph AS (
+           |  SELECT doc_id, pos, $h AS hh FROM posts
+           |), eligible AS (
+           |  SELECT hh FROM ph GROUP BY hh
+           |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+           |), p AS (
+           |  SELECT ph.doc_id, ph.pos, ph.hh FROM ph JOIN eligible USING (hh)
+           |), pairs AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
+           |  FROM p a JOIN p b ON a.hh = b.hh AND a.doc_id < b.doc_id
+           |), runs AS (
+           |  SELECT a, b, off, grp, count(*) AS nsh, min(pa) AS start_a
+           |  FROM (SELECT a, b, pa, pa - pb AS off,
+           |          pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+           |        FROM pairs)
+           |  GROUP BY 1, 2, 3, 4
+           |)
+           |SELECT a AS doc_a, b AS doc_b, count(*) AS n_spans,
+           |  CAST(max(nsh + 7) AS BIGINT) AS max_span_tokens,
+           |  CAST(min(start_a) AS BIGINT) AS first_start_a
+           |FROM runs WHERE nsh + 7 >= 16
+           |GROUP BY 1, 2""".stripMargin
+      },
+      "exact repeated-substring spans across documents (positional shingles, constant-offset run merge)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

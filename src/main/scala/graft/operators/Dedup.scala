@@ -542,4 +542,56 @@ object Dedup {
         Exprs.cosineSim(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Exact repeated-SPAN detection across documents — the substring
+    * analogue of suffix-array training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * every document pair, find maximal runs of tokens (≥ `minSpanTokens`
+    * long) that appear verbatim in both.
+    *
+    * Mechanism: position-ordered k-token shingle hashes
+    * ([[graft.plans.Kernels.shingleHashesPos]]), an inverted-index
+    * df-filter, then a hash-bucket self-join. A shared substring of
+    * length L tokens appears as L−k+1 consecutive shingle matches at a
+    * CONSTANT position offset, so grouping matches by (pair, pa−pb)
+    * and splitting on gaps in `pa` (the classic pos − row_number run
+    * trick) reconstructs each maximal span and its length exactly —
+    * no suffix array needed.
+    *
+    * Scale: the only wide shuffle carries (hash, doc, pos) triples
+    * (24 bytes). `dfCap` drops boilerplate shingles shared by more
+    * than `dfCap` documents (the standard stop-shingle guard), which
+    * bounds the self-join blow-up at dfCap² rows per hash; ubiquitous
+    * spans (licence headers) are exactly what you'd route to a
+    * dedicated frequent-span report instead of pairwise output.
+    * Window partitions are per (pair, offset) — thousands of small
+    * partitions, no single-partition window anywhere.
+    */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+                     shingleK: Int = 8, minSpanTokens: Int = 16,
+                     dfCap: Int = 64): DataFrame = {
+    val posts = df.select(col(idCol).as("id"),
+        posexplode(Exprs.shingleHashesPos(col(textCol), shingleK)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val eligible = posts.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df").between(2, dfCap))
+      .select(col("h"))
+    val p = posts.join(eligible, "h")
+    val pairs = p.as("pa").join(p.as("pb"),
+        col("pa.h") === col("pb.h") && col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("a"), col("pb.id").as("b"),
+        col("pa.pos").as("pa"), col("pb.pos").as("pb"))
+    val w = Window.partitionBy(col("a"), col("b"), col("off")).orderBy(col("pa"))
+    pairs.withColumn("off", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("off"), col("grp"))
+      .agg(count(lit(1)).as("nsh"), min(col("pa")).as("start_a"))
+      .withColumn("span_tokens", col("nsh") + lit(shingleK - 1))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        min(col("start_a")).as("first_start_a"))
+  }
 }

@@ -73,6 +73,19 @@ object Exprs {
       copy(child = newChild)
   }
 
+  case class ShingleHashesPos(child: Expression, shingleK: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes_pos"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashesPos(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.shingleHashesPos($c, $shingleK)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
+      copy(child = newChild)
+  }
+
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -479,6 +492,8 @@ object Exprs {
     col(MinHashSig(ex(c), shingleK, numPerms))
   def shingleHashes(c: Column, shingleK: Int): Column =
     col(ShingleHashes(ex(c), shingleK))
+  def shingleHashesPos(c: Column, shingleK: Int): Column =
+    col(ShingleHashesPos(ex(c), shingleK))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def jaroWinkler(a: Column, b: Column): Column = col(JaroWinkler(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))

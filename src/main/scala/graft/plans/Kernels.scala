@@ -169,6 +169,53 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
   }
 
+  /** [[shingleHashes]] in POSITION ORDER — no sort, no dedup: slot `i`
+    * holds the hash of the shingle starting at token `i`. The span-
+    * dedup operator needs positions to merge consecutive shared
+    * shingles into maximal repeated substrings; set semantics would
+    * destroy exactly the structure it mines. Same tokenization
+    * (whitespace scan over the lowercased text), same base-31 + mix64
+    * hash, same short-text edge case (0 < nTok < k → one shingle of
+    * all tokens).
+    */
+  def shingleHashesPos(text: UTF8String, shingleK: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    var tokStarts = new Array[Int](16)
+    var tokEnds = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokStarts.length) {
+          tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
+          tokEnds = java.util.Arrays.copyOf(tokEnds, nTok * 2)
+        }
+        tokStarts(nTok) = start; tokEnds(nTok) = i; nTok += 1
+      }
+    }
+    val nShingles = if (nTok == 0) 0 else math.max(1, nTok - shingleK + 1)
+    val hashes = new Array[Long](nShingles)
+    var sh = 0
+    while (sh < nShingles) {
+      var h = 1125899906842597L
+      var t = sh
+      val tEnd = math.min(sh + shingleK, nTok)
+      while (t < tEnd) {
+        if (t > sh) h = 31L * h + ' '
+        var j = tokStarts(t)
+        while (j < tokEnds(t)) { h = 31L * h + s.charAt(j); j += 1 }
+        t += 1
+      }
+      hashes(sh) = mix64(h)
+      sh += 1
+    }
+    new GenericArrayData(hashes)
+  }
+
   // ------------------------------------------------------- text metrics
   // Single-pass kernels behind graft.functions.TextFunctions. Each
   // reproduces the exact semantics of the Column chain it replaced —

@@ -313,6 +313,28 @@ class DedupSpec extends SparkSpec {
     assert(byId(4L) === ((0L, "")), "both lines lost to doc 1's first line")
   }
 
+  test("substringSpans reconstructs a planted verbatim span exactly") {
+    import spark.implicits._
+    val spanToks = (0 until 20).map(i => s"s$i").mkString(" ")   // 20 shared tokens
+    val shortToks = (0 until 10).map(i => s"u$i").mkString(" ")  // 10 shared: below min
+    val docs = Seq(
+      (1L, (0 until 5).map(i => s"a$i").mkString(" ") + " " + spanToks +
+        " " + (0 until 5).map(i => s"z$i").mkString(" ")),
+      (2L, "x0 x1 x2 " + spanToks + " y0"),
+      (3L, shortToks + " p0 p1 p2 p3 p4 p5 p6 p7"),
+      (4L, "q0 q1 " + shortToks)
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "text", "doc_id",
+        shingleK = 8, minSpanTokens = 16, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+          r.getAs[Number](4).longValue)).toMap
+    // the 20-token span: one maximal run, length 20, starting at doc 1
+    // token position 6 (1-based; after 5 prefix tokens)
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === ((1L, 20L, 6L)))
+  }
+
   test("HashFunctions.jaccard matches the scala brute force") {
     val df = docsDf(Seq(base, base + " tonight"))
     val j = df.as("a").crossJoin(df.as("b"))
