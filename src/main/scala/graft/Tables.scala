@@ -25,13 +25,21 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader
     * truncates to microseconds (exactly what DuckDB's ns→us read does,
     * keeping oracle parity) and restores a proper TimestampType.
+    *
+    * The truncation MUST be integer division (`div`): the obvious
+    * `(ts / 1000).cast("long")` routes through a double, and an
+    * epoch-scale nanosecond count (~1.7e18 ≫ 2^53) rounds to a
+    * 256 ns grid before dividing — measured +1 μs vs DuckDB on ~12%
+    * of rows. Grouping/ordering queries survived that fuzz (the error
+    * never inverts order, only ties it); exact μs arithmetic
+    * (durations, integer time-weighted sums) would not.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val raw = table(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -1,0 +1,60 @@
+# Local oracle check: mimics the driver's DuckDB compare (rows / schema /
+# value-hash after sorting columns by name). Usage:
+#   python3 tools/check.py <sfDir> <outDir> [q1,q2,...]
+# after `sbt "runMain graft.Verify <sfDir> <outDir>"`.
+import sys, json, glob, os
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    spark_dir = os.path.join(out, name)
+    files = glob.glob(f"{spark_dir}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output"))
+        continue
+    try:
+        sdf = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"err {e}"))
+        continue
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    ok = True
+    msg = ""
+    if list(sdf.columns) != list(odf.columns):
+        ok, msg = False, f"schema {list(sdf.columns)} vs {list(odf.columns)}"
+    elif len(sdf) != len(odf):
+        ok, msg = False, f"rows {len(sdf)} vs {len(odf)}"
+    else:
+        s_sorted = sdf.sort_values(by=list(sdf.columns), ignore_index=True)
+        o_sorted = odf.sort_values(by=list(odf.columns), ignore_index=True)
+        for c in sdf.columns:
+            a, b = s_sorted[c], o_sorted[c]
+            try:
+                eq = (a.fillna("__N__") == b.fillna("__N__")).all() \
+                    if a.dtype == object else ((a == b) | (a.isna() & b.isna())).all()
+            except Exception:
+                eq = list(a) == list(b)
+            if not eq:
+                ok, msg = False, f"values differ in col {c}"
+                break
+    print(("PASS " if ok else "FAIL ") + name + ("" if ok else "  " + msg))
+    if not ok:
+        fails.append((name, msg))
+
+print(f"\n{len(fails)} failures" + (": " + ", ".join(n for n, _ in fails) if fails else ""))
+sys.exit(1 if fails else 0)
