@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Per-round benchmark main (driver contract): runs the catalog on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
@@ -27,6 +28,30 @@ object Bench {
     // the plan, not first-touch JIT/IO
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // ... and the expression-runtime hot paths the entry query never
+    // touches: java.util.regex, the Jackson JSON-path reader, window
+    // exec, and the shuffle-join machinery. Without this the FIRST
+    // catalog query using each path absorbs its whole JIT bill
+    // (measured: q10's three-regexp projection read 6.5 s in-context
+    // vs 0.2 s warm — a 30× attribution error, not a plan cost).
+    // spark.range input: no table I/O, ~1 s total.
+    try {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val r = spark.range(0, 1 << 12)
+        .select(col("id"), (col("id") % 7).as("k"),
+          concat(lit("a b-c(d) \"x\"; "), col("id").cast("string")).as("t"),
+          concat(lit("{\"k\":"), col("id").cast("string"), lit("}")).as("js"))
+      r.select(
+          regexp_replace(lower(col("t")), "[()\":',&/.;]", "").as("a"),
+          get_json_object(col("js"), "$.k").as("b"),
+          row_number().over(W.partitionBy(col("k")).orderBy(col("t"))).as("c"),
+          sum(col("id")).over(W.partitionBy(col("k")).orderBy(col("id"))
+            .rowsBetween(Long.MinValue, 0)).as("d"))
+        .write.format("noop").mode("overwrite").save()
+      r.join(r.groupBy(col("k")).agg(count(lit(1)).as("n")), "k")
+        .groupBy(col("k")).agg(sum(col("n")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = Queries.all.filter(q => only.forall(_.contains(q.name))).map { q =>
