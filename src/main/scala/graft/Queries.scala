@@ -3780,7 +3780,227 @@ object Queries {
            |FROM runs WHERE nsh + 7 >= 16
            |GROUP BY 1, 2""".stripMargin
       },
-      "exact repeated-substring spans across documents (positional shingles, constant-offset run merge)")
+      "exact repeated-substring spans across documents (positional shingles, constant-offset run merge)"),
+
+    Q("q138_bpe_encode",
+      (s, d) => Bpe.encode(documents(s, d), "doc_id", "text", k = 3),
+      // q126's staged train CTEs, extended one stage (c3 applies the
+      // 3rd merge) and with doc_id carried through the corpus stages so
+      // the ENCODE side is per-document. replace() is byte-identical
+      // cross-engine (q126's contract), so both token counts are exact
+      Some {
+        def pStage(i: Int, src: String) =
+          s"""p$i AS (
+             |  SELECT pair, count(*) AS c FROM (
+             |    SELECT unnest([tk[j] || ' ' || tk[j+1] FOR j IN range(1, len(tk))]) AS pair
+             |    FROM (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM $src))
+             |  GROUP BY pair)""".stripMargin
+        def mStage(i: Int) =
+          s"""m$i AS MATERIALIZED (SELECT pair, replace(pair, ' ', '_') AS merged, c
+             |  FROM p$i ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+        def cStage(i: Int, src: String) =
+          s"""c$i AS MATERIALIZED (
+             |  SELECT doc_id, replace($src.t, ' ' || m$i.pair || ' ', ' ' || m$i.merged || ' ') AS t
+             |  FROM $src, m$i)""".stripMargin
+        val stages = Seq(
+          """c0 AS MATERIALIZED (
+            |  SELECT doc_id, ' ' || array_to_string(list_filter(
+            |    string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ') || ' ' AS t
+            |  FROM documents)""".stripMargin,
+          pStage(1, "c0"), mStage(1), cStage(1, "c0"),
+          pStage(2, "c1"), mStage(2), cStage(2, "c1"),
+          pStage(3, "c2"), mStage(3), cStage(3, "c2"))
+        s"""WITH ${stages.mkString(",\n")}
+           |SELECT c0.doc_id,
+           |  CAST(len(list_filter(string_split(c0.t, ' '), x -> x <> '')) AS BIGINT) AS n_raw,
+           |  CAST(len(list_filter(string_split(c3.t, ' '), x -> x <> '')) AS BIGINT) AS n_bpe
+           |FROM c0 JOIN c3 USING (doc_id)""".stripMargin
+      },
+      "BPE deploy half: train 3 merges, encode the corpus in one narrow codegen pass (per-doc token counts)"),
+
+    Q("q139_sorted_neighborhood",
+      (s, d) => Dedup.sortedNeighborhoodPairs(documents(s, d), "text", "doc_id",
+        windowSize = 8, prefixLen = 4),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    array_to_string((list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x <> ''))[1:4], ' ') AS k,
+             |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x <> '')) AS tk
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, tk, row_number() OVER (ORDER BY k, doc_id) AS rnk FROM t
+             |), p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.tk, b.tk)) AS i,
+             |    len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
+             |  FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 8
+             |)
+             |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter, CAST(u AS BIGINT) AS uni
+             |FROM p WHERE u > 0 AND 2 * i >= u""".stripMargin),
+      "sorted-neighborhood dedup (range-sorted blocking key, windowSize-bounded candidates, integer Jaccard verify)"),
+
+    Q("q140_label_propagation",
+      (s, d) => {
+        // community detection over the symmetrized nation trade graph
+        // (q128's edge derivation — the heavy 100TB part is the same
+        // two-big-shuffle join tree; the propagation rounds then run on
+        // the aggregated, key-space-bounded graph)
+        val suppNat = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
+            col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("dst"))
+        val custOrders = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
+            col("c_nationkey") === col("cnk"))
+          .select(col("o_orderkey"), col("src"))
+        val e = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .join(custOrders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("src"), col("dst"), lit(1L).as("w"))
+        Graph.labelPropagation(e, "src", "dst", "w", iters = 4)
+      },
+      Some {
+        def round(i: Int, prev: String) =
+          s"""v$i AS (
+             |  SELECT e.d, lab.l, sum(e.w) AS w
+             |  FROM e JOIN $prev lab ON lab.n = e.s GROUP BY 1, 2
+             |), b$i AS (
+             |  SELECT d, l FROM (
+             |    SELECT d, l, row_number() OVER (PARTITION BY d ORDER BY w DESC, l) AS rn
+             |    FROM v$i) WHERE rn = 1
+             |), l$i AS MATERIALIZED (
+             |  SELECT nodes.n, COALESCE(b$i.l, p.l) AS l
+             |  FROM nodes JOIN $prev p ON p.n = nodes.n
+             |  LEFT JOIN b$i ON b$i.d = nodes.n)""".stripMargin
+        s"""WITH dir AS MATERIALIZED (
+           |  SELECT cn.n_name AS s, sn.n_name AS d, count(*) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+           |  JOIN customer c ON c.c_custkey = o.o_custkey
+           |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           |  WHERE cn.n_name <> sn.n_name
+           |  GROUP BY 1, 2
+           |), e AS MATERIALIZED (
+           |  SELECT s, d, sum(w) AS w FROM (
+           |    SELECT s, d, w FROM dir UNION ALL SELECT d AS s, s AS d, w FROM dir)
+           |  GROUP BY 1, 2
+           |), nodes AS MATERIALIZED (SELECT s AS n FROM e UNION SELECT d FROM e),
+           |l0 AS (SELECT n, n AS l FROM nodes),
+           |${round(1, "l0")},
+           |${round(2, "l1")},
+           |${round(3, "l2")},
+           |${round(4, "l3")}
+           |SELECT n AS node, l AS label FROM l4""".stripMargin
+      },
+      "synchronous label propagation, 4 rounds (weighted plurality vote, min-label ties; adaptive driver loop on bounded graphs)"),
+
+    Q("q141_ks_test",
+      (s, d) => Stats.ksTest(lineitem(s, d), "l_extendedprice", "l_returnflag",
+        "R", "A"),
+      // the oracle takes the straight global-window cumulative — the
+      // Spark side's two-level prefix decomposition is exact integer
+      // arithmetic, so both paths give the same cumulative counts
+      Some("""WITH c AS (
+             |  SELECT l_extendedprice AS v,
+             |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+             |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cb
+             |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+             |), g AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+             |cum AS (
+             |  SELECT v,
+             |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+             |  FROM c
+             |), dd AS (SELECT v, abs(cuma * nb - cumb * na) AS diff FROM cum, g),
+             |m AS (SELECT max(diff) AS dint FROM dd)
+             |SELECT na AS n_a, nb AS n_b,
+             |  round(CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS d_stat,
+             |  (SELECT min(v) FROM dd, m WHERE diff = dint) AS at_value
+             |FROM g, m""".stripMargin),
+      "two-sample Kolmogorov-Smirnov D (two-level prefix sum, integer cross-difference sup — no global-order window)"),
+
+    Q("q142_quantile_binning",
+      (s, d) => {
+        val o = orders(s, d)
+        // equal-frequency discretization: global decile edges (tiny
+        // 1-row frame, q104's broadcast-bounds pattern) + a codegen
+        // comparison-sum bin assignment on the scan — the big side
+        // never shuffles until the 10-group final agg
+        val edges = o.agg(expr(
+          "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("_e"))
+        val bin = (1 to 9).map(i =>
+          when(col("o_totalprice") > element_at(col("_e"), i), 1).otherwise(0))
+          .foldLeft(lit(1))(_ + _)
+        o.crossJoin(broadcast(edges))
+          .select(bin.cast("long").as("bin"), col("o_totalprice").as("v"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), round(min(col("v")), 2).as("min_v"),
+            round(max(col("v")), 2).as("max_v"), round(sum(col("v")), 2).as("sum_v"))
+      },
+      Some {
+        val cases = (1 to 9).map(i =>
+          s"(CASE WHEN o_totalprice > q[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH e AS (SELECT quantile_cont(o_totalprice,
+           |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM orders),
+           |b AS (SELECT CAST(1 + $cases AS BIGINT) AS bin, o_totalprice AS v
+           |      FROM orders, e)
+           |SELECT bin, count(*) AS n, round(min(v), 2) AS min_v,
+           |  round(max(v), 2) AS max_v, round(sum(v), 2) AS sum_v
+           |FROM b GROUP BY bin""".stripMargin
+      },
+      "equal-frequency decile binning (broadcast interpolated edges, comparison-sum assignment, per-bin profile)"),
+
+    Q("q143_time_weighted_avg",
+      (s, d) => Stats.timeWeightedAvg(events(s, d), "user_id", "ts",
+        "event_id", "value"),
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id, value, epoch_us(ts) AS us
+             |  FROM events WHERE value IS NOT NULL
+             |), l AS (
+             |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             |    (lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us) // 1000 AS durms
+             |  FROM f
+             |)
+             |SELECT user_id, count(*) AS n_obs,
+             |  round(CAST(sum(cents * durms) AS DOUBLE) /
+             |        (CAST(sum(durms) AS DOUBLE) * 100.0), 6) AS twa
+             |FROM l GROUP BY user_id HAVING sum(durms) > 0""".stripMargin),
+      "per-key time-weighted average of a step series (cent/millisecond integer grading, one shuffle)"),
+
+    Q("q144_chi2_features",
+      (s, d) => Stats.chi2Features(documents(s, d), "text",
+        col("lang") === "en", minDf = 5, topK = 50),
+      Some("""WITH docs AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+             |      x -> x <> '')) AS toks
+             |  FROM documents
+             |), t AS (SELECT count(*) AS n, sum(y) AS npos FROM docs),
+             |g AS (
+             |  SELECT unnest(toks) AS tk, y FROM docs
+             |), f AS (
+             |  SELECT tk, count(*) AS df, sum(y) AS dfpos FROM g GROUP BY tk
+             |  HAVING count(*) >= 5
+             |), s0 AS (
+             |  SELECT tk, df, dfpos,
+             |    CAST(dfpos AS DOUBLE) AS a, CAST(df - dfpos AS DOUBLE) AS b,
+             |    CAST(npos - dfpos AS DOUBLE) AS c,
+             |    CAST(n - df - npos + dfpos AS DOUBLE) AS dd,
+             |    CAST(n AS DOUBLE) AS nn
+             |  FROM f, t WHERE df < n
+             |)
+             |SELECT tk AS token, df, dfpos AS df_pos,
+             |  round(nn * (a * dd - b * c) * (a * dd - b * c) /
+             |    ((a + b) * (c + dd) * (a + c) * (b + dd)), 6) AS chi2
+             |FROM s0 ORDER BY chi2 DESC, tk LIMIT 50""".stripMargin),
+      "chi-square token/label feature scoring (in-row distinct tokens, one token shuffle, pure rational arithmetic)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -51,4 +51,30 @@ object Bpe {
       .select(col("step").cast("long").as("step"), col("pair"),
         col("merged"), col("c"))
   }
+
+  /** Tokenizer APPLICATION: train the first `k` merges with
+    * [[trainMerges]], then encode every document by replaying the
+    * merge list in rank order — per document: token count before, after,
+    * and the compression the merges bought. This is the deploy half of
+    * BPE (train once, encode the whole corpus).
+    *
+    * Scale shape: training is k bounded corpus passes (see
+    * [[trainMerges]]); the ENCODE is a single narrow projection — the
+    * k-deep `replace` chain and both token counts fuse into one
+    * whole-stage-codegen pass over the corpus, no shuffle, no join
+    * (the merge list is driver-collected: k rows by contract).
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val merges = trainMerges(df, textCol, k)
+      .select(col("step"), col("pair"), col("merged"))
+      .collect().sortBy(_.getLong(0))
+    val norm = concat(lit(" "),
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " "), lit(" "))
+    val encoded = merges.foldLeft(norm) { (t, m) =>
+      replace(t, lit(" " + m.getString(1) + " "), lit(" " + m.getString(2) + " "))
+    }
+    df.select(col(idCol),
+      graft.plans.Exprs.tokenCount(norm).cast("long").as("n_raw"),
+      graft.plans.Exprs.tokenCount(encoded).cast("long").as("n_bpe"))
+  }
 }

@@ -594,4 +594,43 @@ object Dedup {
         max(col("span_tokens")).as("max_span_tokens"),
         min(col("start_a")).as("first_start_a"))
   }
+
+  /** Sorted-neighborhood dedup (SNM — the record-linkage classic): sort
+    * the corpus on a blocking key (here the document's first
+    * `prefixLen` lowercased tokens), then compare each record only with
+    * its `windowSize` successors in sort order. Candidates verify with
+    * exact distinct-token Jaccard ≥ 1/2, as the integer compare
+    * `2·|∩| ≥ |∪|` — no floats anywhere.
+    *
+    * Scale shape: the global sort rank comes from
+    * [[Relational.globalRowNumberScalable]] (ONE range exchange, no
+    * single-partition window); the neighborhood self-join keys on
+    * `rank div windowSize` with each probe row replicated to its own
+    * and the preceding block — a constant 2× on one side, so pair
+    * volume is exactly N·windowSize before the rank-distance filter.
+    * Token sets ride the candidate join only (windowSize-bounded
+    * fan-out, never a df-sized explosion).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, textCol: String, idCol: String,
+                              windowSize: Int = 8, prefixLen: Int = 4): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      Exprs.prefixTokens(col(textCol), prefixLen).as("_k"),
+      array_distinct(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= "")).as("_tk"))
+    val ranked = Relational.globalRowNumberScalable(keyed, "rnk", col("_k"), col("id"))
+      .select(col("id"), col("_tk"), col("rnk"))
+    val left = ranked.select(col("id").as("ida"), col("_tk").as("tka"),
+      col("rnk").as("ra"), expr(s"(rnk - 1) div $windowSize").as("_blk"))
+    val right = ranked.select(col("id").as("idb"), col("_tk").as("tkb"),
+        col("rnk").as("rb"),
+        explode(array(expr(s"(rnk - 1) div $windowSize"),
+          expr(s"(rnk - 1) div $windowSize - 1"))).as("_blk"))
+    left.join(right, Seq("_blk"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + windowSize)
+      .withColumn("_i", size(array_intersect(col("tka"), col("tkb"))))
+      .withColumn("_u", size(col("tka")) + size(col("tkb")) - col("_i"))
+      .filter(col("_u") > 0 && col("_i") * 2 >= col("_u"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("_i").cast("long").as("inter"), col("_u").cast("long").as("uni"))
+  }
 }

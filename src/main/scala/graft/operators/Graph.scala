@@ -115,4 +115,88 @@ object Graph {
     rank.select(col("_n").as("node"),
       (col("_r").cast("double") / 1e6).as("rank_micro"))
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts in its own community (label = node id); each round every
+    * node adopts the label with the largest total incident edge weight
+    * among its neighbours, ties broken toward the SMALLEST label.
+    * Fixed `iters` rounds — deterministic, unlike the usual
+    * random-order asynchronous LPA.
+    *
+    * The graph is symmetrized (edges counted in both directions, self
+    * loops dropped) and parallel edges weight-summed first — like
+    * [[pageRank]], |E| is then bounded by the key space, so the same
+    * adaptive cutover applies: bounded graphs run the rounds on the
+    * driver with identical integer/compare semantics; large graphs take
+    * the distributed loop — per round one edges⋈labels shuffle join on
+    * the src plus a (dst, label) partial-agg groupBy whose argmax
+    * reduces map-side (state = one best-candidate row per dst per
+    * partial — a hot node's vote list never materializes).
+    *
+    * Tie-break ordering on labels is BINARY string/numeric comparison
+    * in both engines (no collation), so rounds are engine-replayable.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int,
+                       driverEdgeLimit: Long = 1L << 19): DataFrame = {
+    val dir = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"), col(wCol).cast("long").as("_w"))
+    val e = dir.union(dir.select(col("_d").as("_s"), col("_s").as("_d"), col("_w")))
+      .groupBy(col("_s"), col("_d")).agg(sum(col("_w")).as("_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCnt = e.count()
+    if (eCnt <= driverEdgeLimit) {
+      val rows = e.collect()
+      implicit val anyOrd: Ordering[Any] = new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = (a, b) match {
+          case (x: String, y: String) => x.compareTo(y)
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+          case _ => a.toString.compareTo(b.toString)
+        }
+      }
+      val nodes = collection.mutable.LinkedHashSet.empty[Any]
+      rows.foreach { r => nodes += r.get(0); nodes += r.get(1) }
+      var label = collection.mutable.HashMap.from(nodes.iterator.map(v => v -> v))
+      for (_ <- 1 to iters) {
+        val votes = collection.mutable.HashMap.empty[Any, collection.mutable.HashMap[Any, Long]]
+        rows.foreach { r =>
+          val m = votes.getOrElseUpdate(r.get(1), collection.mutable.HashMap.empty)
+          val l = label(r.get(0))
+          m.update(l, m.getOrElse(l, 0L) + r.getLong(2))
+        }
+        label = collection.mutable.HashMap.from(nodes.iterator.map { v =>
+          votes.get(v) match {
+            case Some(m) =>
+              v -> m.toSeq.minBy { case (l, w) => (-w, l) }(
+                Ordering.Tuple2(Ordering.Long, anyOrd))._1
+            case None => v -> label(v)
+          }
+        })
+      }
+      val spark = edges.sparkSession
+      val dt = e.schema("_s").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", dt),
+        org.apache.spark.sql.types.StructField("label", dt)))
+      val out = nodes.iterator.map(v => org.apache.spark.sql.Row(v, label(v))).toSeq
+      e.unpersist()
+      return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+    }
+    val nodes = e.select(col("_s").as("_n")).union(e.select(col("_d"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.select(col("_n"), col("_n").as("_l"))
+    for (i <- 1 to iters) {
+      val votes = e.join(lab, e("_s") === lab("_n"))
+        .groupBy(col("_d"), col("_l")).agg(sum(col("_w")).as("_vw"))
+        // min over (−w, label): max weight, then smallest label — the
+        // vote key is unique per (_d, _l) row, so min_by is stable
+        .groupBy(col("_d"))
+        .agg(min_by(col("_l"), struct(-col("_vw"), col("_l"))).as("_nl"))
+      lab = nodes.join(votes, col("_n") === col("_d"), "left")
+        .select(col("_n"), coalesce(col("_nl"), col("_n")).as("_l"))
+      if (i % 4 == 0 && i < iters) lab = lab.localCheckpoint(true)
+    }
+    lab.select(col("_n").as("node"), col("_l").as("label"))
+  }
 }

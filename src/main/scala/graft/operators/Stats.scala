@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over big columns — the evaluation/monitoring
+  * side of a training-data pipeline (does the new crawl batch match the
+  * reference distribution? what did a filter do to the length profile?).
+  *
+  * Everything here is exact and integer-graded where sums cross the
+  * wire, so results are reproducible across engines and partitionings.
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov statistic
+    * `D = sup_x |F_a(x) − F_b(x)|` between the `valueCol` distributions
+    * of two `groupCol` populations, plus the location where the supremum
+    * is attained (smallest such value).
+    *
+    * Scale shape — a two-level prefix sum, no global-order window:
+    *  1. per-distinct-value pair counts: ONE shuffle keyed on the value;
+    *  2. global (lo, hi, n_a, n_b) as a 1-row broadcast;
+    *  3. values bucketed into `bins` fixed-width bins; per-bin totals
+    *     (≤ `bins` rows at ANY scale) get exclusive prefix offsets
+    *     through a constant-size window;
+    *  4. in-bin running sums: one shuffle on the bin id, window state =
+    *     two scalars; cumulative = bin offset + in-bin running sum.
+    * Parallelism of step 4 is capped at `bins` — raise it with the
+    * distinct-value count (it only needs to exceed the executor count).
+    *
+    * Determinism: cumulative counts are exact longs; the sup is taken
+    * over the INTEGER cross-difference `|cum_a·n_b − cum_b·n_a|`
+    * (exact while n_a·n_b < 2^53 — beyond that, swap the final compare
+    * to decimal), so the max and its argmin location are engine-stable.
+    * The one float, `D = diff/(n_a·n_b)`, divides two exactly-
+    * representable integers — a single IEEE op both engines agree on.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             groupA: String, groupB: String, bins: Int = 1024): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val globals = counts.agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"),
+      sum(col("ca")).as("_na"), sum(col("cb")).as("_nb"))
+    val binned = counts.crossJoin(broadcast(globals))
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
+              .cast("int"))))
+    // per-bin totals: ≤ `bins` rows — the single-partition window here
+    // is over a CONSTANT-bounded frame, not the data
+    val wOff = Window.orderBy(col("_bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy(col("_bin"))
+      .agg(sum(col("ca")).as("_ta"), sum(col("cb")).as("_tb"))
+      .select(col("_bin"),
+        coalesce(sum(col("_ta")).over(wOff), lit(0L)).as("_offa"),
+        coalesce(sum(col("_tb")).over(wOff), lit(0L)).as("_offb"))
+    val wBin = Window.partitionBy(col("_bin")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = binned.join(broadcast(offsets), "_bin")
+      .select(col("v"), col("_na"), col("_nb"),
+        (col("_offa") + sum(col("ca")).over(wBin)).as("_cuma"),
+        (col("_offb") + sum(col("cb")).over(wBin)).as("_cumb"))
+      .withColumn("_diff", abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
+    cum.agg(
+        max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(col("_diff")).as("_dint"),
+        // unique ordering key (v is distinct per row) ⇒ deterministic;
+        // (diff, −v) picks the SMALLEST value among sup ties
+        max_by(col("v"), struct(col("_diff"), -col("v"))).as("at_value"))
+      .select(col("n_a"), col("n_b"),
+        round(col("_dint").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 9).as("d_stat"),
+        col("at_value"))
+  }
+
+  /** Per-key time-weighted average of a step function: each observation
+    * holds its value until the next one; the last observation carries no
+    * weight. `twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first)`, keys with a
+    * single observation are dropped (zero span).
+    *
+    * ONE shuffle on the key — the lead() window and the final aggregation
+    * share the exchange. Integer grading: values snap to cents (one
+    * IEEE multiply + half-up round), durations to whole milliseconds
+    * (integer division of exact epoch-μs), so the weighted sum is a long
+    * — order-free — and the single closing division is engine-stable.
+    * Long headroom: cents·ms ≤ 2^63 needs value·span < ~9e13 unit-years
+    * per ROW and the per-key sum bounded likewise — monitoring-scale
+    * series by contract (document per-key spans when applying to
+    * decade-long event histories).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_us"), col(tieCol))
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tieCol), col(valCol),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_cents", round(col(valCol) * 100).cast("long"))
+      .withColumn("_lead", lead(col("_us"), 1).over(w))
+      .withColumn("_durms", expr("(_lead - _us) div 1000"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("_cents") * col("_durms")).as("_num"),
+        sum(col("_durms")).as("_den"))
+      .filter(col("_den") > 0)
+      .select(col(keyCol), col("n_obs"),
+        round(col("_num").cast("double") / (col("_den").cast("double") * 100.0), 6)
+          .as("twa"))
+  }
+
+  /** χ² feature scoring of token presence against a binary document
+    * label (the classic supervised feature-selection step before
+    * training a fastText-style quality/domain classifier). For each
+    * token with document frequency ≥ `minDf`, the 2×2 contingency table
+    * (token present × label) yields
+    * `χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`.
+    *
+    * Scale shape: per-doc DISTINCT tokens come from the in-row
+    * `termCounts` kernel (token multiplicity never crosses the wire);
+    * ONE shuffle on the token aggregates (df, df∧label); N and N_label
+    * ride as a 1-row broadcast. Top-k is TakeOrderedAndProject — no
+    * global sort. Pure rational arithmetic — no transcendentals —
+    * evaluated over exact-integer-valued doubles in the SAME expression
+    * tree both engines codegen, so scores are bit-identical; counts
+    * here are ≤ doc count, far inside double's 2^53 integer range.
+    */
+  def chi2Features(df: DataFrame, textCol: String, labelCol: Column,
+                   minDf: Int, topK: Int): DataFrame = {
+    val docs = df.select(labelCol.cast("long").as("_y"),
+      map_keys(graft.plans.Exprs.termCounts(col(textCol))).as("_toks"))
+    val totals = docs.agg(count(lit(1)).as("_n"), sum(col("_y")).as("_npos"))
+    val tok = docs.select(col("_y"), explode(col("_toks")).as("_t"))
+      .groupBy(col("_t"))
+      .agg(count(lit(1)).as("_df"), sum(col("_y")).as("_dfpos"))
+      .filter(col("_df") >= minDf)
+    val a = col("_dfpos").cast("double")            // token ∧ label
+    val b = (col("_df") - col("_dfpos")).cast("double")
+    val c = (col("_npos") - col("_dfpos")).cast("double")
+    val dd = (col("_n") - col("_df") - col("_npos") + col("_dfpos")).cast("double")
+    val n = col("_n").cast("double")
+    val chi2 = n * (a * dd - b * c) * (a * dd - b * c) /
+      ((a + b) * (c + dd) * (a + c) * (b + dd))
+    tok.crossJoin(broadcast(totals))
+      // a token present in EVERY document zeroes the (c+d) margin —
+      // no discriminative signal and a 0/0; drop it (oracle mirrors)
+      .filter(col("_df") < col("_n"))
+      .select(col("_t").as("token"), col("_df").as("df"),
+        col("_dfpos").as("df_pos"), round(chi2, 6).as("chi2"))
+      .orderBy(col("chi2").desc, col("token"))
+      .limit(topK)
+  }
+}

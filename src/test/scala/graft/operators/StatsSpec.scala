@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksTest: matches a brute-force D on fuzzed samples, any bin count") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val g = if (rnd.nextBoolean()) "A" else "B"
+      // group B shifted so D is comfortably nonzero
+      val v = math.round((rnd.nextGaussian() + (if (g == "B") 0.7 else 0.0)) * 1e3) / 1e3
+      (g, v)
+    } ++ Seq(("C", 99.9)) // out-of-scope group must be ignored
+    val df = rows.toDF("g", "v")
+
+    val a = rows.filter(_._1 == "A").map(_._2).sorted
+    val b = rows.filter(_._1 == "B").map(_._2).sorted
+    val values = (a ++ b).distinct.sorted
+    def cdfCount(s: Seq[Double], x: Double) = s.count(_ <= x).toLong
+    val diffs = values.map(x => (x, math.abs(cdfCount(a, x) * b.size - cdfCount(b, x) * a.size)))
+    val dInt = diffs.map(_._2).max
+    val expectD = BigDecimal(dInt.toDouble / (a.size.toLong * b.size))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectAt = diffs.filter(_._2 == dInt).map(_._1).min
+
+    for (bins <- Seq(1, 7, 1024)) {
+      val r = Stats.ksTest(df, "v", "g", "A", "B", bins = bins).collect()(0)
+      assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+      assert(r.getAs[Double]("d_stat") == expectD, s"bins=$bins")
+      assert(r.getAs[Double]("at_value") == expectAt, s"bins=$bins")
+    }
+  }
+
+  test("timeWeightedAvg: hand-computed step series; singleton keys dropped") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val df = Seq(
+      // key 1: 10.0 held 1000ms, 20.0 held 3000ms -> (10*1000+20*3000)/4000 = 17.5
+      (1L, 1L, ts(0), 10.0),
+      (1L, 2L, ts(1000), 20.0),
+      (1L, 3L, ts(4000), 99.0), // last value carries no weight
+      (2L, 4L, ts(0), 5.0)      // singleton -> dropped
+    ).toDF("k", "ev", "t", "v")
+    val out = Stats.timeWeightedAvg(df, "k", "t", "ev", "v").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("k") == 1L)
+    assert(out(0).getAs[Long]("n_obs") == 3L)
+    assert(out(0).getAs[Double]("twa") == 17.5)
+  }
+
+  test("timeWeightedAvg: equal-timestamp ties fall back to the tie column") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    // two obs at t=0: tie order (ev) makes v=1 then v=2; v=1 spans 0ms
+    val df = Seq((1L, 1L, ts(0), 1.0), (1L, 2L, ts(0), 2.0),
+      (1L, 3L, ts(1000), 9.0)).toDF("k", "ev", "t", "v")
+    val out = Stats.timeWeightedAvg(df, "k", "t", "ev", "v").collect()(0)
+    assert(out.getAs[Double]("twa") == 2.0) // only v=2 holds nonzero time
+  }
+
+  test("chi2Features: matches the textbook 2x2 formula brute-forced") {
+    val docs = Seq(
+      ("good fresh data", 1), ("good clean data", 1), ("good data", 1),
+      ("bad stale data", 0), ("bad data", 0), ("noisy bad data", 0),
+      ("fresh good corpus", 1), ("stale bad corpus", 0)
+    )
+    val df = docs.toDF("text", "y")
+    val out = Stats.chi2Features(df, "text", col("y") === 1, minDf = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+
+    val n = docs.size.toDouble
+    val npos = docs.count(_._2 == 1).toDouble
+    def chi2(tok: String): Double = {
+      val hasTok = docs.map(d => d._1.split("\\s+").distinct.contains(tok))
+      val a = docs.zip(hasTok).count { case ((_, y), h) => h && y == 1 }.toDouble
+      val b = docs.zip(hasTok).count { case ((_, y), h) => h && y == 0 }.toDouble
+      val c = npos - a
+      val dd = n - a - b - c
+      val raw = n * (a * dd - b * c) * (a * dd - b * c) /
+        ((a + b) * (c + dd) * (a + c) * (b + dd))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // perfectly separating tokens score N; 'data' (3 pos, 3 neg) has
+    // zero association and scores 0
+    assert(out("good") == 8.0 && out("bad") == 8.0)
+    assert(out("data") == 0.0 && out("data") == chi2("data"))
+    assert(out("fresh") == chi2("fresh") && out("corpus") == chi2("corpus"))
+    assert(out("fresh") > 0.0)
+  }
+
+  test("labelPropagation: two cliques joined by a weak bridge keep separate communities") {
+    // clique {a,b,c}, clique {x,y,z}, bridge c-x with weight 1 vs
+    // intra-clique weight 10: plurality vote keeps each side's min label
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"))
+      .map { case (s, d) => (s, d, 10L) } :+ (("c", "x", 1L))
+    val df = e.toDF("src", "dst", "w")
+    for (limit <- Seq(1L << 19, 0L)) { // driver path AND distributed path
+      val r = Graph.labelPropagation(df, "src", "dst", "w", iters = 4,
+        driverEdgeLimit = limit)
+        .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+      assert(Set("a", "b", "c").map(r) == Set("a"), s"limit=$limit: $r")
+      assert(Set("x", "y", "z").map(r) == Set("x"), s"limit=$limit: $r")
+    }
+  }
+
+  test("labelPropagation: driver and distributed paths agree exactly") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0 until 30).map(i => s"n$i")
+    val e = (1 to 120).map { _ =>
+      (nodes(rnd.nextInt(30)), nodes(rnd.nextInt(30)), 1L + rnd.nextInt(5))
+    }.toDF("src", "dst", "w")
+    val a = Graph.labelPropagation(e, "src", "dst", "w", iters = 3,
+      driverEdgeLimit = 1L << 19).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    val b = Graph.labelPropagation(e, "src", "dst", "w", iters = 3,
+      driverEdgeLimit = 0L).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("sortedNeighborhoodPairs: finds sort-adjacent near-dups, honors the window bound") {
+    // docs 1/2 share a 4-token prefix and 5-of-6 tokens -> adjacent in
+    // sort order, Jaccard 5/7 >= 1/2. doc 9 is a near-dup of doc 1 but
+    // sorts far away (different prefix) -> SNM misses it BY DESIGN.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (9L, "zzz alpha beta gamma delta epsilon"),
+      (3L, "completely different text here now"),
+      (4L, "more unrelated words in this row")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "text", "doc_id",
+      windowSize = 2, prefixLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L))
+    spark.catalog.clearCache() // globalRowNumberScalable persists its frame
+  }
+
+  test("bpeEncode: merges compress exactly the pair occurrences") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the cat food"),
+      (3L, "a dog")
+    ).toDF("doc_id", "text")
+    // round 1: 'the cat' (count 3) wins; round 2 is an all-ties round
+    // and the (count desc, pair asc) break picks 'a dog'
+    val out = Bpe.encode(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(3L) == ((2L, 1L)))              // 'a dog' -> 'a_dog'
+    assert(out(1L) == ((6L, 5L)))              // one 'the cat' fused
+    assert(out(2L) == ((6L, 4L)))              // two 'the cat' fused
+  }
+}
