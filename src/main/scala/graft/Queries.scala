@@ -3622,16 +3622,17 @@ object Queries {
         // suppliers are adjacent if they co-supplied >= 3 orders).
         // Compact-forward shape: with ordered edges (a < b) and
         // higher-neighbor adjacency lists, triangle x<y<z is found
-        // exactly once at edge (x,y) as z ∈ adj(x) ∩ adj(y) — an
-        // in-row array_intersect against the BROADCAST adjacency map
-        // (bounded by node count). The graph is dense (214k edges,
-        // 13.2M triangles at sf0.1), so per-node counting must not
-        // materialize 3 rows per triangle: each edge credits its
-        // endpoints with |I| in ONE weighted row apiece and each
-        // closing node with 1 — 13.6M rows through the partial agg
-        // instead of the wedge join's Σdeg² intermediate plus a 39.6M
-        // per-triangle explode (measured 4.1 s -> 2.0 s warm at
-        // sf0.1, cold unchanged)
+        // exactly once at its BOTTOM edge (x,y) as z ∈ adj⁺(x)∩adj⁺(y)
+        // — crediting x and y with the intersection size. The max-role
+        // credit needs no per-triangle explode either: the same
+        // triangle has exactly one TOP edge (y,z), where
+        // x ∈ adjLow(y)∩adjLow(z) — so |adjLow(y)∩adjLow(z)| credited
+        // to z counts every triangle z closes. Both intersections are
+        // in-row probes against BROADCAST adjacency maps; the credit
+        // stream is exactly 2 rows per edge (~428k at sf0.1) where the
+        // per-triangle explode was 13.6M — and at 100 TB credit volume
+        // scales with |E|, not the (cubically exploding) triangle count
+        // (measured 5.0 s -> 2.x s cold at sf0.1)
         val sets = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
@@ -3646,24 +3647,31 @@ object Queries {
         // the adjacency IS the edge set: persisting the |V|-row lists
         // makes the expensive pair derivation run exactly once — the
         // probe stream below is re-exploded from the cached lists and
-        // both broadcast sides read them too
-        val adj = edges.groupBy(col("a"))
-          .agg(collect_list(col("b")).as("nbrs"))
+        // all broadcast sides read them too
+        // adjacency lists SORTED at build: both role intersections run
+        // through the sorted-merge count kernel (no per-row hash set)
+        val adj = edges.groupBy(col("a").cast("long").as("a"))
+          .agg(sort_array(collect_list(col("b").cast("long"))).as("nbrs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probe = adj.select(col("a").as("ea"), explode(col("nbrs")).as("eb"))
+        val adjLo = probe.groupBy(col("eb").as("lb"))
+          .agg(sort_array(collect_list(col("ea"))).as("lnbrs"))
         probe
           .join(broadcast(adj).as("ax"), col("ea") === col("ax.a"))
-          .join(broadcast(adj).as("ay"), col("eb") === col("ay.a"))
+          .join(broadcast(adj).as("ay"), col("eb") === col("ay.a"), "left")
+          .join(broadcast(adjLo).as("lx"), col("ea") === col("lx.lb"), "left")
+          .join(broadcast(adjLo).as("ly"), col("eb") === col("ly.lb"))
           .select(col("ea").as("x"), col("eb").as("y"),
-            array_intersect(col("ax.nbrs"), col("ay.nbrs")).as("i"))
-          .filter(size(col("i")) > 0)
-          .select(explode(concat(
-            array(
-              struct(col("x").as("v"), size(col("i")).cast("long").as("w")),
-              struct(col("y").as("v"), size(col("i")).cast("long").as("w"))),
-            expr("transform(i, z -> struct(z AS v, 1L AS w))"))).as("e"))
+            coalesce(Exprs.sortedIntersectCount(col("ax.nbrs"), col("ay.nbrs")), lit(0))
+              .cast("long").as("hi"),
+            coalesce(Exprs.sortedIntersectCount(col("lx.lnbrs"), col("ly.lnbrs")), lit(0))
+              .cast("long").as("lo"))
+          .select(explode(array(
+            struct(col("x").as("v"), col("hi").as("w")),
+            struct(col("y").as("v"), (col("hi") + col("lo")).as("w")))).as("e"))
           .groupBy(col("e.v").as("s_suppkey"))
           .agg(sum(col("e.w")).as("n_triangles"))
+          .filter(col("n_triangles") > 0)
           .orderBy(col("n_triangles").desc, col("s_suppkey"))
           .limit(20)
           .select(col("s_suppkey").cast("long").as("s_suppkey"), col("n_triangles"))

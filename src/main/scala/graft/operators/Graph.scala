@@ -139,8 +139,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        wCol: String, iters: Int,
                        driverEdgeLimit: Long = 1L << 19): DataFrame = {
+    // aggregate BEFORE symmetrizing: the union's two branches would
+    // otherwise each re-run the (possibly expensive) upstream edge
+    // derivation — post-aggregation the frame is key-space-bounded, so
+    // the reversed copy unions two small cached reads instead
     val dir = edges.filter(col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("_s"), col(dstCol).as("_d"), col(wCol).cast("long").as("_w"))
+      .groupBy(col("_s"), col("_d")).agg(sum(col("_w")).as("_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = dir.union(dir.select(col("_d").as("_s"), col("_s").as("_d"), col("_w")))
       .groupBy(col("_s"), col("_d")).agg(sum(col("_w")).as("_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -180,7 +186,7 @@ object Graph {
         org.apache.spark.sql.types.StructField("node", dt),
         org.apache.spark.sql.types.StructField("label", dt)))
       val out = nodes.iterator.map(v => org.apache.spark.sql.Row(v, label(v))).toSeq
-      e.unpersist()
+      e.unpersist(); dir.unpersist()
       return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
     }
     val nodes = e.select(col("_s").as("_n")).union(e.select(col("_d"))).distinct()

@@ -114,6 +114,20 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.sortedIntersectCount(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
   case class JaroWinkler(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -496,6 +510,8 @@ object Exprs {
     col(ShingleHashesPos(ex(c), shingleK))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def jaroWinkler(a: Column, b: Column): Column = col(JaroWinkler(ex(a), ex(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    col(SortedIntersectCount(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def hyperplaneSig(c: Column, bits: Int): Column = col(HyperplaneSig(ex(c), bits))
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))

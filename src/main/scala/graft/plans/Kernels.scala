@@ -738,6 +738,28 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Intersection SIZE of two ascending-sorted long arrays by linear
+    * merge — no per-row hash set like `array_intersect` builds, no
+    * allocation at all. The graph kernels (triangle counting) spend
+    * their hot loop here: adjacency lists are sorted once at build
+    * and every edge probe is O(|a|+|b|) pointer walking.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** Dot product of two float arrays (double accumulation). */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
