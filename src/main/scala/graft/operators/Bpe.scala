@@ -35,8 +35,16 @@ object Bpe {
     import spark.implicits._
     var cur = df.select(concat(lit(" "),
       regexp_replace(trim(lower(col(textCol))), "\\s+", " "), lit(" ")).as("t"))
+    // each round's corpus is persisted before its argmax action:
+    // without the cache round i's scan re-applies all i−1 earlier
+    // replaces from the raw input — a QUADRATIC recompute in k (and k
+    // distinct growing codegen plans). Cached, every round is one
+    // narrow pass over the previous round's materialized corpus.
+    val cached = Seq.newBuilder[DataFrame]
     val steps = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to k) {
+      cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += cur
       val top = cur.select(explode(Exprs.pairCounts(col("t"))).as(Seq("pair", "c_i")))
         .groupBy(col("pair")).agg(sum(col("c_i").cast("long")).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
@@ -47,6 +55,7 @@ object Bpe {
       cur = cur.select(replace(col("t"),
         lit(s" $pair "), lit(s" $merged ")).as("t"))
     }
+    cached.result().foreach(_.unpersist())
     steps.result().toDF("step", "pair", "merged", "c")
       .select(col("step").cast("long").as("step"), col("pair"),
         col("merged"), col("c"))
