@@ -613,22 +613,27 @@ object Dedup {
     */
   def sortedNeighborhoodPairs(df: DataFrame, textCol: String, idCol: String,
                               windowSize: Int = 8, prefixLen: Int = 4): DataFrame = {
+    // token sets as SORTED DISTINCT 64-bit hashes (the k=1 shingle
+    // kernel): the range sort carries 8-byte elements instead of token
+    // strings, and the candidate verify is the allocation-free
+    // sorted-merge count kernel instead of a per-pair hash set. The
+    // hashes are oracle-re-derivable (mix64 ∘ poly31 — hypothetical
+    // collisions reproduce identically cross-engine).
     val keyed = df.select(col(idCol).as("id"),
       Exprs.prefixTokens(col(textCol), prefixLen).as("_k"),
-      array_distinct(filter(split(lower(col(textCol)), "\\s+"),
-        t => t =!= "")).as("_tk"))
+      Exprs.shingleHashes(col(textCol), 1).as("_hs"))
     val ranked = Relational.globalRowNumberScalable(keyed, "rnk", col("_k"), col("id"))
-      .select(col("id"), col("_tk"), col("rnk"))
-    val left = ranked.select(col("id").as("ida"), col("_tk").as("tka"),
+      .select(col("id"), col("_hs"), col("rnk"))
+    val left = ranked.select(col("id").as("ida"), col("_hs").as("hsa"),
       col("rnk").as("ra"), expr(s"(rnk - 1) div $windowSize").as("_blk"))
-    val right = ranked.select(col("id").as("idb"), col("_tk").as("tkb"),
+    val right = ranked.select(col("id").as("idb"), col("_hs").as("hsb"),
         col("rnk").as("rb"),
         explode(array(expr(s"(rnk - 1) div $windowSize"),
           expr(s"(rnk - 1) div $windowSize - 1"))).as("_blk"))
     left.join(right, Seq("_blk"))
       .filter(col("rb") > col("ra") && col("rb") <= col("ra") + windowSize)
-      .withColumn("_i", size(array_intersect(col("tka"), col("tkb"))))
-      .withColumn("_u", size(col("tka")) + size(col("tkb")) - col("_i"))
+      .withColumn("_i", Exprs.sortedIntersectCount(col("hsa"), col("hsb")))
+      .withColumn("_u", size(col("hsa")) + size(col("hsb")) - col("_i"))
       .filter(col("_u") > 0 && col("_i") * 2 >= col("_u"))
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
         col("_i").cast("long").as("inter"), col("_u").cast("long").as("uni"))
