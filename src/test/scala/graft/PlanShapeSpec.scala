@@ -228,4 +228,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows === 1, s"expected one collapsed Window op:\n$p")
     assert(exchanges === 1, s"expected one user-key exchange:\n$p")
   }
+
+  test("q141: KS cumulative windows partition by the bin id; offsets broadcast") {
+    // the data-sized window must be keyed on _bin (the two-level prefix
+    // sum); only the ≤`bins`-row offsets frame may use a global window
+    val p = plan("q141_ks_test")
+    assert(p.contains("windowspecdefinition(_bin"),
+      s"in-bin cumulative must partition by _bin:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bounds/offsets must broadcast, not shuffle the big side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no data-sized join anywhere:\n$p")
+  }
+
+  test("q143: time-weighted avg shares ONE key exchange between window and agg") {
+    val p = plan("q143_time_weighted_avg")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges === 1, s"lead() window and final agg must reuse one exchange:\n$p")
+  }
+
+  test("q144: chi2 top-k is TakeOrdered (no global sort), counts join broadcasts") {
+    val p = plan("q144_chi2_features")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the 1-row totals must broadcast:\n$p")
+  }
+
+  test("q139: SNM rank comes from the scalable structure (no Window op at all)") {
+    val p = plan("q139_sorted_neighborhood")
+    assert(!p.contains("windowspecdefinition"), s"q139 must not plan a Window:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the ranked frame must be persisted for its two consumers:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q134: triangle intersections run the sorted-merge kernel, adjacency broadcasts") {
+    val p = plan("q134_triangles")
+    assert(p.contains("sorted_intersect_count"),
+      s"intersect must be the codegen kernel, not array_intersect:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"adjacency joins must broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
 }
