@@ -267,7 +267,9 @@ object Dedup {
     cand
       .join(docs.select(col("id").as("id_a"), col("hs").as("hsa"), col("n").as("na")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("hs").as("hsb"), col("n").as("nb")), "id_b")
-      .withColumn("common", size(array_intersect(col("hsa"), col("hsb"))))
+      // hs arrays are sorted distinct (kernel contract) — the verify is
+      // the allocation-free sorted-merge count, not a per-pair hash set
+      .withColumn("common", Exprs.sortedIntersectCount(col("hsa"), col("hsb")))
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

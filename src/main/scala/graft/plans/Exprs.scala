@@ -562,5 +562,7 @@ object Exprs {
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("scan_tokens", es => ScanTokens(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "scala_udf")
   }
 }
