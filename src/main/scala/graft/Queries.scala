@@ -4008,7 +4008,65 @@ object Queries {
              |  round(nn * (a * dd - b * c) * (a * dd - b * c) /
              |    ((a + b) * (c + dd) * (a + c) * (b + dd)), 6) AS chi2
              |FROM s0 ORDER BY chi2 DESC, tk LIMIT 50""".stripMargin),
-      "chi-square token/label feature scoring (in-row distinct tokens, one token shuffle, pure rational arithmetic)")
+      "chi-square token/label feature scoring (in-row distinct tokens, one token shuffle, pure rational arithmetic)"),
+
+    Q("q145_benchmark_containment",
+      (s, d) => {
+        val docs = documents(s, d)
+        // first 20 docs stand in for the eval set (q71's convention);
+        // output = which eval items leak into which corpus docs
+        Dedup.benchmarkContainment(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), "text", "doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(tk) = 0 THEN []
+             |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+             |                FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) END AS ss
+             |  FROM toks
+             |), b AS (
+             |  SELECT doc_id AS bench_id, len(ss) AS nb, unnest(ss) AS s
+             |  FROM sh WHERE doc_id < 20 AND len(ss) > 0
+             |), hits AS (
+             |  SELECT i.doc_id, b.bench_id, b.nb, count(*) AS common
+             |  FROM (SELECT doc_id, unnest(ss) AS s FROM sh WHERE doc_id >= 20) i
+             |  JOIN b ON i.s = b.s
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT doc_id, bench_id, CAST(common AS BIGINT) AS common,
+             |  round(CAST(common AS DOUBLE) / nb, 6) AS containment
+             |FROM hits WHERE common * 2 >= nb""".stripMargin),
+      "per-eval-item contamination containment (broadcast benchmark postings, map-side hit counts)"),
+
+    Q("q146_mad",
+      (s, d) => {
+        val li = lineitem(s, d)
+        // median absolute deviation: q104's two-pass broadcast-bounds
+        // shape with the second pass re-aggregating the derived
+        // deviations — the big side never shuffles rows, only the two
+        // percentile aggregations' counts-map state
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("_med"))
+        li.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            abs(col("l_extendedprice") - col("_med")).as("_adev"), col("_med"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(max(col("_med")), 4).as("median"),
+            round(expr("percentile(_adev, 0.5)"), 4).as("mad"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l.l_returnflag, count(*) AS n, round(max(m.med), 4) AS median,
+             |  round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
+             |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+             |GROUP BY l.l_returnflag""".stripMargin),
+      "median absolute deviation per group (two-pass broadcast medians, robust dispersion)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -387,6 +387,39 @@ object Dedup {
           greatest(col("n"), lit(1)).cast("double")).as("contamination"))
   }
 
+  /** Per-benchmark-item containment (the decontamination DIRECTION
+    * [[contaminationRate]] doesn't give): for every (corpus doc,
+    * benchmark doc) pair sharing shingles, `|S_d ∩ S_b| / |S_b|` — how
+    * much of that benchmark item appears verbatim-ish inside the doc.
+    * Pairs at containment ≥ 1/2 (integer compare `2·common ≥ |S_b|`)
+    * are the eval items a curation pipeline must treat as compromised
+    * by that document.
+    *
+    * Scale shape: the benchmark is eval-set-scale by contract — its
+    * exploded (shingle, bench id, |S_b|) postings BROADCAST; the corpus
+    * explodes its shingle stream once and the (doc, bench) hit counts
+    * partial-aggregate map-side. The corpus never shuffles payloads,
+    * and nothing in the plan grows with corpus × benchmark.
+    */
+  def benchmarkContainment(df: DataFrame, benchmark: DataFrame,
+                           textCol: String, idCol: String,
+                           shingleK: Int = 3): DataFrame = {
+    val benchSh = benchmark.select(col(idCol).as("bench_id"),
+        Exprs.shingleHashes(col(textCol), shingleK).as("bs"))
+      .withColumn("nb", size(col("bs")))
+      .filter(col("nb") > 0)
+      .select(col("bench_id"), col("nb"), explode(col("bs")).as("sh"))
+    df.select(col(idCol).as("doc_id"),
+        explode(Exprs.shingleHashes(col(textCol), shingleK)).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"), col("bench_id"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * 2 >= col("nb"))
+      .select(col("doc_id"), col("bench_id"), col("common"),
+        round(col("common").cast("double") / col("nb").cast("double"), 6)
+          .as("containment"))
+  }
+
   /** Connected components over an undirected edge list — the cluster
     * step that turns near-dup PAIRS (from [[minhashCandidatePairs]],
     * [[simhashPairs]], [[ngramJaccardPairs]], …) into canonical dedup

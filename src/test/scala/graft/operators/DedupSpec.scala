@@ -335,6 +335,23 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) === ((1L, 20L, 6L)))
   }
 
+  test("benchmarkContainment: a planted verbatim eval item is flagged at ~1.0") {
+    import spark.implicits._
+    val evalItem = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (100L, s"prefix words here $evalItem and a long suffix follows"), // full leak
+      (101L, "the quick brown fox appears briefly"),                    // partial, < 1/2
+      (102L, "completely unrelated content with many different tokens")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, evalItem)).toDF("doc_id", "text")
+    val out = Dedup.benchmarkContainment(corpus, bench, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.contains((100L, 1L)), s"full leak must be flagged: $out")
+    assert(out((100L, 1L)) == 1.0, s"every benchmark shingle is in doc 100: $out")
+    assert(!out.keySet.exists(_._1 == 101L), "sub-threshold overlap must not flag")
+    assert(!out.keySet.exists(_._1 == 102L))
+  }
+
   test("HashFunctions.jaccard matches the scala brute force") {
     val df = docsDf(Seq(base, base + " tonight"))
     val j = df.as("a").crossJoin(df.as("b"))
