@@ -55,9 +55,14 @@ object Bench {
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = Queries.all.filter(q => only.forall(_.contains(q.name))).map { q =>
-      // collect the previous query's garbage before timing: otherwise a
-      // heap-heavy query (the 1M-pair joins) taxes whichever cheap scan
-      // happens to run next, making per-query numbers load-order noise
+      // drop the previous query's leaked cache entries (several
+      // operators persist internal frames — rank structures, adjacency
+      // lists, per-order sets — whose lifetime outlives the query), then
+      // collect garbage, both OUTSIDE the timer: otherwise a heap-heavy
+      // query taxes whichever query runs 20 slots later with GC pauses,
+      // making per-query numbers load-order noise (q129 measured 3.2 s
+      // vs 6.4 s purely by position in the run)
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val ok =
