@@ -3441,6 +3441,11 @@ object Queries {
           .orderBy(col("p_brand")).collect().map(_.getString(0)).toSeq
         val bIdx = brands.zipWithIndex.map { case (b, i) => (b, i) }
           .toDF("p_brand", "bi")
+        // part scales WITH the data (not a config-scale dim): the join
+        // stays unhinted — AQE broadcasts it at bench SF, and at
+        // 100 TB the right plan is bucketed lineitem⋈part on partkey
+        // (BucketingSpec's zero-exchange shape); only the 25-entry
+        // brand DICT is broadcast by contract
         val sets = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
           .join(part(s, d).select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey"))
