@@ -4068,9 +4068,9 @@ object Queries {
       (s, d) => {
         val li = lineitem(s, d)
         // median absolute deviation: q104's two-pass broadcast-bounds
-        // shape with the second pass re-aggregating the derived
-        // deviations — the big side never shuffles rows, only the two
-        // percentile aggregations' counts-map state
+        // shape. The built-in percentile's counts-map state is fine at
+        // bench SF; q147 is the rank-based scale path for the same
+        // statistic family (bit-identical interpolation, O(bins) state)
         val med = li.groupBy(col("l_returnflag"))
           .agg(expr("percentile(l_extendedprice, 0.5)").as("_med"))
         li.join(broadcast(med), Seq("l_returnflag"))
@@ -4088,7 +4088,25 @@ object Queries {
              |  round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
              |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
              |GROUP BY l.l_returnflag""".stripMargin),
-      "median absolute deviation per group (two-pass broadcast medians, robust dispersion)")
+      "median absolute deviation per group (two-pass broadcast medians, robust dispersion)"),
+
+    Q("q147_rank_percentiles",
+      (s, d) => Stats.groupedExactPercentiles(lineitem(s, d), "l_returnflag",
+          "l_extendedprice", Seq(0.05, 0.5, 0.95))
+        .select(col("g").as("l_returnflag"),
+          round(col("p_0"), 4).as("p05"), round(col("p_1"), 4).as("p50"),
+          round(col("p_2"), 4).as("p95")),
+      // exact interpolated percentiles WITHOUT a counts-map aggregate:
+      // bin-count prefix sums locate each order statistic, only target
+      // bins rank rows (q53's documented scale path, here as a
+      // first-class operator — interpolation is bit-identical, so the
+      // plain quantile_cont oracle applies)
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "rank-based exact percentiles (bin prefix sums + target-bin ranking; O(bins) agg state at any scale)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

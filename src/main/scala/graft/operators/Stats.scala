@@ -86,6 +86,94 @@ object Stats {
         col("at_value"))
   }
 
+  /** Exact interpolated percentiles per group WITHOUT the built-in
+    * `percentile` aggregate's per-group counts map (state ∝ distinct
+    * values — at 100 TB of near-unique doubles that map IS the data).
+    * Rank-based two-phase plan instead:
+    *  1. per-(group, fixed-width bin) counts — ONE skinny shuffle,
+    *     agg state ≤ `bins` rows per group;
+    *  2. exclusive bin offsets (per-group window over ≤ `bins` rows)
+    *     locate which bin holds each target order statistic;
+    *  3. ONLY the target bins' rows (≈ n/bins per hit) re-scan into a
+    *     tiny in-bin rank window; everything else never shuffles.
+    * Interpolation mirrors Spark's `Percentile.getPercentile`
+    * arithmetic op-for-op — `(higher−index)·lo + (index−lower)·hi`
+    * with `index = p·(n−1)` — so results are bit-identical to the
+    * built-in (and to DuckDB's `quantile_cont`, which q53 pins equal
+    * on this arithmetic).
+    *
+    * Returns one row per group: `g`, `p_<i>` value columns in `ps`
+    * order.
+    */
+  def groupedExactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                              ps: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    // gstats and binOff are group-/bin-bounded (tiny at any data scale)
+    // but DERIVED from full scans — persisted because they feed several
+    // downstream branches (targets, both binned passes, tb, hitBins);
+    // left lazy, each broadcast consumer would replay the whole
+    // upstream scan+shuffle (measured 3.4× on the MAD query). Callers
+    // running many of these back-to-back should clearCache() between
+    // (the Bench harness does).
+    val gstats = rows.groupBy(col("g"))
+      .agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"), count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val binned = rows.join(broadcast(gstats), "g")
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
+              .cast("int"))))
+      .select(col("g"), col("v"), col("_bin"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binOff = binned.groupBy(col("g"), col("_bin"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wG), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // target 0-based order statistics: for each p both bracketing
+    // positions (floor/ceil of p·(n−1)); groups × ps × 2 rows
+    val pArr = typedLit(ps)
+    val targets = gstats.select(col("g"), col("_n"),
+        posexplode(pArr).as(Seq("_pi", "_p")))
+      .withColumn("_idx", col("_p") * (col("_n") - 1).cast("double"))
+      .select(col("g"), col("_pi"), col("_idx"),
+        explode(array(floor(col("_idx")).cast("long"),
+          ceil(col("_idx")).cast("long"))).as("_pos"))
+      .dropDuplicates("g", "_pi", "_pos")
+    // bin containment: _off ≤ pos < _off + _c  (both frames are small)
+    val tb = targets.join(broadcast(binOff),
+      targets("g") === binOff("g") && col("_pos") >= col("_off") &&
+        col("_pos") < col("_off") + col("_c"))
+      .select(targets("g"), col("_pi"), col("_idx"), col("_pos"),
+        col("_bin"), col("_off"))
+    val hitBins = tb.select(col("g"), col("_bin")).distinct()
+    // in-bin rank over ONLY the hit bins (≈ n/bins rows per hit): the
+    // window partition is (g, bin) — thousands of small partitions
+    val wBin = Window.partitionBy(col("g"), col("_bin")).orderBy(col("v"))
+    val ranked = binned.join(broadcast(hitBins), Seq("g", "_bin"))
+      .withColumn("_rk", row_number().over(wBin).cast("long") - 1)
+    val vals = ranked.join(broadcast(tb.select(col("g").as("tg"), col("_pi"),
+        col("_idx"), col("_pos"), col("_bin").as("tbin"), col("_off"))),
+      col("g") === col("tg") && col("_bin") === col("tbin") &&
+        col("_rk") === col("_pos") - col("_off"))
+      .select(col("g"), col("_pi"), col("_idx"), col("_pos"), col("v"))
+    // fold the ≤2 bracketing values into Spark's interpolation formula
+    val interp = vals.groupBy(col("g"), col("_pi"), col("_idx"))
+      .agg(min(col("v")).as("_vlo"), max(col("v")).as("_vhi"))
+      .withColumn("_lower", floor(col("_idx")))
+      .withColumn("_val",
+        when(col("_vlo") === col("_vhi"), col("_vlo"))
+          .otherwise((col("_lower") + 1 - col("_idx")) * col("_vlo") +
+            (col("_idx") - col("_lower")) * col("_vhi")))
+    interp.groupBy(col("g"))
+      .pivot("_pi", ps.indices.map(i => i: Any).toSeq)
+      .agg(first(col("_val")))
+      .select(col("g") +: ps.indices.map(i => col(i.toString).as(s"p_$i")): _*)
+  }
+
   /** Per-key time-weighted average of a step function: each observation
     * holds its value until the next one; the last observation carries no
     * weight. `twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first)`, keys with a

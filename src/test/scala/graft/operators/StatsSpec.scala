@@ -34,6 +34,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactPercentiles: bit-identical to the built-in percentile aggregate") {
+    val rnd = new scala.util.Random(23)
+    // mixed profile: near-unique doubles, heavy ties, tiny groups
+    val rows = (1 to 3000).map { i =>
+      val g = s"g${i % 4}"
+      val v = if (i % 3 == 0) (rnd.nextInt(10) * 1.5) else rnd.nextGaussian() * 100
+      (g, v)
+    } ++ Seq(("solo", 42.0)) // n = 1 group
+    val df = rows.toDF("grp", "x")
+    val ps = Seq(0.0, 0.05, 0.5, 0.77, 0.95, 1.0)
+    for (bins <- Seq(1, 8, 1024)) {
+      val got = Stats.groupedExactPercentiles(df, "grp", "x", ps, bins = bins)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      val want = df.groupBy(col("grp"))
+        .agg(expr(s"percentile(x, array(${ps.mkString(",")}))").as("q"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet == want.keySet, s"bins=$bins")
+      for (g <- want.keySet; i <- ps.indices)
+        assert(got(g)(i) == want(g)(i),
+          s"bins=$bins group=$g p=${ps(i)}: ${got(g)(i)} != ${want(g)(i)}")
+    }
+  }
+
   test("timeWeightedAvg: hand-computed step series; singleton keys dropped") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
