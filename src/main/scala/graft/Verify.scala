@@ -28,6 +28,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // several operators persist internal frames whose lifetime
+        // outlives their query; drop them between queries so a
+        // 146-query sweep doesn't accumulate heap pressure
+        spark.catalog.clearCache()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

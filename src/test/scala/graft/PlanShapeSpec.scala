@@ -261,6 +261,14 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q147: rank percentiles plan NO unpartitioned window (all windows keyed)") {
+    // the whole point of the rank-based path: bin offsets window on g,
+    // target-bin ranks window on (g, bin) — nothing global-ordered
+    val p = plan("q147_rank_percentiles")
+    assert(!p.contains("No Partition Defined"), s"global window leaked in:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q134: triangle intersections run the sorted-merge kernel, adjacency broadcasts") {
     val p = plan("q134_triangles")
     assert(p.contains("sorted_intersect_count"),
