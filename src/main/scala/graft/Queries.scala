@@ -4106,7 +4106,71 @@ object Queries {
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
-      "rank-based exact percentiles (bin prefix sums + target-bin ranking; O(bins) agg state at any scale)")
+      "rank-based exact percentiles (bin prefix sums + target-bin ranking; O(bins) agg state at any scale)"),
+
+    Q("q148_calibration_bins",
+      (s, d) => {
+        // classifier reliability diagram: q96's scan-speed scores
+        // bucketed into 10 fixed bins, per-bin mean score vs empirical
+        // positive rate. Integer-only: scores snap to micro units
+        // BEFORE the order-unspecified sum, the gap is an integer
+        // division — per-bin state is 3 longs, one shuffle on the bin
+        val scored = QualityClassifier.score(
+            documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+            "text", QualityClassifier.pseudoWeights(65536))
+          .select((col("lang") === "en").cast("long").as("y"),
+            col("score"),
+            round(col("score") * 1000000).cast("long").as("_sm"),
+            least(lit(9), floor(col("score") * 10).cast("int")).cast("long").as("bin"))
+        scored.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("_sm")).as("sum_score_micro"),
+            sum(col("y")).as("n_pos"))
+          .withColumn("gap_micro",
+            expr("abs(sum_score_micro - 1000000 * n_pos) div n"))
+      },
+      Some {
+        // q96's staged score re-derivation + the binning tail
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |    t -> t <> '') AS tk
+           |  FROM documents
+           |), terms AS (
+           |  SELECT doc_id, tk || [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS ts
+           |  FROM toks
+           |), tr AS (
+           |  SELECT doc_id, generate_subscripts(ts, 1) AS ord, unnest(ts) AS t FROM terms
+           |), h1 AS (
+           |  SELECT doc_id, ord, ${OracleSql.poly31("t")} AS pt FROM tr
+           |), h2 AS (
+           |  SELECT doc_id, ord, ${OracleSql.mix64("pt")} % 65536 AS bu FROM h1
+           |), h3 AS (
+           |  SELECT doc_id, ord, ${OracleSql.mix64("CAST(bu + 1000003 AS UBIGINT)")} AS u2 FROM h2
+           |), wv AS (
+           |  SELECT doc_id, ord,
+           |         (CAST((u2 >> 11) AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 AS w
+           |  FROM h3
+           |), zs AS (
+           |  SELECT doc_id, ${OracleSql.foldSum("list(w ORDER BY ord)")} AS z,
+           |         count(*) AS cnt
+           |  FROM wv GROUP BY doc_id
+           |), scored AS (
+           |  SELECT t.doc_id,
+           |    CASE WHEN z.cnt IS NULL OR z.cnt = 0 THEN 0.5
+           |         ELSE 0.5 + 0.5 * ((z.z / z.cnt) / (1 + abs(z.z / z.cnt))) END AS score
+           |  FROM toks t LEFT JOIN zs z ON z.doc_id = t.doc_id
+           |), lab AS (
+           |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y, s.score
+           |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+           |)
+           |SELECT CAST(least(9, CAST(floor(score * 10) AS INT)) AS BIGINT) AS bin,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS sum_score_micro,
+           |  CAST(sum(y) AS BIGINT) AS n_pos,
+           |  CAST(abs(sum(CAST(round(score * 1000000) AS BIGINT)) - 1000000 * sum(y))
+           |       // count(*) AS BIGINT) AS gap_micro
+           |FROM lab GROUP BY 1""".stripMargin
+      },
+      "classifier calibration / reliability bins (micro-int score sums, integer gap; ECE inputs per bin)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
