@@ -86,6 +86,43 @@ object OracleSql {
   def foldSum(listExpr: String): String =
     s"list_reduce(list_prepend(0.0, $listExpr), (acc, el) -> acc + el)"
 
+  /** The q96 hashed-feature linear classifier score as a WITH-clause
+    * prefix: CTEs `toks … zs, scored(doc_id, score)` over `documents`.
+    * Shared by the calibration/AUC/isotonic oracles so the score
+    * re-derivation is written once (hash steps staged one per
+    * projection — textual mix64∘mix64 nesting macro-expands).
+    */
+  def classifierScoreCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '') AS tk
+       |  FROM documents
+       |), terms AS (
+       |  SELECT doc_id, tk || [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS ts
+       |  FROM toks
+       |), tr AS (
+       |  SELECT doc_id, generate_subscripts(ts, 1) AS ord, unnest(ts) AS t FROM terms
+       |), h1 AS (
+       |  SELECT doc_id, ord, ${poly31("t")} AS pt FROM tr
+       |), h2 AS (
+       |  SELECT doc_id, ord, ${mix64("pt")} % 65536 AS bu FROM h1
+       |), h3 AS (
+       |  SELECT doc_id, ord, ${mix64("CAST(bu + 1000003 AS UBIGINT)")} AS u2 FROM h2
+       |), wv AS (
+       |  SELECT doc_id, ord,
+       |         (CAST((u2 >> 11) AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 AS w
+       |  FROM h3
+       |), zs AS (
+       |  SELECT doc_id, ${foldSum("list(w ORDER BY ord)")} AS z,
+       |         count(*) AS cnt
+       |  FROM wv GROUP BY doc_id
+       |), scored AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN z.cnt IS NULL OR z.cnt = 0 THEN 0.5
+       |         ELSE 0.5 + 0.5 * ((z.z / z.cnt) / (1 + abs(z.z / z.cnt))) END AS score
+       |  FROM toks t LEFT JOIN zs z ON z.doc_id = t.doc_id
+       |)""".stripMargin
+
   /** The full [[graft.operators.KMeans]] Lloyd's loop as DuckDB CTEs —
     * expects a prior CTE `base(vec_id, embedding FLOAT[])`; emits
     * `vnn` (double-normalized vectors) through `a$iters`, the final

@@ -4170,7 +4170,124 @@ object Queries {
            |       // count(*) AS BIGINT) AS gap_micro
            |FROM lab GROUP BY 1""".stripMargin
       },
-      "classifier calibration / reliability bins (micro-int score sums, integer gap; ECE inputs per bin)")
+      "classifier calibration / reliability bins (micro-int score sums, integer gap; ECE inputs per bin)"),
+
+    Q("q149_auc",
+      (s, d) => {
+        // exact ROC AUC by rank-sum (Mann–Whitney U) with tie
+        // correction, all in integers: scores snap to micro units, so
+        // the distinct-score frame is ≤ 1e6+1 rows at ANY corpus size
+        // — its global-order window is bounded by the score
+        // granularity, not the data. U2 = Σ pos(s)·(2·negBelow + neg(s))
+        // is an exact long (ties contribute half — kept doubled);
+        // AUC = U2 / (2·npos·nneg) is the single closing division.
+        val scored = QualityClassifier.score(
+            documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+            "text", QualityClassifier.pseudoWeights(65536))
+          .select((col("lang") === "en").cast("long").as("y"),
+            round(col("score") * 1000000).cast("long").as("sm"))
+        val c = scored.groupBy(col("sm"))
+          .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+        val w = Window.orderBy(col("sm")).rowsBetween(Window.unboundedPreceding, -1)
+        c.withColumn("negb", coalesce(sum(col("neg")).over(w), lit(0L)))
+          .agg(sum(col("pos") * (col("negb") * 2 + col("neg"))).as("_u2"),
+            sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+          .select(col("n_pos"), col("n_neg"),
+            round(col("_u2").cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+              6).as("auc"))
+      },
+      Some {
+        s"""WITH ${OracleSql.classifierScoreCtes},
+           |lab AS (
+           |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    CAST(round(s.score * 1000000) AS BIGINT) AS sm
+           |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+           |), c AS (
+           |  SELECT sm, sum(y) AS pos, count(*) - sum(y) AS neg FROM lab GROUP BY sm
+           |), cum AS (
+           |  SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY sm
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negb
+           |  FROM c
+           |)
+           |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+           |  round(CAST(sum(pos * (negb * 2 + neg)) AS DOUBLE) /
+           |        (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6) AS auc
+           |FROM cum""".stripMargin
+      },
+      "exact ROC AUC via tie-corrected rank-sum (micro-int scores bound the distinct frame at any scale)"),
+
+    Q("q150_isotonic_calibration",
+      (s, d) => {
+        // monotone (non-decreasing) calibration of per-bin positive
+        // rates via the minimax closed form of isotonic regression:
+        // fit(i) = max_{j≤i} min_{k≥i} rate(j..k). The bin frame is
+        // CONSTANT-size (10 rows), so the closed form is three tiny
+        // joins over interval cumulative sums — no PAVA iteration, no
+        // driver loop, and the interval rates are exact-integer-ratio
+        // doubles, identical cross-engine.
+        val scored = QualityClassifier.score(
+            documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+            "text", QualityClassifier.pseudoWeights(65536))
+          .select((col("lang") === "en").cast("long").as("y"),
+            least(lit(9), floor(col("score") * 10).cast("int")).cast("long").as("bin"))
+        val bins = scored.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        val wc = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+        val cum = bins
+          .withColumn("cn", sum(col("n")).over(wc))
+          .withColumn("cp", sum(col("pos")).over(wc))
+          .select(col("bin"), col("n"), col("pos"), col("cn"), col("cp"))
+        // interval rate(j..k) from cumulative differences; j uses the
+        // previous row's cumulative (0 at the start)
+        val iv = cum.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"),
+            (col("cp") - col("pos")).as("cpj"))
+          .join(cum.select(col("bin").as("k"), col("cn").as("cnk"), col("cp").as("cpk")),
+            col("k") >= col("j"))
+          .select(col("j"), col("k"),
+            ((col("cpk") - col("cpj")).cast("double") /
+              (col("cnk") - col("cnj")).cast("double")).as("rate"))
+        val fit = cum.select(col("bin"))
+          .join(iv, col("j") <= col("bin") && col("k") >= col("bin"))
+          .groupBy(col("bin"), col("j")).agg(min(col("rate")).as("_mn"))
+          .groupBy(col("bin")).agg(max(col("_mn")).as("_fit"))
+        bins.join(fit, "bin")
+          .select(col("bin"), col("n"), col("pos"),
+            round(col("pos").cast("double") / col("n").cast("double"), 6).as("raw_rate"),
+            round(col("_fit"), 6).as("iso_rate"))
+      },
+      Some {
+        s"""WITH ${OracleSql.classifierScoreCtes},
+           |lab AS (
+           |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    least(9, CAST(floor(s.score * 10) AS INT)) AS bin
+           |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+           |), bins AS (
+           |  SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, sum(y) AS pos
+           |  FROM lab GROUP BY 1
+           |), cum AS (
+           |  SELECT bin, n, pos,
+           |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+           |    sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+           |  FROM bins
+           |), iv AS (
+           |  SELECT a.bin AS j, b.bin AS k,
+           |    CAST(b.cp - (a.cp - a.pos) AS DOUBLE) /
+           |    CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS rate
+           |  FROM cum a JOIN cum b ON b.bin >= a.bin
+           |), m1 AS (
+           |  SELECT c.bin, x.j, min(x.rate) AS mn
+           |  FROM cum c JOIN iv x ON x.j <= c.bin AND x.k >= c.bin
+           |  GROUP BY 1, 2
+           |), fit AS (
+           |  SELECT bin, max(mn) AS f FROM m1 GROUP BY bin
+           |)
+           |SELECT b.bin, CAST(b.n AS BIGINT) AS n, CAST(b.pos AS BIGINT) AS pos,
+           |  round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+           |  round(f.f, 6) AS iso_rate
+           |FROM bins b JOIN fit f ON f.bin = b.bin""".stripMargin
+      },
+      "isotonic calibration via the minimax closed form over constant-size bins (no PAVA loop, exact rational rates)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -115,6 +115,58 @@ class StatsSpec extends SparkSpec {
     assert(out("fresh") > 0.0)
   }
 
+  test("q149's rank-sum AUC formula matches the O(n^2) pair-count brute force") {
+    // replicate the query's U2 aggregation on a small fuzzed sample and
+    // check it against direct pair counting (ties = 1/2)
+    val rnd = new scala.util.Random(5)
+    val pts = (1 to 300).map { _ =>
+      val y = rnd.nextBoolean()
+      // coarse grid => plenty of score ties
+      val s = rnd.nextInt(20).toLong
+      (if (y) 1L else 0L, s)
+    }
+    val df = pts.toDF("y", "sm")
+    val c = df.groupBy(col("sm"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sm"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val r = c.withColumn("negb", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(sum(col("pos") * (col("negb") * 2 + col("neg"))).as("u2"),
+        sum(col("pos")).as("np"), sum(col("neg")).as("nn"))
+      .collect()(0)
+    val pos = pts.filter(_._1 == 1L).map(_._2)
+    val neg = pts.filter(_._1 == 0L).map(_._2)
+    val brute2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert(r.getAs[Long]("u2") == brute2)
+    assert(r.getAs[Long]("np") == pos.size && r.getAs[Long]("nn") == neg.size)
+  }
+
+  test("minimax isotonic fit: monotone, and pools exactly like PAVA on a hand case") {
+    // bins with rates 0.2, 0.6, 0.4, 0.8 and equal n: PAVA pools the
+    // middle violators to 0.5; the minimax closed form must agree
+    val bins = Seq((0L, 10L, 2L), (1L, 10L, 6L), (2L, 10L, 4L), (3L, 10L, 8L))
+      .toDF("bin", "n", "pos")
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins.withColumn("cn", sum(col("n")).over(wc))
+      .withColumn("cp", sum(col("pos")).over(wc))
+    val iv = cum.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"),
+        (col("cp") - col("pos")).as("cpj"))
+      .join(cum.select(col("bin").as("k"), col("cn").as("cnk"), col("cp").as("cpk")),
+        col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cpj")).cast("double") /
+          (col("cnk") - col("cnj")).cast("double")).as("rate"))
+    val fit = cum.select(col("bin"))
+      .join(iv, col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("rate")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fit(0L) == 0.2 && fit(3L) == 0.8)
+    assert(fit(1L) == 0.5 && fit(2L) == 0.5, s"PAVA pools 0.6,0.4 -> 0.5: $fit")
+    assert(fit.toSeq.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("labelPropagation: two cliques joined by a weak bridge keep separate communities") {
     // clique {a,b,c}, clique {x,y,z}, bridge c-x with weight 1 vs
     // intra-clique weight 10: plurality vote keeps each side's min label
