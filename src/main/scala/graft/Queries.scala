@@ -4287,7 +4287,78 @@ object Queries {
            |  round(f.f, 6) AS iso_rate
            |FROM bins b JOIN fit f ON f.bin = b.bin""".stripMargin
       },
-      "isotonic calibration via the minimax closed form over constant-size bins (no PAVA loop, exact rational rates)")
+      "isotonic calibration via the minimax closed form over constant-size bins (no PAVA loop, exact rational rates)"),
+
+    Q("q151_kaplan_meier",
+      (s, d) => {
+        // Kaplan–Meier time-to-event: death = the user's first LARGE
+        // purchase (value > 150), measured in days from their first
+        // activity; users who never convert are right-censored at the
+        // window end (67 deaths / 83 censored at sf0.01 — genuinely
+        // mixed). ONE keyed shuffle builds both dates (conditional
+        // min); the day frame is bounded by the CALENDAR span, so its
+        // global-order window and the packed factor array are
+        // constant-size at any corpus scale. Survival products fold
+        // left over the day-ordered factor list — the same fixed-order
+        // fold both engines run, so the doubles are bit-identical
+        // (foldSum's multiplicative sibling; never a window product or
+        // exp∘Σlog)
+        val per = events(s, d).groupBy(col("user_id"))
+          .agg(to_date(min(col("ts"))).as("fd"),
+            to_date(min(when(col("event_type") === "purchase" && col("value") > 150,
+              col("ts")))).as("bd"))
+        val gmax = events(s, d).agg(to_date(max(col("ts"))).as("_gm"))
+        val byDay = per.crossJoin(broadcast(gmax))
+          .select(
+            when(col("bd").isNotNull, datediff(col("bd"), col("fd")))
+              .otherwise(datediff(col("_gm"), col("fd"))).cast("long").as("t"),
+            when(col("bd").isNotNull, 0L).otherwise(1L).as("cen"))
+          .groupBy(col("t"))
+          .agg(sum(lit(1L) - col("cen")).as("deaths"), sum(col("cen")).as("censored"))
+        val total = byDay.agg(sum(col("deaths") + col("censored")).as("_total"))
+        val wD = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+        val risk = byDay.crossJoin(broadcast(total))
+          .withColumn("n_risk",
+            col("_total") - coalesce(sum(col("deaths") + col("censored")).over(wD), lit(0L)))
+          .withColumn("_f",
+            lit(1.0) - col("deaths").cast("double") / col("n_risk").cast("double"))
+        risk.agg(sort_array(collect_list(
+            struct(col("t"), col("deaths"), col("censored"), col("n_risk"), col("_f")))).as("rs"))
+          .select(col("rs"), posexplode(col("rs")).as(Seq("i", "r")))
+          .select(col("r.t").as("t"), col("r.deaths").as("deaths"),
+            col("r.censored").as("censored"), col("r.n_risk").as("n_risk"),
+            expr("round(aggregate(slice(transform(rs, x -> x._f), 1, i + 1), " +
+              "CAST(1.0 AS DOUBLE), (a, x) -> a * x), 6)").as("survival"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, CAST(min(ts) AS DATE) AS fd,
+             |    CAST(min(CASE WHEN event_type = 'purchase' AND value > 150
+             |             THEN ts END) AS DATE) AS bd
+             |  FROM events GROUP BY 1
+             |), g AS (SELECT CAST(max(ts) AS DATE) AS gm FROM events),
+             |byday AS (
+             |  SELECT CAST(CASE WHEN bd IS NOT NULL THEN date_diff('day', fd, bd)
+             |              ELSE date_diff('day', fd, gm) END AS BIGINT) AS t,
+             |    sum(CASE WHEN bd IS NOT NULL THEN 1 ELSE 0 END) AS deaths,
+             |    sum(CASE WHEN bd IS NOT NULL THEN 0 ELSE 1 END) AS censored
+             |  FROM per, g GROUP BY 1
+             |), tot AS (SELECT sum(deaths + censored) AS total FROM byday),
+             |risk AS (
+             |  SELECT t, deaths, censored,
+             |    total - coalesce(sum(deaths + censored) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM byday, tot
+             |), fs AS (
+             |  SELECT list(1 - CAST(deaths AS DOUBLE) / n_risk ORDER BY t) AS l,
+             |         list(t ORDER BY t) AS ts
+             |  FROM risk
+             |)
+             |SELECT r.t, CAST(r.deaths AS BIGINT) AS deaths,
+             |  CAST(r.censored AS BIGINT) AS censored, CAST(r.n_risk AS BIGINT) AS n_risk,
+             |  round(list_reduce(list_prepend(1.0, l[1:list_position(ts, r.t)]),
+             |    (a, b) -> a * b), 6) AS survival
+             |FROM risk r, fs""".stripMargin),
+      "Kaplan-Meier survival curve (censoring-aware; calendar-bounded day frame, fixed-order factor fold)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
