@@ -115,6 +115,23 @@ class StatsSpec extends SparkSpec {
     assert(out("fresh") > 0.0)
   }
 
+  test("sortedIntersectCount kernel: set-intersection size on fuzzed sorted-distinct arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 300) {
+      val a = Array.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      val got = graft.plans.Kernels.sortedIntersectCount(
+        new GenericArrayData(a), new GenericArrayData(b))
+      assert(got == a.toSet.intersect(b.toSet).size)
+    }
+    // hash arrays span the full signed range; signed sort order is the contract
+    val n1 = Array(Long.MinValue, -5L, 3L)
+    val n2 = Array(-5L, 3L, Long.MaxValue)
+    assert(graft.plans.Kernels.sortedIntersectCount(
+      new GenericArrayData(n1), new GenericArrayData(n2)) == 2)
+  }
+
   test("q149's rank-sum AUC formula matches the O(n^2) pair-count brute force") {
     // replicate the query's U2 aggregation on a small fuzzed sample and
     // check it against direct pair counting (ties = 1/2)
