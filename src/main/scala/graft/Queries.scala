@@ -4358,7 +4358,126 @@ object Queries {
              |  round(list_reduce(list_prepend(1.0, l[1:list_position(ts, r.t)]),
              |    (a, b) -> a * b), 6) AS survival
              |FROM risk r, fs""".stripMargin),
-      "Kaplan-Meier survival curve (censoring-aware; calendar-bounded day frame, fixed-order factor fold)")
+      "Kaplan-Meier survival curve (censoring-aware; calendar-bounded day frame, fixed-order factor fold)"),
+
+    Q("q152_ab_ztest",
+      (s, d) => {
+        // two-proportion z-test for a hash-bucketed A/B split (variant
+        // = user_id mod 2, conversion = any purchase). ONE user-keyed
+        // shuffle; the test statistic is pure rational arithmetic over
+        // exact counts plus a single sqrt — IEEE-754 requires sqrt
+        // correctly rounded, so the whole expression is engine-portable
+        // with the SAME tree on both sides
+        val per = events(s, d).groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .select(pmod(col("user_id"), lit(2)).as("variant"), col("conv"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        val a = per.filter(col("variant") === 0)
+          .select(col("n").as("n_a"), col("c").as("conv_a"))
+        val b = per.filter(col("variant") === 1)
+          .select(col("n").as("n_b"), col("c").as("conv_b"))
+        a.crossJoin(b)
+          .withColumn("_p1", col("conv_a").cast("double") / col("n_a").cast("double"))
+          .withColumn("_p2", col("conv_b").cast("double") / col("n_b").cast("double"))
+          .withColumn("_pp", (col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            round((col("_p1") - col("_p2")) /
+              sqrt(col("_pp") * (lit(1.0) - col("_pp")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY 1
+             |), v AS (
+             |  SELECT user_id % 2 AS variant, count(*) AS n, sum(conv) AS c
+             |  FROM per GROUP BY 1
+             |), a AS (SELECT n AS n_a, c AS conv_a FROM v WHERE variant = 0),
+             |b AS (SELECT n AS n_b, c AS conv_b FROM v WHERE variant = 1),
+             |j AS (
+             |  SELECT n_a, conv_a, n_b, conv_b,
+             |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+             |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+             |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+             |  FROM a, b
+             |)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+             |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+             |  round((p1 - p2) / sqrt(pp * (1.0 - pp) *
+             |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+             |FROM j""".stripMargin),
+      "two-proportion A/B z-test (hash-bucketed variants, exact counts, correctly-rounded sqrt)"),
+
+    Q("q153_welch_ttest",
+      (s, d) => {
+        // Welch's unequal-variance t between two groups' prices,
+        // snapped to whole dollars so Σx and Σx² are EXACT longs
+        // (cents² would overflow; dollar² · 600k rows ≈ 6e13 ≪ 2^63).
+        // Sample variance from the exact sums is an integer-ratio
+        // double; t and the Welch–Satterthwaite df are the mirrored
+        // rational trees + IEEE sqrt
+        val g = lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("g"),
+            round(col("l_extendedprice") / 100).cast("long").as("x"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"))
+          .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+          .withColumn("var",
+            (col("n").cast("double") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+              (col("n").cast("double") * (col("n") - 1).cast("double")))
+        val a = g.filter(col("g") === "R").select(col("n").as("n_a"),
+          col("mean").as("m_a"), col("var").as("v_a"))
+        val b = g.filter(col("g") === "A").select(col("n").as("n_b"),
+          col("mean").as("m_b"), col("var").as("v_b"))
+        a.crossJoin(b)
+          .withColumn("_se2", col("v_a") / col("n_a").cast("double") +
+            col("v_b") / col("n_b").cast("double"))
+          .select(col("n_a"), col("n_b"),
+            round(col("m_a"), 6).as("mean_a"), round(col("m_b"), 6).as("mean_b"),
+            round((col("m_a") - col("m_b")) / sqrt(col("_se2")), 6).as("t"),
+            round(col("_se2") * col("_se2") /
+              (col("v_a") * col("v_a") /
+                (col("n_a").cast("double") * col("n_a").cast("double") *
+                  (col("n_a") - 1).cast("double")) +
+                col("v_b") * col("v_b") /
+                  (col("n_b").cast("double") * col("n_b").cast("double") *
+                    (col("n_b") - 1).cast("double"))), 2).as("df"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag AS g, count(*) AS n,
+             |    sum(CAST(round(l_extendedprice / 100) AS BIGINT)) AS s1,
+             |    sum(CAST(round(l_extendedprice / 100) AS BIGINT) *
+             |        CAST(round(l_extendedprice / 100) AS BIGINT)) AS s2
+             |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+             |), m AS (
+             |  SELECT g, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+             |     CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var
+             |  FROM g
+             |), a AS (SELECT n AS n_a, mean AS m_a, var AS v_a FROM m WHERE g = 'R'),
+             |b AS (SELECT n AS n_b, mean AS m_b, var AS v_b FROM m WHERE g = 'A'),
+             |j AS (
+             |  SELECT n_a, n_b, m_a, m_b, v_a, v_b,
+             |    v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE) AS se2
+             |  FROM a, b
+             |)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+             |  round((m_a - m_b) / sqrt(se2), 6) AS t,
+             |  round(se2 * se2 /
+             |    (v_a * v_a / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) *
+             |                  CAST(n_a - 1 AS DOUBLE)) +
+             |     v_b * v_b / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) *
+             |                  CAST(n_b - 1 AS DOUBLE))), 2) AS df
+             |FROM j""".stripMargin),
+      "Welch unequal-variance t-test + Satterthwaite df (dollar-snapped exact moment sums, mirrored rational trees)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
