@@ -4477,7 +4477,52 @@ object Queries {
              |     v_b * v_b / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) *
              |                  CAST(n_b - 1 AS DOUBLE))), 2) AS df
              |FROM j""".stripMargin),
-      "Welch unequal-variance t-test + Satterthwaite df (dollar-snapped exact moment sums, mirrored rational trees)")
+      "Welch unequal-variance t-test + Satterthwaite df (dollar-snapped exact moment sums, mirrored rational trees)"),
+
+    Q("q154_cusum_changepoint",
+      (s, d) => {
+        // CUSUM changepoint scan over the daily purchase-revenue
+        // series. Day frame is CALENDAR-bounded, so its global-order
+        // window is constant-size at any corpus scale; the one wide
+        // shuffle is the day aggregation (cents sums — exact longs).
+        // The deviation cusum is kept integer by scaling with the day
+        // count: S_k = n·Σ_{i≤k}x_i − k·Σx (never a float mean), so
+        // the argmax day is engine-exact; ties break to the earliest
+        // day via the unique (|S|, −day) ordering key
+        val daily = events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+        val tot = daily.agg(count(lit(1)).as("_n"), sum(col("rev_cents")).as("_tot"))
+        val wD = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+        val cus = daily.crossJoin(broadcast(tot))
+          .withColumn("_k", count(lit(1)).over(wD))
+          .withColumn("_cum", sum(col("rev_cents")).over(wD))
+          .withColumn("cusum_scaled", col("_n") * col("_cum") - col("_k") * col("_tot"))
+        val cp = cus.agg(max_by(col("day"), struct(abs(col("cusum_scaled")),
+          -datediff(col("day"), to_date(lit("1970-01-01"))))).as("_cpd"))
+        cus.crossJoin(broadcast(cp))
+          .select(col("day"), col("rev_cents"), col("cusum_scaled"),
+            (col("day") === col("_cpd")).as("is_changepoint"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    sum(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+             |), t AS (SELECT count(*) AS n, sum(rev_cents) AS tot FROM daily),
+             |c AS (
+             |  SELECT day, rev_cents,
+             |    n * sum(rev_cents) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) -
+             |    (row_number() OVER (ORDER BY day)) * tot AS cusum_scaled
+             |  FROM daily, t
+             |), cp AS (
+             |  SELECT day AS cpd FROM c
+             |  ORDER BY abs(cusum_scaled) DESC, day LIMIT 1
+             |)
+             |SELECT c.day, c.rev_cents, c.cusum_scaled,
+             |  c.day = cp.cpd AS is_changepoint
+             |FROM c, cp""".stripMargin),
+      "CUSUM changepoint scan (calendar-bounded day series, integer-scaled deviations, exact argmax day)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
