@@ -32,6 +32,43 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming distribution-drift monitor: per event-time window, the
+    * value column is bucketed into `bins` fixed bins and the window's
+    * realized distribution is scored against a broadcast BASELINE
+    * (expected per-bin fractions, e.g. from last month's batch
+    * profile) with PSI = Σ (p−q)·ln(p/q), both sides ε-floored.
+    *
+    * ONE stateful aggregation: per-bin counts are conditional sums in
+    * a single groupBy(window), so state = `bins` longs per open window,
+    * watermark-evicted; the PSI fold is a stateless projection with
+    * the baseline as a literal array. (The alternative — groupBy
+    * (window, bin) then a second windowed agg — would chain two
+    * stateful operators for the same result.)
+    */
+  def driftStream(events: DataFrame, tsCol: String, valueCol: String,
+                  windowDur: String, lo: Double, hi: Double, bins: Int,
+                  baseline: Array[Double],
+                  watermark: String = "1 hour"): DataFrame = {
+    require(baseline.length == bins)
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("int")))
+    val counts = events.withWatermark(tsCol, watermark)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_b", bin)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("total"),
+        array((0 until bins).map(i =>
+          sum(when(col("_b") === i, 1L).otherwise(0L))): _*).as("ns"))
+    val psi = (0 until bins).map { i =>
+      val p = greatest(col("ns")(i).cast("double") / col("total").cast("double"),
+        lit(1e-6))
+      val qi = lit(math.max(baseline(i), 1e-6))
+      (p - qi) * log(p / qi)
+    }.reduce(_ + _)
+    counts.select(col("w.start").as("window_start"), col("total"),
+      round(psi, 6).as("psi"))
+  }
+
   /** Streaming exact dedup: drops re-deliveries of the same key across
     * micro-batches; the watermark bounds the dedup state (keys older
     * than the watermark are evicted, so state is O(keys within the

@@ -50,6 +50,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("driftStream: windowed PSI across micro-batches equals the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(500)
+    val baseline = Array(0.25, 0.25, 0.25, 0.25)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = driftStream(streamDf, "ts", "value", "10 minutes",
+        lo = 0.0, hi = 100.0, bins = 4, baseline = baseline)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").start()
+    stream.addData(events.take(250))
+    out.processAllAvailable()
+    stream.addData(events.drop(250))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("drift_out").collect().map(_.toSeq).toSet
+    val batch = driftStream(
+        events.toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "ts", "value", "10 minutes", 0.0, 100.0, 4, baseline)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // a window whose empirical distribution matches the baseline
+    // exactly would score ~0; shifted data must score positive
+    assert(spark.table("drift_out").agg(max(col("psi"))).head().getDouble(0) >= 0.0)
+  }
+
   test("dedupStream drops cross-batch re-deliveries, keeping state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
