@@ -4522,7 +4522,54 @@ object Queries {
              |SELECT c.day, c.rev_cents, c.cusum_scaled,
              |  c.day = cp.cpd AS is_changepoint
              |FROM c, cp""".stripMargin),
-      "CUSUM changepoint scan (calendar-bounded day series, integer-scaled deviations, exact argmax day)")
+      "CUSUM changepoint scan (calendar-bounded day series, integer-scaled deviations, exact argmax day)"),
+
+    Q("q155_dbscan",
+      (s, d) =>
+        // density clustering over the embeddings' first two dims (the
+        // post-PCA-projection shape); eps/minPts picked so sf0.01 has
+        // a genuine core/border/noise mix (141 cores of 500). The
+        // ε-graph comes from the grid-cell radius join — the oracle
+        // re-derives it brute-force and closes it with the q64
+        // recursive-CTE pattern
+        Density.dbscan(
+          embeddings(s, d).select(col("vec_id"),
+            element_at(col("embedding"), 1).as("e0"),
+            element_at(col("embedding"), 2).as("e1")),
+          "vec_id", "e0", "e1", eps = 0.02, minPts = 6),
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+             |         CAST(embedding[2] AS DOUBLE) AS y
+             |  FROM embeddings
+             |), pairs AS (
+             |  SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+             |  ON a.id <> b.id AND
+             |     (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.0004
+             |), core AS (
+             |  SELECT ia AS id FROM pairs GROUP BY ia HAVING count(*) + 1 >= 6
+             |), ce AS (
+             |  SELECT p.ia AS s, p.ib AS d FROM pairs p
+             |  JOIN core ca ON ca.id = p.ia JOIN core cb ON cb.id = p.ib
+             |), reach AS (
+             |  SELECT s AS id, s AS r FROM ce
+             |  UNION
+             |  SELECT ce.s, reach.r FROM ce JOIN reach ON ce.d = reach.id
+             |), cc AS (
+             |  SELECT id, min(r) AS component FROM reach GROUP BY id
+             |), corec AS (
+             |  SELECT core.id, coalesce(cc.component, core.id) AS cluster
+             |  FROM core LEFT JOIN cc ON cc.id = core.id
+             |), border AS (
+             |  SELECT p.ia AS id, min(corec.cluster) AS bc
+             |  FROM pairs p JOIN corec ON corec.id = p.ib
+             |  WHERE p.ia NOT IN (SELECT id FROM core)
+             |  GROUP BY p.ia
+             |)
+             |SELECT pts.id, corec.id IS NOT NULL AS is_core,
+             |  CAST(coalesce(corec.cluster, border.bc, -1) AS BIGINT) AS cluster
+             |FROM pts LEFT JOIN corec ON corec.id = pts.id
+             |LEFT JOIN border ON border.id = pts.id""".stripMargin),
+      "planar DBSCAN (grid-cell eps-graph, CC core collapse, deterministic min-core border assignment, noise = -1)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -233,6 +233,30 @@ class StatsSpec extends SparkSpec {
     spark.catalog.clearCache() // globalRowNumberScalable persists its frame
   }
 
+  test("dbscan: two blobs cluster separately, border joins min core, outlier is noise") {
+    // blob A: 5 points within eps of each other around (0,0); blob B:
+    // 5 points around (10,10); border point at (0.215, 0) reaches only
+    // A's right edge (3 cores — too few neighbours to be core itself);
+    // (50,50) is noise. Margins keep every distance ≥ 0.005 away from
+    // eps so float rounding can't flip a membership
+    val eps = 0.2
+    val a = (0 until 5).map(i => (i.toLong, i * 0.01, 0.0))
+    val b = (0 until 5).map(i => (10L + i, 10.0 + i * 0.01, 10.0))
+    val pts = (a ++ b :+ ((20L, 0.215, 0.0)) :+ ((30L, 50.0, 50.0)))
+      .toDF("id", "x", "y")
+    val out = Density.dbscan(pts, "id", "x", "y", eps, minPts = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // blob A all core, one cluster rooted at min id 0
+    assert((0L to 4L).forall(i => out(i) == ((true, 0L))), s"$out")
+    // blob B all core, cluster rooted at 10
+    assert((10L to 14L).forall(i => out(i) == ((true, 10L))), s"$out")
+    // border: not core (only 4+self neighbours... its neighbours are
+    // A's right edge), assigned to A's cluster
+    assert(out(20L)._1 == false && out(20L)._2 == 0L, s"$out")
+    assert(out(30L) == ((false, -1L)), s"$out")
+    spark.catalog.clearCache()
+  }
+
   test("bpeEncode: merges compress exactly the pair occurrences") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
