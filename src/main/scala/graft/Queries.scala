@@ -3950,7 +3950,7 @@ object Queries {
              |  FROM c
              |), dd AS (SELECT v, abs(cuma * nb - cumb * na) AS diff FROM cum, g),
              |m AS (SELECT max(diff) AS dint FROM dd)
-             |SELECT na AS n_a, nb AS n_b,
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
              |  round(CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS d_stat,
              |  (SELECT min(v) FROM dd, m WHERE diff = dint) AS at_value
              |FROM g, m""".stripMargin),
@@ -4026,7 +4026,7 @@ object Queries {
              |    CAST(n AS DOUBLE) AS nn
              |  FROM f, t WHERE df < n
              |)
-             |SELECT tk AS token, df, dfpos AS df_pos,
+             |SELECT tk AS token, df, CAST(dfpos AS BIGINT) AS df_pos,
              |  round(nn * (a * dd - b * c) * (a * dd - b * c) /
              |    ((a + b) * (c + dd) * (a + c) * (b + dd)), 6) AS chi2
              |FROM s0 ORDER BY chi2 DESC, tk LIMIT 50""".stripMargin),
@@ -4506,14 +4506,14 @@ object Queries {
       },
       Some("""WITH daily AS (
              |  SELECT CAST(ts AS DATE) AS day,
-             |    sum(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
              |  FROM events WHERE event_type = 'purchase' GROUP BY 1
              |), t AS (SELECT count(*) AS n, sum(rev_cents) AS tot FROM daily),
              |c AS (
              |  SELECT day, rev_cents,
-             |    n * sum(rev_cents) OVER (ORDER BY day
+             |    CAST(n * sum(rev_cents) OVER (ORDER BY day
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) -
-             |    (row_number() OVER (ORDER BY day)) * tot AS cusum_scaled
+             |    (row_number() OVER (ORDER BY day)) * tot AS BIGINT) AS cusum_scaled
              |  FROM daily, t
              |), cp AS (
              |  SELECT day AS cpd FROM c

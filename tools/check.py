@@ -26,11 +26,25 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, "no spark output"))
         continue
     try:
-        sdf = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+        # read the whole directory so a multi-part Verify output can't
+        # silently compare a subset of rows
+        sdf = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         fails.append((name, f"err {e}"))
         continue
+    # portability lint: the driver's hasher canonicalizes DuckDB HUGEINT
+    # (int128) differently from Spark's int64, so an oracle must never
+    # expose one (r7's only reds were exactly this)
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
+        if huge:
+            fails.append((name, f"oracle exposes HUGEINT cols {huge}"))
+            print(f"FAIL {name}  oracle exposes HUGEINT cols {huge}")
+            continue
+    except Exception:
+        pass
     sdf = sdf.reindex(sorted(sdf.columns), axis=1)
     odf = odf.reindex(sorted(odf.columns), axis=1)
     ok = True
