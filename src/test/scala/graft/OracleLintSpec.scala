@@ -1,0 +1,253 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-portability lint over every oracle SQL string.
+  *
+  * DuckDB types `sum()` of an integer column as HUGEINT (int128). The
+  * driver's compare harness canonicalizes int128 differently from
+  * Spark's int64 parquet output, so an oracle whose FINAL select list
+  * exposes an (even transitively) uncast integer `sum()` hash-
+  * mismatches although the values are bit-exact — exactly the
+  * q141/q144/q154 failures of round 7, where the sum lived in a CTE
+  * and only its ALIAS reached the output.
+  *
+  * Heuristic static typing, no SQL parser:
+  *  - every `<expr> AS <alias>` select item (any depth) marks its alias
+  *    TAINTED when the expr carries a HUGEINT hazard to its top level;
+  *    taint iterates to a fixpoint so multi-CTE chains propagate;
+  *  - a hazard is an integer `sum(`/`product(` or a tainted-alias
+  *    reference at EFFECTIVE paren depth 0, where parens of type-
+  *    transparent functions (max/min/abs/coalesce/…) do not add depth
+  *    but `CAST(`/`round(`/bare grouping parens do — a cast or a
+  *    round() re-types the value, so anything inside is safe;
+  *  - `sum(<double column>)` stays DOUBLE in DuckDB and is exempt,
+  *    unless the argument re-casts to an integer type;
+  *  - the final top-level select list must contain no hazardous item.
+  *
+  * tools/check.py carries the authoritative version of this gate (a
+  * real DuckDB `DESCRIBE` over each oracle); this spec is the in-JVM
+  * approximation that runs on every `sbt test`. Verified to flag all
+  * three round-7 offenders pre-fix and zero of the 154 post-fix.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  /** DOUBLE columns of the driver's test tables — sum() over these
+    * stays DOUBLE in DuckDB, no cast needed. */
+  private val doubleCols = Set(
+    "c_acctbal", "s_acctbal", "p_retailprice", "o_totalprice",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "value")
+
+  /** Functions whose result type follows their argument type: a
+    * HUGEINT flows through them unchanged. */
+  private val transparentFns = Set(
+    "max", "min", "abs", "coalesce", "greatest", "least", "first",
+    "last", "any_value", "nullif", "max_by", "min_by", "sum", "product")
+
+  private def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Identifier immediately preceding position `i` (a `(`), lowercased. */
+  private def fnNameBefore(s: String, i: Int): String = {
+    var j = i - 1
+    while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+    val end = j + 1
+    while (j >= 0 && isIdent(s.charAt(j))) j -= 1
+    s.substring(j + 1, end).toLowerCase
+  }
+
+  /** All `SELECT <list>` spans (any nesting depth): text between each
+    * SELECT keyword and its matching same-level FROM (or closing
+    * paren / end of string). */
+  private def selectSpans(sql: String): Seq[String] = {
+    val u = sql.toUpperCase
+    val spans = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sql.length) {
+      if (u.startsWith("SELECT", i) && (i == 0 || !isIdent(sql.charAt(i - 1)))) {
+        var j = i + 6; var depth = 0; var end = -1
+        while (j < sql.length && end < 0) {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => if (depth == 0) end = j else depth -= 1
+            case _ =>
+              if (depth == 0 && u.startsWith("FROM", j) && !isIdent(sql.charAt(j - 1)))
+                end = j
+          }
+          j += 1
+        }
+        spans += sql.substring(i + 6, if (end < 0) sql.length else end)
+      }
+      i += 1
+    }
+    spans.toSeq
+  }
+
+  /** Split a select list on depth-0 commas. */
+  private def splitItems(list: String): Seq[String] = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    list.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => items += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    items += cur.result()
+    items.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Effective paren depth at each char: transparent-function parens
+    * contribute 0; casts, round(), other functions, subqueries, and
+    * bare grouping parens contribute 1 (they re-type or isolate). */
+  private def effectiveDepths(e: String): Array[Int] = {
+    val d = new Array[Int](e.length)
+    var depth = 0
+    val stack = scala.collection.mutable.Stack[Int]()
+    var i = 0
+    while (i < e.length) {
+      e.charAt(i) match {
+        case '(' =>
+          val contrib = if (transparentFns(fnNameBefore(e, i))) 0 else 1
+          stack.push(contrib); depth += contrib
+        case ')' => if (stack.nonEmpty) depth -= stack.pop()
+        case _ =>
+      }
+      d(i) = depth
+      i += 1
+    }
+    d
+  }
+
+  private val sumRe = "(?i)\\b(sum|product)\\s*\\(".r
+  private val asAliasRe = "(?i)\\bAS\\s+(\\w+)\\s*$".r
+  private val intRecastRe = "(?i)AS\\s+(BIG|SMALL|TINY|HUGE)?INT(EGER)?\\b|::\\s*(BIG)?INT".r
+
+  /** Argument text of the call opening at `open` (index of `(`). */
+  private def argOf(e: String, open: Int): String = {
+    var depth = 0; var j = open
+    while (j < e.length) {
+      e.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return e.substring(open + 1, j)
+        case _ =>
+      }
+      j += 1
+    }
+    e.substring(open + 1)
+  }
+
+  /** Does `expr` deliver a HUGEINT to its own top level? */
+  private def isTainted(expr: String, taint: Set[String]): Boolean = {
+    val depths = effectiveDepths(expr)
+    // integer sums at effective depth 0 (the sum's own paren is
+    // transparent; any enclosing cast/round pushes it deeper)
+    val sumHazard = sumRe.findAllMatchIn(expr).exists { m =>
+      val open = expr.indexOf('(', m.start)
+      val arg = argOf(expr, open)
+      val sumsDouble = doubleCols.exists(c => ("\\b" + c + "\\b").r.findFirstIn(arg).isDefined) &&
+        intRecastRe.findFirstIn(arg).isEmpty &&
+        !arg.toUpperCase.contains("CASE")
+      depths(m.start) == 0 && !sumsDouble
+    }
+    val refHazard = taint.exists { a =>
+      ("\\b" + java.util.regex.Pattern.quote(a) + "\\b").r
+        .findAllMatchIn(expr).exists(m => depths(m.start) == 0)
+    }
+    sumHazard || refHazard
+  }
+
+  /** Fixpoint taint of all aliases in one oracle SQL. */
+  private def taintedAliases(sql: String): Set[String] = {
+    val items = selectSpans(sql).flatMap(splitItems)
+    var taint = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      items.foreach { item =>
+        asAliasRe.findFirstMatchIn(item).foreach { m =>
+          val alias = m.group(1)
+          if (!taint(alias) && isTainted(item.substring(0, m.start), taint)) {
+            taint += alias; changed = true
+          }
+        }
+      }
+    }
+    taint
+  }
+
+  /** The final (last top-level) select list's items. */
+  private def finalItems(sql: String): Seq[String] = {
+    val u = sql.toUpperCase
+    var depth = 0; var last = -1; var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && u.startsWith("SELECT", i) &&
+              (i == 0 || !isIdent(sql.charAt(i - 1)))) last = i
+      }
+      i += 1
+    }
+    if (last < 0) return Nil
+    var j = last + 6; depth = 0; var end = sql.length
+    while (j < sql.length && end == sql.length) {
+      sql.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && u.startsWith("FROM", j) && !isIdent(sql.charAt(j - 1)))
+            end = j
+      }
+      j += 1
+    }
+    splitItems(sql.substring(last + 6, end))
+  }
+
+  private def offenders(name: String, sql: String): Seq[String] = {
+    val taint = taintedAliases(sql)
+    finalItems(sql).filter { item =>
+      val expr = asAliasRe.findFirstMatchIn(item)
+        .map(m => item.substring(0, m.start)).getOrElse(item)
+      isTainted(expr, taint)
+    }.map(item => s"$name: ${item.take(90).replaceAll("\\s+", " ")}")
+  }
+
+  test("no oracle exposes an uncast integer sum (DuckDB HUGEINT) in its output") {
+    val all = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .flatMap { case (n, s) => offenders(n, s) }
+    assert(all.isEmpty,
+      "these oracle output columns would be HUGEINT in DuckDB and " +
+        "hash-mismatch the driver's compare — wrap in CAST(... AS BIGINT):\n" +
+        all.mkString("\n"))
+  }
+
+  test("the lint catches the round-7 failure shape (regression self-test)") {
+    // pre-fix q141/q144/q154 distilled: the sum lives in a CTE, only
+    // its alias (or arithmetic on it) reaches the output
+    val direct = "SELECT sum(x) AS n FROM t"
+    val viaCte = "WITH g AS (SELECT sum(ca) AS na FROM c) SELECT na AS n_a FROM g"
+    val viaArith = """WITH d AS (SELECT sum(CAST(round(value*100) AS BIGINT)) AS rc FROM e),
+                     |t AS (SELECT sum(rc) AS tot FROM d)
+                     |SELECT rc, n * sum(rc) OVER (ORDER BY day) - tot AS cu FROM d, t""".stripMargin
+    assert(offenders("t1", direct).nonEmpty, "direct uncast sum must flag")
+    assert(offenders("t2", viaCte).nonEmpty, "CTE-aliased sum must flag")
+    assert(offenders("t3", viaArith).size == 2, "both rc and cu must flag")
+    // and the fixed shapes pass
+    val fixed = "WITH g AS (SELECT sum(ca) AS na FROM c) SELECT CAST(na AS BIGINT) AS n_a FROM g"
+    val fixedAtSource = "WITH g AS (SELECT CAST(sum(ca) AS BIGINT) AS na FROM c) SELECT na AS n_a FROM g"
+    assert(offenders("t4", fixed).isEmpty, "cast at exposure must pass")
+    assert(offenders("t5", fixedAtSource).isEmpty, "cast at source must pass")
+    assert(offenders("t6", "SELECT sum(l_quantity) AS s FROM lineitem").isEmpty,
+      "sum of a DOUBLE column must pass")
+  }
+
+  test("every oracle name has a matching catalog query") {
+    // a name present in oracleSql but not queries silently records
+    // nothing driver-side
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).mkString(", ")}")
+  }
+}
