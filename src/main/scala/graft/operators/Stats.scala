@@ -107,6 +107,21 @@ object Stats {
     */
   def groupedExactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                               ps: Seq[Double], bins: Int = 1024): DataFrame = {
+    val (result, caches) = groupedExactPercentilesPlan(df, groupCol, valueCol, ps, bins)
+    // materialize eagerly (one row per group — summary-sized at any
+    // corpus scale) so the operator releases its own caches: library
+    // callers must not depend on a harness-side clearCache() to
+    // reclaim a corpus-scale cached frame
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The lazy plan + its persisted intermediates, for plan-shape tests
+    * and callers that want to manage cache lifetime themselves. */
+  private[graft] def groupedExactPercentilesPlan(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], bins: Int = 1024): (DataFrame, Seq[DataFrame]) = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
@@ -114,12 +129,16 @@ object Stats {
     // but DERIVED from full scans — persisted because they feed several
     // downstream branches (targets, both binned passes, tb, hitBins);
     // left lazy, each broadcast consumer would replay the whole
-    // upstream scan+shuffle (measured 3.4× on the MAD query). Callers
-    // running many of these back-to-back should clearCache() between
-    // (the Bench harness does).
+    // upstream scan+shuffle (measured 3.4× on the MAD query).
     val gstats = rows.groupBy(col("g"))
       .agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"), count(lit(1)).as("_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // binned feeds BOTH the bin-count pass (binOff) and the target-bin
+    // rank pass (ranked): unpersisted, each consumer replays the full
+    // source scan + broadcast join (the round-7 bench's 10 s q147).
+    // Cached, the source is scanned once for gstats and once here —
+    // the floor for range-binning (bounds must exist before bins).
+    // MEMORY_AND_DISK: corpus-sized, spills instead of evicting.
     val binned = rows.join(broadcast(gstats), "g")
       .withColumn("_bin",
         when(col("_hi") === col("_lo"), lit(0))
@@ -127,6 +146,7 @@ object Stats {
             floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
               .cast("int"))))
       .select(col("g"), col("v"), col("_bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wG = Window.partitionBy(col("g")).orderBy(col("_bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val binOff = binned.groupBy(col("g"), col("_bin"))
@@ -168,10 +188,11 @@ object Stats {
         when(col("_vlo") === col("_vhi"), col("_vlo"))
           .otherwise((col("_lower") + 1 - col("_idx")) * col("_vlo") +
             (col("_idx") - col("_lower")) * col("_vhi")))
-    interp.groupBy(col("g"))
+    val result = interp.groupBy(col("g"))
       .pivot("_pi", ps.indices.map(i => i: Any).toSeq)
       .agg(first(col("_val")))
       .select(col("g") +: ps.indices.map(i => col(i.toString).as(s"p_$i")): _*)
+    (result, Seq(gstats, binned, binOff))
   }
 
   /** Per-key time-weighted average of a step function: each observation

@@ -263,10 +263,26 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q147: rank percentiles plan NO unpartitioned window (all windows keyed)") {
     // the whole point of the rank-based path: bin offsets window on g,
-    // target-bin ranks window on (g, bin) — nothing global-ordered
-    val p = plan("q147_rank_percentiles")
+    // target-bin ranks window on (g, bin) — nothing global-ordered.
+    // Uses the lazy variant: the public operator is eager (it
+    // materializes, then releases its own caches)
+    val (result, caches) = operators.Stats.groupedExactPercentilesPlan(
+      spark.read.parquet(s"$d/lineitem.parquet"), "l_returnflag",
+      "l_extendedprice", Seq(0.5, 0.95, 0.99))
+    val p = result.queryExecution.executedPlan.toString
     assert(!p.contains("No Partition Defined"), s"global window leaked in:\n$p")
-    spark.catalog.clearCache()
+    // binned is persisted: both its consumers (bin counts and target-
+    // bin ranks) must read the cache, not replay the source scan —
+    // the source appears in the plan only through InMemoryRelation
+    assert(p.contains("InMemoryTableScan"),
+      s"binned must be persisted for its two consumers:\n$p")
+    caches.foreach(_.unpersist())
+  }
+
+  test("q147: the public operator cleans up its own caches") {
+    Queries.byName("q147_rank_percentiles").fn(spark, d).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "groupedExactPercentiles must unpersist gstats/binned/binOff on return")
   }
 
   test("q134: triangle intersections run the sorted-merge kernel, adjacency broadcasts") {
