@@ -3642,19 +3642,13 @@ object Queries {
       (s, d) => {
         // triangle counting on the supplier co-occurrence graph (two
         // suppliers are adjacent if they co-supplied >= 3 orders).
-        // Compact-forward shape: with ordered edges (a < b) and
-        // higher-neighbor adjacency lists, triangle x<y<z is found
-        // exactly once at its BOTTOM edge (x,y) as z ∈ adj⁺(x)∩adj⁺(y)
-        // — crediting x and y with the intersection size. The max-role
-        // credit needs no per-triangle explode either: the same
-        // triangle has exactly one TOP edge (y,z), where
-        // x ∈ adjLow(y)∩adjLow(z) — so |adjLow(y)∩adjLow(z)| credited
-        // to z counts every triangle z closes. Both intersections are
-        // in-row probes against BROADCAST adjacency maps; the credit
-        // stream is exactly 2 rows per edge (~428k at sf0.1) where the
-        // per-triangle explode was 13.6M — and at 100 TB credit volume
-        // scales with |E|, not the (cubically exploding) triangle count
-        // (measured 5.0 s -> 2.x s cold at sf0.1)
+        // The edge-linear compact-forward scheme (and its scale story:
+        // counted broadcast gate, sorted-merge intersect kernel,
+        // 2-rows-per-edge credit stream — ~428k at sf0.1 where the
+        // per-triangle explode was 13.6M) lives in
+        // Graph.triangleParticipation; this body derives the edges
+        // (in-row ordered pair generation per order, >= 3 support)
+        // and ranks the participants
         val sets = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
@@ -3666,37 +3660,10 @@ object Queries {
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
           .filter(col("n") >= 3)
           .select(col("a"), col("b"))
-        // the adjacency IS the edge set: persisting the |V|-row lists
-        // makes the expensive pair derivation run exactly once — the
-        // probe stream below is re-exploded from the cached lists and
-        // all broadcast sides read them too
-        // adjacency lists SORTED at build: both role intersections run
-        // through the sorted-merge count kernel (no per-row hash set)
-        val adj = edges.groupBy(col("a").cast("long").as("a"))
-          .agg(sort_array(collect_list(col("b").cast("long"))).as("nbrs"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val probe = adj.select(col("a").as("ea"), explode(col("nbrs")).as("eb"))
-        val adjLo = probe.groupBy(col("eb").as("lb"))
-          .agg(sort_array(collect_list(col("ea"))).as("lnbrs"))
-        probe
-          .join(broadcast(adj).as("ax"), col("ea") === col("ax.a"))
-          .join(broadcast(adj).as("ay"), col("eb") === col("ay.a"), "left")
-          .join(broadcast(adjLo).as("lx"), col("ea") === col("lx.lb"), "left")
-          .join(broadcast(adjLo).as("ly"), col("eb") === col("ly.lb"))
-          .select(col("ea").as("x"), col("eb").as("y"),
-            coalesce(Exprs.sortedIntersectCount(col("ax.nbrs"), col("ay.nbrs")), lit(0))
-              .cast("long").as("hi"),
-            coalesce(Exprs.sortedIntersectCount(col("lx.lnbrs"), col("ly.lnbrs")), lit(0))
-              .cast("long").as("lo"))
-          .select(explode(array(
-            struct(col("x").as("v"), col("hi").as("w")),
-            struct(col("y").as("v"), (col("hi") + col("lo")).as("w")))).as("e"))
-          .groupBy(col("e.v").as("s_suppkey"))
-          .agg(sum(col("e.w")).as("n_triangles"))
-          .filter(col("n_triangles") > 0)
-          .orderBy(col("n_triangles").desc, col("s_suppkey"))
+        Graph.triangleParticipation(edges, "a", "b")
+          .orderBy(col("n_triangles").desc, col("v"))
           .limit(20)
-          .select(col("s_suppkey").cast("long").as("s_suppkey"), col("n_triangles"))
+          .select(col("v").cast("long").as("s_suppkey"), col("n_triangles"))
       },
       Some("""WITH ob AS (
              |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem

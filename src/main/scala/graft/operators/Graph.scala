@@ -205,4 +205,78 @@ object Graph {
     }
     lab.select(col("_n").as("node"), col("_l").as("label"))
   }
+
+  /** Per-node triangle participation counts over an undirected graph
+    * given as ordered edges (one row per edge, `aCol < bCol`).
+    *
+    * Compact-forward shape: with ordered edges and higher-neighbor
+    * adjacency lists, triangle x<y<z is found exactly once at its
+    * BOTTOM edge (x,y) as z ∈ adj⁺(x)∩adj⁺(y) — crediting x and y with
+    * the intersection size. The max-role credit needs no per-triangle
+    * explode either: the same triangle has exactly one TOP edge (y,z),
+    * where x ∈ adjLow(y)∩adjLow(z) — so |adjLow(y)∩adjLow(z)| credited
+    * to z counts every triangle z closes. Both intersections are
+    * in-row sorted-merge probes against adjacency maps; the credit
+    * stream is exactly 2 rows per edge, so credit volume scales with
+    * |E|, not the (cubically exploding) triangle count.
+    *
+    * The adjacency side is BROADCAST only below `broadcastEdgeLimit`
+    * total edges (the payload is O(|E|) list entries — data-scale, not
+    * key-space-bounded like [[pageRank]]'s aggregated graphs): a
+    * forced hint on a web-corpus graph is a driver OOM where the
+    * unhinted sort-merge join below the limit's else-branch degrades
+    * gracefully (AQE still converts to broadcast at runtime when the
+    * built side turns out small). The |E| count is one job against the
+    * persisted adjacency — the action that populates the cache anyway.
+    *
+    * Returns `(v, n_triangles)` for every node with ≥1 triangle,
+    * materialized eagerly (node-bounded) so the operator releases its
+    * own adjacency cache instead of leaking it to the caller.
+    */
+  def triangleParticipation(edges: DataFrame, aCol: String, bCol: String,
+                            broadcastEdgeLimit: Long = 1L << 22): DataFrame = {
+    val (result, caches, _) = triangleParticipationPlan(edges, aCol, bCol, broadcastEdgeLimit)
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The lazy plan + its persisted intermediates + whether the gate
+    * chose broadcast, for plan-shape tests. */
+  private[graft] def triangleParticipationPlan(
+      edges: DataFrame, aCol: String, bCol: String,
+      broadcastEdgeLimit: Long): (DataFrame, Seq[DataFrame], Boolean) = {
+    // the adjacency IS the edge set: persisting the |V|-row lists makes
+    // the (possibly expensive) upstream edge derivation run exactly
+    // once — the probe stream is re-exploded from the cached lists and
+    // the join sides read them too. Lists SORTED at build: both role
+    // intersections run through the sorted-merge count kernel (no
+    // per-row hash set).
+    val adj = edges
+      .groupBy(col(aCol).cast("long").as("a"))
+      .agg(sort_array(collect_list(col(bCol).cast("long"))).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probe = adj.select(col("a").as("ea"), explode(col("nbrs")).as("eb"))
+    val adjLo = probe.groupBy(col("eb").as("lb"))
+      .agg(sort_array(collect_list(col("ea"))).as("lnbrs"))
+    val useBroadcast = probe.count() <= broadcastEdgeLimit
+    def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    val result = probe
+      .join(side(adj).as("ax"), col("ea") === col("ax.a"))
+      .join(side(adj).as("ay"), col("eb") === col("ay.a"), "left")
+      .join(side(adjLo).as("lx"), col("ea") === col("lx.lb"), "left")
+      .join(side(adjLo).as("ly"), col("eb") === col("ly.lb"))
+      .select(col("ea").as("x"), col("eb").as("y"),
+        coalesce(graft.plans.Exprs.sortedIntersectCount(col("ax.nbrs"), col("ay.nbrs")), lit(0))
+          .cast("long").as("hi"),
+        coalesce(graft.plans.Exprs.sortedIntersectCount(col("lx.lnbrs"), col("ly.lnbrs")), lit(0))
+          .cast("long").as("lo"))
+      .select(explode(array(
+        struct(col("x").as("v"), col("hi").as("w")),
+        struct(col("y").as("v"), (col("hi") + col("lo")).as("w")))).as("e"))
+      .groupBy(col("e.v").as("v"))
+      .agg(sum(col("e.w")).as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+    (result, Seq(adj), useBroadcast)
+  }
 }

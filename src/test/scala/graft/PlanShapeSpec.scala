@@ -285,11 +285,44 @@ class PlanShapeSpec extends SparkSpec {
       "groupedExactPercentiles must unpersist gstats/binned/binOff on return")
   }
 
-  test("q134: triangle intersections run the sorted-merge kernel, adjacency broadcasts") {
-    val p = plan("q134_triangles")
+  /** K8: every pair adjacent — C(8,3)=56 triangles, each node in
+    * C(7,2)=21 of them. */
+  private def k8 = {
+    val n = spark.range(0, 8)
+    n.as("l").crossJoin(n.as("r")).filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+  }
+
+  test("q134: triangle intersections run the sorted-merge kernel; broadcast is GATED") {
+    // below the edge limit the gate hints broadcast (bench shape);
+    // above it the joins stay UNHINTED — Catalyst/AQE may still pick
+    // broadcast from size stats (it does here, the graph is tiny),
+    // but a web-scale adjacency can no longer force a driver OOM
+    val (small, caches, usedBc) = operators.Graph.triangleParticipationPlan(
+      k8, "a", "b", broadcastEdgeLimit = 1L << 22)
+    val p = small.queryExecution.executedPlan.toString
+    assert(usedBc, "tiny graph must take the broadcast branch")
     assert(p.contains("sorted_intersect_count"),
       s"intersect must be the codegen kernel, not array_intersect:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"adjacency joins must broadcast:\n$p")
-    spark.catalog.clearCache()
+    assert(p.contains("BroadcastHashJoin"), s"gated adjacency joins must broadcast:\n$p")
+    caches.foreach(_.unpersist())
+    val (large, caches2, usedBc2) = operators.Graph.triangleParticipationPlan(
+      k8, "a", "b", broadcastEdgeLimit = 0)
+    assert(!usedBc2, "edge count above the limit must refuse the hint")
+    assert(!large.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "above the limit no broadcast hint may be planted")
+    caches2.foreach(_.unpersist())
+  }
+
+  test("q134: the public operator cleans up its own caches and both gate branches agree") {
+    val bc = operators.Graph.triangleParticipation(k8, "a", "b").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangleParticipation must unpersist its adjacency on return")
+    val smj = operators.Graph.triangleParticipation(k8, "a", "b",
+      broadcastEdgeLimit = 0).collect()
+    assert(bc.map(_.toString).sorted.toSeq === smj.map(_.toString).sorted.toSeq,
+      "broadcast and sort-merge branches must produce identical counts")
+    assert(bc.length === 8 && bc.forall(_.getLong(1) == 21L),
+      s"K8: every node participates in C(7,2)=21 triangles, got ${bc.mkString(", ")}")
   }
 }
