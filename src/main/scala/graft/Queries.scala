@@ -3467,7 +3467,7 @@ object Queries {
           .groupBy(col("bi")).agg(count(lit(1)).as("c"))
           .select(element_at(typedLit(brands), col("bi") + 1).as("p_brand"), col("c"))
         val n = sets.agg(count(lit(1)).as("n_orders"))
-        pairs.filter(col("c_ab") >= 50)
+        val out = pairs.filter(col("c_ab") >= 50)
           .join(broadcast(bc.select(col("p_brand").as("b1"), col("c").as("c_a"))), "b1")
           .join(broadcast(bc.select(col("p_brand").as("b2"), col("c").as("c_b"))), "b2")
           .crossJoin(broadcast(n))
@@ -3479,6 +3479,13 @@ object Queries {
           .select(col("b1"), col("b2"), col("support"),
             (col("conf_micro").cast("double") / 1e6).as("confidence"),
             (col("lift_micro").cast("double") / 1e6).as("lift"))
+          // materialize the 25-row result eagerly so the corpus-scale
+          // per-order sets cache is released HERE, not left for a
+          // harness clearCache() (library callers get the same
+          // lifetime the bench sees)
+          .localCheckpoint(true)
+        sets.unpersist(blocking = false)
+        out
       },
       Some("""WITH ob AS MATERIALIZED (
              |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b

@@ -40,22 +40,26 @@ object Bpe {
     // replaces from the raw input — a QUADRATIC recompute in k (and k
     // distinct growing codegen plans). Cached, every round is one
     // narrow pass over the previous round's materialized corpus.
-    val cached = Seq.newBuilder[DataFrame]
+    // ROLLING 2-deep: once round i's argmax has materialized round i's
+    // cache, round i−1's is dead (round i+1 reads only round i) — so
+    // at most two corpus copies are ever resident, not k.
+    var prev: DataFrame = null
     val steps = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to k) {
       cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += cur
       val top = cur.select(explode(Exprs.pairCounts(col("t"))).as(Seq("pair", "c_i")))
         .groupBy(col("pair")).agg(sum(col("c_i").cast("long")).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
         .collect()(0)
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = cur
       val pair = top.getString(0)
       val merged = pair.replace(' ', '_')
       steps += ((step, pair, merged, top.getLong(1)))
       cur = cur.select(replace(col("t"),
         lit(s" $pair "), lit(s" $merged ")).as("t"))
     }
-    cached.result().foreach(_.unpersist())
+    prev.unpersist(blocking = false)
     steps.result().toDF("step", "pair", "merged", "c")
       .select(col("step").cast("long").as("step"), col("pair"),
         col("merged"), col("c"))

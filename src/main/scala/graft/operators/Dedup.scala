@@ -651,9 +651,12 @@ object Dedup {
     // token sets as SORTED DISTINCT 64-bit hashes (the k=1 shingle
     // kernel): the range sort carries 8-byte elements instead of token
     // strings, and the candidate verify is the allocation-free
-    // sorted-merge count kernel instead of a per-pair hash set. The
-    // hashes are oracle-re-derivable (mix64 ∘ poly31 — hypothetical
-    // collisions reproduce identically cross-engine).
+    // sorted-merge count kernel instead of a per-pair hash set.
+    // NB the q139 oracle intersects token STRINGS, not re-derived
+    // hashes, so a 64-bit collision here would desync the Jaccard
+    // from the oracle — accepted: P(collision) over a window-bounded
+    // candidate set is astronomically small, and a collision would
+    // only perturb one pair's similarity, not the pair generation.
     val keyed = df.select(col(idCol).as("id"),
       Exprs.prefixTokens(col(textCol), prefixLen).as("_k"),
       Exprs.shingleHashes(col(textCol), 1).as("_hs"))

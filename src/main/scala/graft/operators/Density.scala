@@ -26,7 +26,10 @@ object Density {
     *
     * The pair frame is persisted: it feeds degrees, the core edge
     * list, and border assignment — left lazy those three consumers
-    * would each replay the grid join.
+    * would each replay the grid join. The skinny per-point labelling
+    * (id, is_core, cluster) is materialized eagerly so the operator
+    * releases the ε-graph cache itself instead of leaking a
+    * corpus-scale frame to the caller.
     */
   def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
              eps: Double, minPts: Int): DataFrame = {
@@ -56,10 +59,13 @@ object Density {
       .join(coreClusters.select(col("id").as("ib"), col("cluster")), "ib")
       .join(core.select(col("id").as("ia")), Seq("ia"), "left_anti")
       .groupBy(col("ia").as("id")).agg(min(col("cluster")).as("_bc"))
-    pts.select(col("id"))
+    val out = pts.select(col("id"))
       .join(coreClusters.withColumn("_isc", lit(true)), Seq("id"), "left")
       .join(border, Seq("id"), "left")
       .select(col("id"), coalesce(col("_isc"), lit(false)).as("is_core"),
         coalesce(col("cluster"), col("_bc"), lit(-1L)).as("cluster"))
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    out
   }
 }

@@ -112,8 +112,13 @@ object Graph {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         rank = rank.localCheckpoint(true)
     }
-    rank.select(col("_n").as("node"),
+    // node-bounded result: materialize eagerly and release the edge/
+    // node caches (the driver branch already cleans up after itself)
+    val out = rank.select(col("_n").as("node"),
       (col("_r").cast("double") / 1e6).as("rank_micro"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    out
   }
 
   /** Synchronous label propagation (community detection): every node
@@ -203,7 +208,13 @@ object Graph {
         .select(col("_n"), coalesce(col("_nl"), col("_n")).as("_l"))
       if (i % 4 == 0 && i < iters) lab = lab.localCheckpoint(true)
     }
-    lab.select(col("_n").as("node"), col("_l").as("label"))
+    // node-bounded result: materialize eagerly and release the caches
+    // (the driver branch already cleans up after itself)
+    val out = lab.select(col("_n").as("node"), col("_l").as("label"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false); dir.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Per-node triangle participation counts over an undirected graph

@@ -77,8 +77,11 @@ object Stats {
     cum.agg(
         max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
         max(col("_diff")).as("_dint"),
-        // unique ordering key (v is distinct per row) ⇒ deterministic;
-        // (diff, −v) picks the SMALLEST value among sup ties
+        // rows are raw (duplicate values allowed), but the RANGE frame
+        // gives every peer of a value the identical cumulative — tied
+        // (diff, −v) keys therefore carry the SAME v, so max_by is
+        // deterministic; (diff, −v) picks the SMALLEST value among
+        // genuine sup ties
         max_by(col("v"), struct(col("_diff"), -col("v"))).as("at_value"))
       .select(col("n_a"), col("n_b"),
         round(col("_dint").cast("double") /

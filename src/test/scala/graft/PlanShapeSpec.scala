@@ -314,6 +314,20 @@ class PlanShapeSpec extends SparkSpec {
     caches2.foreach(_.unpersist())
   }
 
+  test("self-cleaning operators leave the cache manager empty (no harness clearCache needed)") {
+    // q14/q139/q85 keep their sorted-frame caches BY CONTRACT (the
+    // result is corpus-scale lineage over the cache; callers unpersist
+    // the result, which cascades) — every other persisting catalog
+    // query must reclaim its own corpus-scale frames on return
+    spark.catalog.clearCache()
+    for (q <- Seq("q129_assoc_rules", "q155_dbscan", "q126_bpe_train",
+                  "q128_pagerank", "q140_label_propagation")) {
+      Queries.byName(q).fn(spark, d).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q left persisted frames behind")
+    }
+  }
+
   test("q134: the public operator cleans up its own caches and both gate branches agree") {
     val bc = operators.Graph.triangleParticipation(k8, "a", "b").collect()
     assert(spark.sharedState.cacheManager.isEmpty,
