@@ -33,6 +33,139 @@ object Queries {
   private val priorityLadder =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
+  /** q128/q140/q156/q157's shared nation-trade edge derivation: edge
+    * cust_nation -> supp_nation weighted by lineitem count. The heavy,
+    * 100TB-relevant part — kept to TWO big-table shuffles:
+    * supplier⋈nation broadcasts onto the lineitem scan map-side,
+    * orders⋈customer shuffles on custkey, and the two meet once on
+    * orderkey before the partial-agg groupBy (inside the graph
+    * operators) collapses to nation pairs. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val suppNat = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("dst"))
+    val custOrders = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
+        col("c_nationkey") === col("cnk"))
+      .select(col("o_orderkey"), col("src"))
+    lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(custOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+  }
+
+  /** q128/q156's oracle: three unrolled PageRank rounds as staged CTEs
+    * (the kmeansCtes pattern); all rank state is integer micro-mass so
+    * the only float op per round is the single 0.85 damping multiply.
+    * Shared verbatim by the driver-loop and distributed-loop catalog
+    * entries — the whole point is that both branches hash-match it. */
+  private lazy val pagerankOracleSql: String = {
+    def round(i: Int, prev: String) =
+      s"""c$i AS (
+         |  SELECT e.dst, sum((r.r * e.w) // ow.wout) AS s
+         |  FROM e JOIN $prev r ON r.n = e.src JOIN ow ON ow.src = e.src
+         |  GROUP BY e.dst
+         |), r$i AS MATERIALIZED (
+         |  SELECT nodes.n, 150000000000 // nn.c +
+         |    CAST(COALESCE(round(0.85 * CAST(c$i.s AS DOUBLE)), 0) AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.n)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       |  GROUP BY 1, 2
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS n FROM e UNION SELECT dst FROM e
+       |), nn AS (SELECT count(*) AS c FROM nodes),
+       |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+       |r0 AS (SELECT n, 1000000000000 // nn.c AS r FROM nodes CROSS JOIN nn),
+       |${round(1, "r0")},
+       |${round(2, "r1")},
+       |${round(3, "r2")}
+       |SELECT n AS node, CAST(r AS DOUBLE) / 1e6 AS rank_micro FROM r3""".stripMargin
+  }
+
+  /** q140/q157's oracle: four unrolled label-propagation rounds
+    * (weighted plurality vote, min-label ties), shared verbatim by the
+    * driver-loop and distributed-loop catalog entries. */
+  private lazy val labelPropOracleSql: String = {
+    def round(i: Int, prev: String) =
+      s"""v$i AS (
+         |  SELECT e.d, lab.l, sum(e.w) AS w
+         |  FROM e JOIN $prev lab ON lab.n = e.s GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT d, l FROM (
+         |    SELECT d, l, row_number() OVER (PARTITION BY d ORDER BY w DESC, l) AS rn
+         |    FROM v$i) WHERE rn = 1
+         |), l$i AS MATERIALIZED (
+         |  SELECT nodes.n, COALESCE(b$i.l, p.l) AS l
+         |  FROM nodes JOIN $prev p ON p.n = nodes.n
+         |  LEFT JOIN b$i ON b$i.d = nodes.n)""".stripMargin
+    s"""WITH dir AS MATERIALIZED (
+       |  SELECT cn.n_name AS s, sn.n_name AS d, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       |  WHERE cn.n_name <> sn.n_name
+       |  GROUP BY 1, 2
+       |), e AS MATERIALIZED (
+       |  SELECT s, d, sum(w) AS w FROM (
+       |    SELECT s, d, w FROM dir UNION ALL SELECT d AS s, s AS d, w FROM dir)
+       |  GROUP BY 1, 2
+       |), nodes AS MATERIALIZED (SELECT s AS n FROM e UNION SELECT d FROM e),
+       |l0 AS (SELECT n, n AS l FROM nodes),
+       |${round(1, "l0")},
+       |${round(2, "l1")},
+       |${round(3, "l2")},
+       |${round(4, "l3")}
+       |SELECT n AS node, l AS label FROM l4""".stripMargin
+  }
+
+  /** q64/q158's oracle: near-dup pairs (the q36 computation) closed
+    * transitively with a recursive CTE — cluster_id = min reachable
+    * doc id. Shared verbatim by the union-find-cutover and distributed
+    * min-label catalog entries. */
+  private val dupClustersOracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(tk[i:i+2], ' ')
+      |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
+      |  FROM toks WHERE len(tk) > 0
+      |), pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.ss, b.ss)) AS c,
+      |         len(a.ss) AS na, len(b.ss) AS nb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM pr WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12
+      |), e AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT s AS id, s AS r FROM e
+      |  UNION
+      |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+      |)
+      |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id""".stripMargin
+
   /** Shared DuckDB re-derivation of the MinHash+LSH pipeline (q34/q82):
     * signatures from inlined permutation constants, 4-row band keys,
     * band-bucket candidates, match-fraction estimate. `pairCond` picks
@@ -706,6 +839,7 @@ object Queries {
       "exact n-gram Jaccard pairs via inverted shingle index"),
 
     Q("q64_dup_clusters",
+      // q158 pins the distributed min-label branch to the same oracle
       (s, d) => Dedup.connectedComponents(
           Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
             shingleK = 3, minJaccard = 0.12)
@@ -713,35 +847,7 @@ object Queries {
           "id_a", "id_b")
         .select(col("id").cast("long").as("doc_id"),
           col("component").cast("long").as("cluster_id")),
-      // near-dup pairs (the q36 computation) closed transitively with a
-      // recursive CTE: cluster_id = min reachable doc id
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id,
-             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
-             |  FROM documents
-             |), sh AS (
-             |  SELECT doc_id,
-             |         list_distinct([array_to_string(tk[i:i+2], ' ')
-             |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
-             |  FROM toks WHERE len(tk) > 0
-             |), pr AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         len(list_intersect(a.ss, b.ss)) AS c,
-             |         len(a.ss) AS na, len(b.ss) AS nb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |), pairs AS (
-             |  SELECT id_a, id_b FROM pr WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12
-             |), e AS (
-             |  SELECT id_a AS s, id_b AS d FROM pairs
-             |  UNION
-             |  SELECT id_b, id_a FROM pairs
-             |), reach AS (
-             |  SELECT s AS id, s AS r FROM e
-             |  UNION
-             |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
-             |)
-             |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-             |FROM reach GROUP BY id""".stripMargin),
+      Some(dupClustersOracleSql),
       "near-dup pairs → canonical clusters (distributed connected components)"),
 
     Q("q80_line_dedup",
@@ -3352,66 +3458,13 @@ object Queries {
       "NDCG@10 retrieval evaluation (BM25 vs graded cosine relevance; micro-int gains, exact ratio)"),
 
     Q("q128_pagerank",
-      (s, d) => {
-        // weighted PageRank over the nation-level trade graph: edge
-        // cust_nation -> supp_nation weighted by lineitem count. The
-        // heavy, 100TB-relevant part is the edge derivation; it's kept
-        // to TWO big-table shuffles — supplier⋈nation broadcasts onto
-        // the lineitem scan map-side, orders⋈customer shuffles on
-        // custkey, and the two meet once on orderkey before the
-        // partial-agg groupBy collapses to nation pairs. The rank loop
-        // then runs over the aggregated graph (persisted inside
-        // Graph.pageRank, derivation executes once)
-        val suppNat = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-          .join(broadcast(nation(s, d)
-            .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
-            col("s_nationkey") === col("snk"))
-          .select(col("s_suppkey"), col("dst"))
-        val custOrders = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-            col("o_custkey") === col("c_custkey"))
-          .join(broadcast(nation(s, d)
-            .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
-            col("c_nationkey") === col("cnk"))
-          .select(col("o_orderkey"), col("src"))
-        val e = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
-          .join(custOrders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("src"), col("dst"), lit(1L).as("w"))
-        Graph.pageRank(e, "src", "dst", "w", iters = 3)
-      },
-      Some {
-        // three unrolled rounds as staged CTEs (the kmeansCtes
-        // pattern); all rank state is integer micro-mass so the only
-        // float op per round is the single 0.85 damping multiply
-        def round(i: Int, prev: String) =
-          s"""c$i AS (
-             |  SELECT e.dst, sum((r.r * e.w) // ow.wout) AS s
-             |  FROM e JOIN $prev r ON r.n = e.src JOIN ow ON ow.src = e.src
-             |  GROUP BY e.dst
-             |), r$i AS MATERIALIZED (
-             |  SELECT nodes.n, 150000000000 // nn.c +
-             |    CAST(COALESCE(round(0.85 * CAST(c$i.s AS DOUBLE)), 0) AS BIGINT) AS r
-             |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.n)""".stripMargin
-        s"""WITH e AS MATERIALIZED (
-           |  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
-           |  FROM lineitem l
-           |  JOIN orders o ON o.o_orderkey = l.l_orderkey
-           |  JOIN customer c ON c.c_custkey = o.o_custkey
-           |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-           |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-           |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
-           |  GROUP BY 1, 2
-           |), nodes AS MATERIALIZED (
-           |  SELECT src AS n FROM e UNION SELECT dst FROM e
-           |), nn AS (SELECT count(*) AS c FROM nodes),
-           |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
-           |r0 AS (SELECT n, 1000000000000 // nn.c AS r FROM nodes CROSS JOIN nn),
-           |${round(1, "r0")},
-           |${round(2, "r1")},
-           |${round(3, "r2")}
-           |SELECT n AS node, CAST(r AS DOUBLE) / 1e6 AS rank_micro FROM r3""".stripMargin
-      },
+      // weighted PageRank over the nation-level trade graph (see
+      // tradeEdges for the two-big-shuffle derivation). The rank loop
+      // runs over the aggregated graph — nation-keyed, so the bounded
+      // driver cutover applies; q156 pins the distributed branch to
+      // the same oracle
+      (s, d) => Graph.pageRank(tradeEdges(s, d), "src", "dst", "w", iters = 3),
+      Some(pagerankOracleSql),
       "weighted PageRank, 3 synchronous rounds (integer micro-mass ranks; edge graph from a 3-join derivation)"),
 
     Q("q129_assoc_rules",
@@ -3845,64 +3898,14 @@ object Queries {
       "sorted-neighborhood dedup (range-sorted blocking key, windowSize-bounded candidates, integer Jaccard verify)"),
 
     Q("q140_label_propagation",
-      (s, d) => {
-        // community detection over the symmetrized nation trade graph
-        // (q128's edge derivation — the heavy 100TB part is the same
-        // two-big-shuffle join tree; the propagation rounds then run on
-        // the aggregated, key-space-bounded graph)
-        val suppNat = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-          .join(broadcast(nation(s, d)
-            .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
-            col("s_nationkey") === col("snk"))
-          .select(col("s_suppkey"), col("dst"))
-        val custOrders = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-            col("o_custkey") === col("c_custkey"))
-          .join(broadcast(nation(s, d)
-            .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
-            col("c_nationkey") === col("cnk"))
-          .select(col("o_orderkey"), col("src"))
-        val e = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
-          .join(custOrders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("src"), col("dst"), lit(1L).as("w"))
-        Graph.labelPropagation(e, "src", "dst", "w", iters = 4)
-      },
-      Some {
-        def round(i: Int, prev: String) =
-          s"""v$i AS (
-             |  SELECT e.d, lab.l, sum(e.w) AS w
-             |  FROM e JOIN $prev lab ON lab.n = e.s GROUP BY 1, 2
-             |), b$i AS (
-             |  SELECT d, l FROM (
-             |    SELECT d, l, row_number() OVER (PARTITION BY d ORDER BY w DESC, l) AS rn
-             |    FROM v$i) WHERE rn = 1
-             |), l$i AS MATERIALIZED (
-             |  SELECT nodes.n, COALESCE(b$i.l, p.l) AS l
-             |  FROM nodes JOIN $prev p ON p.n = nodes.n
-             |  LEFT JOIN b$i ON b$i.d = nodes.n)""".stripMargin
-        s"""WITH dir AS MATERIALIZED (
-           |  SELECT cn.n_name AS s, sn.n_name AS d, count(*) AS w
-           |  FROM lineitem l
-           |  JOIN orders o ON o.o_orderkey = l.l_orderkey
-           |  JOIN customer c ON c.c_custkey = o.o_custkey
-           |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-           |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-           |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
-           |  WHERE cn.n_name <> sn.n_name
-           |  GROUP BY 1, 2
-           |), e AS MATERIALIZED (
-           |  SELECT s, d, sum(w) AS w FROM (
-           |    SELECT s, d, w FROM dir UNION ALL SELECT d AS s, s AS d, w FROM dir)
-           |  GROUP BY 1, 2
-           |), nodes AS MATERIALIZED (SELECT s AS n FROM e UNION SELECT d FROM e),
-           |l0 AS (SELECT n, n AS l FROM nodes),
-           |${round(1, "l0")},
-           |${round(2, "l1")},
-           |${round(3, "l2")},
-           |${round(4, "l3")}
-           |SELECT n AS node, l AS label FROM l4""".stripMargin
-      },
+      // community detection over the symmetrized nation trade graph
+      // (tradeEdges — the heavy 100TB part is the same two-big-shuffle
+      // join tree; the propagation rounds then run on the aggregated,
+      // key-space-bounded graph; self-loops drop inside the operator).
+      // q157 pins the distributed branch to the same oracle
+      (s, d) => Graph.labelPropagation(tradeEdges(s, d), "src", "dst", "w",
+        iters = 4),
+      Some(labelPropOracleSql),
       "synchronous label propagation, 4 rounds (weighted plurality vote, min-label ties; adaptive driver loop on bounded graphs)"),
 
     Q("q141_ks_test",
@@ -4543,7 +4546,37 @@ object Queries {
              |  CAST(coalesce(corec.cluster, border.bc, -1) AS BIGINT) AS cluster
              |FROM pts LEFT JOIN corec ON corec.id = pts.id
              |LEFT JOIN border ON border.id = pts.id""".stripMargin),
-      "planar DBSCAN (grid-cell eps-graph, CC core collapse, deterministic min-core border assignment, noise = -1)")
+      "planar DBSCAN (grid-cell eps-graph, CC core collapse, deterministic min-core border assignment, noise = -1)"),
+
+    // ---- distributed-branch twins: the adaptive graph operators take
+    // their driver cutover at every bench SF (the aggregated graphs are
+    // key-space-bounded), so these entries force the cutover OFF and
+    // pin the distributed joins/aggregations to the SAME oracles —
+    // driver-verified coverage of the code paths a 100-TB graph would
+    // actually run
+
+    Q("q156_pagerank_dist",
+      (s, d) => Graph.pageRank(tradeEdges(s, d), "src", "dst", "w",
+        iters = 3, driverEdgeLimit = 0),
+      Some(pagerankOracleSql),
+      "q128's distributed rank loop (driver cutover disabled): per-round edges⋈ranks shuffle join + groupBy(dst), identical integer micro-mass arithmetic"),
+
+    Q("q157_labelprop_dist",
+      (s, d) => Graph.labelPropagation(tradeEdges(s, d), "src", "dst", "w",
+        iters = 4, driverEdgeLimit = 0),
+      Some(labelPropOracleSql),
+      "q140's distributed vote loop (driver cutover disabled): per-round edges⋈labels join + min_by plurality argmax, identical tie-break semantics"),
+
+    Q("q158_dup_clusters_dist",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+            shingleK = 3, minJaccard = 0.12)
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b", driverEdgeLimit = 0)
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("cluster_id")),
+      Some(dupClustersOracleSql),
+      "q64's distributed min-label CC (union-find cutover disabled): fused first round + per-round skinny (id,label) shuffles, sum-of-labels convergence certificate")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
