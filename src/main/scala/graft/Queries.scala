@@ -4576,7 +4576,54 @@ object Queries {
         .select(col("id").cast("long").as("doc_id"),
           col("component").cast("long").as("cluster_id")),
       Some(dupClustersOracleSql),
-      "q64's distributed min-label CC (union-find cutover disabled): fused first round + per-round skinny (id,label) shuffles, sum-of-labels convergence certificate")
+      "q64's distributed min-label CC (union-find cutover disabled): fused first round + per-round skinny (id,label) shuffles, sum-of-labels convergence certificate"),
+
+    Q("q159_ks_matrix",
+      // q141's pairwise generalization: ONE corpus pass computes the
+      // KS drift statistic for every returnflag pair (the dashboard
+      // shape: which populations moved vs which). Same two-level
+      // prefix scheme, G cumulative states in the same two windows
+      (s, d) => Stats.ksMatrix(lineitem(s, d), "l_extendedprice",
+        "l_returnflag"),
+      Some {
+        // groups are l_returnflag's fixed domain (A < N < R, matching
+        // ksMatrix's sorted driver collect); cum CDFs for all three in
+        // one window pass, one UNION ALL branch per pair
+        val gs = Seq("A", "N", "R")
+        val idx = gs.indices
+        val cs = idx.map(i =>
+          s"    sum(CASE WHEN l_returnflag = '${gs(i)}' THEN 1 ELSE 0 END) AS c$i")
+          .mkString(",\n")
+        val ns = idx.map(i => s"sum(c$i) AS n$i").mkString(", ")
+        val us = idx.map(i => s"sum(c$i) OVER w AS u$i").mkString(",\n    ")
+        val pairs = for { i <- idx; j <- idx if i < j } yield (i, j)
+        val ds = pairs.map { case (i, j) =>
+          s"abs(u$i * n$j - u$j * n$i) AS d${i}$j" }.mkString(",\n    ")
+        val ms = pairs.map { case (i, j) => s"max(d${i}$j) AS m${i}$j" }.mkString(", ")
+        val branches = pairs.map { case (i, j) =>
+          s"""SELECT '${gs(i)}' AS g_a, '${gs(j)}' AS g_b,
+             |  CAST(n$i AS BIGINT) AS n_a, CAST(n$j AS BIGINT) AS n_b,
+             |  round(CAST(m${i}$j AS DOUBLE) / (CAST(n$i AS DOUBLE) * CAST(n$j AS DOUBLE)), 9) AS d_stat,
+             |  (SELECT min(v) FROM dd, m WHERE d${i}$j = m${i}$j) AS at_value
+             |FROM g, m""".stripMargin }.mkString("\nUNION ALL\n")
+        s"""WITH c AS (
+           |  SELECT l_extendedprice AS v,
+           |$cs
+           |  FROM lineitem GROUP BY 1
+           |), g AS (SELECT $ns FROM c),
+           |cum AS (
+           |  SELECT v,
+           |    $us
+           |  FROM c
+           |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |), dd AS (
+           |  SELECT v,
+           |    $ds
+           |  FROM cum, g
+           |), m AS (SELECT $ms FROM dd)
+           |$branches""".stripMargin
+      },
+      "all-pairs KS drift matrix (one corpus pass, G merged CDFs in two shared windows, per-pair integer sup)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -89,6 +89,85 @@ object Stats {
         col("at_value"))
   }
 
+  /** All-pairs two-sample KS matrix: `D = sup_x |F_i(x) − F_j(x)|`
+    * for EVERY unordered pair of `groupCol` populations — the shape a
+    * drift dashboard actually wants (which shards moved vs which?).
+    *
+    * Same two-level prefix decomposition as [[ksTest]], in ONE corpus
+    * pass for all pairs: every row carries G indicator columns, so the
+    * bin-offset and in-bin cumulative windows compute all G merged
+    * CDFs simultaneously (G extra sum states in the SAME two window
+    * operators — no per-pair re-scan, no join). The G(G−1)/2 integer
+    * cross-differences are row-local projections; one final aggregate
+    * takes each pair's sup and arg-min location, and the single
+    * 1×(pairs) row explodes to the output. Groups are driver-collected
+    * by contract (a drift dimension is config-scale — shards, splits,
+    * date buckets; `maxGroups` guards the contract).
+    *
+    * Determinism: identical to [[ksTest]] — exact long cumulatives,
+    * integer cross-difference sup (exact while n_i·n_j < 2^53), RANGE
+    * frames so duplicate values share one cumulative, min-value
+    * tie-break on the sup location. Rows of OTHER groups also evaluate
+    * each pair's diff, but a step CDF only changes at its own sample
+    * points, so extra evaluation points never raise the sup and the
+    * interval-opening point (an i-or-j sample) always wins the min
+    * tie-break.
+    */
+  def ksMatrix(df: DataFrame, valueCol: String, groupCol: String,
+               bins: Int = 1024, maxGroups: Int = 64): DataFrame = {
+    val groups = df.select(col(groupCol).cast("string").as("g"))
+      .filter(col("g").isNotNull).distinct()
+      .orderBy(col("g")).collect().map(_.getString(0)).toSeq
+    require(groups.size >= 2, "ksMatrix needs at least two groups")
+    require(groups.size <= maxGroups,
+      s"${groups.size} groups exceed maxGroups=$maxGroups — a KS grid over a " +
+        "data-scale dimension is a different (all-pairs) problem")
+    val gi = groups.indices
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).as("v") +: gi.map(i =>
+        when(col(groupCol).cast("string") === groups(i), 1L).otherwise(0L)
+          .as(s"_c$i")): _*)
+    val globals = rows.agg(min(col("v")).as("_lo"),
+      max(col("v")).as("_hi") +: gi.map(i => sum(col(s"_c$i")).as(s"_n$i")): _*)
+    val binned = rows.crossJoin(broadcast(globals))
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
+              .cast("int"))))
+    val wOff = Window.orderBy(col("_bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy(col("_bin"))
+      .agg(sum(col("_c0")).as("_t0"),
+        gi.tail.map(i => sum(col(s"_c$i")).as(s"_t$i")): _*)
+      .select(col("_bin") +: gi.map(i =>
+        coalesce(sum(col(s"_t$i")).over(wOff), lit(0L)).as(s"_off$i")): _*)
+    val wBin = Window.partitionBy(col("_bin")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.join(broadcast(offsets), "_bin")
+      .select(col("v") +: (gi.map(i => col(s"_n$i")) ++ gi.map(i =>
+        (col(s"_off$i") + sum(col(s"_c$i")).over(wBin)).as(s"_cum$i"))): _*)
+    val pairs = for { i <- gi; j <- gi if i < j } yield (i, j)
+    val diffs = cum.select(col("v") +: (gi.map(i => col(s"_n$i")) ++
+      pairs.map { case (i, j) =>
+        abs(col(s"_cum$i") * col(s"_n$j") - col(s"_cum$j") * col(s"_n$i"))
+          .as(s"_d_${i}_$j") }): _*)
+    val aggs = pairs.flatMap { case (i, j) => Seq(
+        max(col(s"_d_${i}_$j")).as(s"_m_${i}_$j"),
+        max_by(col("v"), struct(col(s"_d_${i}_$j"), -col("v"))).as(s"_at_${i}_$j")) } ++
+      gi.map(i => max(col(s"_n$i")).as(s"_nn$i"))
+    diffs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(groups(i)).as("g_a"), lit(groups(j)).as("g_b"),
+          col(s"_nn$i").as("n_a"), col(s"_nn$j").as("n_b"),
+          round(col(s"_m_${i}_$j").cast("double") /
+            (col(s"_nn$i").cast("double") * col(s"_nn$j").cast("double")), 9)
+            .as("d_stat"),
+          col(s"_at_${i}_$j").as("at_value")) }: _*)).as("_p"))
+      .select(col("_p.g_a").as("g_a"), col("_p.g_b").as("g_b"),
+        col("_p.n_a").as("n_a"), col("_p.n_b").as("n_b"),
+        col("_p.d_stat").as("d_stat"), col("_p.at_value").as("at_value"))
+  }
+
   /** Exact interpolated percentiles per group WITHOUT the built-in
     * `percentile` aggregate's per-group counts map (state ∝ distinct
     * values — at 100 TB of near-unique doubles that map IS the data).

@@ -34,6 +34,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ksMatrix: every pair row matches the dedicated two-sample ksTest") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map { _ =>
+      val g = rnd.nextInt(3) match {
+        case 0 => "A"; case 1 => "B"; case 2 => "C"
+      }
+      val shift = g match { case "A" => 0.0; case "B" => 0.6; case _ => -0.4 }
+      (g, math.round((rnd.nextGaussian() + shift) * 1e3) / 1e3)
+    }
+    val df = rows.toDF("g", "v")
+    val matrix = Stats.ksMatrix(df, "v", "g", bins = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(matrix.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    for (((ga, gb), got) <- matrix) {
+      val want = Stats.ksTest(df, "v", "g", ga, gb, bins = 64).collect()(0)
+      assert(got.getAs[Long]("n_a") == want.getAs[Long]("n_a"), s"($ga,$gb)")
+      assert(got.getAs[Long]("n_b") == want.getAs[Long]("n_b"), s"($ga,$gb)")
+      assert(got.getAs[Double]("d_stat") == want.getAs[Double]("d_stat"), s"($ga,$gb)")
+      assert(got.getAs[Double]("at_value") == want.getAs[Double]("at_value"), s"($ga,$gb)")
+    }
+  }
+
   test("groupedExactPercentiles: bit-identical to the built-in percentile aggregate") {
     val rnd = new scala.util.Random(23)
     // mixed profile: near-unique doubles, heavy ties, tiny groups
