@@ -24,6 +24,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // every unpartitioned window left in the catalog is constant-
+    // bounded by construction and pinned to an explicit allowlist by
+    // PlanShapeSpec's catalog-wide governance test — silence the
+    // per-instance WindowExec warning so the bench tail stays readable
+    // and a REAL regression surfaces as a test failure, not log spam
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warm the JVM + parquet footers once so per-query numbers measure
     // the plan, not first-touch JIT/IO
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

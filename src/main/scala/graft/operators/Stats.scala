@@ -18,16 +18,20 @@ object Stats {
     * of two `groupCol` populations, plus the location where the supremum
     * is attained (smallest such value).
     *
-    * Scale shape — a two-level prefix sum, no global-order window:
-    *  1. per-distinct-value pair counts: ONE shuffle keyed on the value;
-    *  2. global (lo, hi, n_a, n_b) as a 1-row broadcast;
-    *  3. values bucketed into `bins` fixed-width bins; per-bin totals
-    *     (≤ `bins` rows at ANY scale) get exclusive prefix offsets
-    *     through a constant-size window;
-    *  4. in-bin running sums: one shuffle on the bin id, window state =
+    * Scale shape — a two-level prefix sum, no global-order window AT
+    * ALL (not even over the bin totals):
+    *  1. raw (v, indicator) rows; global (lo, hi, n_a, n_b) as a 1-row
+    *     broadcast; binned rows persisted (they feed two passes);
+    *  2. per-bin totals (≤ `bins` rows at ANY scale) COLLECT to the
+    *     driver and fold into exclusive prefix offsets — the q14
+    *     offsets pattern: a literal-map lookup in a projection replaces
+    *     both the single-partition window and its broadcast join;
+    *  3. in-bin running sums: one shuffle on the bin id, window state =
     *     two scalars; cumulative = bin offset + in-bin running sum.
-    * Parallelism of step 4 is capped at `bins` — raise it with the
+    * Parallelism of step 3 is capped at `bins` — raise it with the
     * distinct-value count (it only needs to exceed the executor count).
+    * The result (one row) materializes eagerly and the bin cache is
+    * released before returning.
     *
     * Determinism: cumulative counts are exact longs; the sup is taken
     * over the INTEGER cross-difference `|cum_a·n_b − cum_b·n_a|`
@@ -38,6 +42,17 @@ object Stats {
     */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String, bins: Int = 1024): DataFrame = {
+    val (result, caches) = ksTestPlan(df, valueCol, groupCol, groupA, groupB, bins)
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The lazy final plan + persisted intermediates (the driver-folded
+    * offsets job runs here), for plan-shape tests. */
+  private[graft] def ksTestPlan(df: DataFrame, valueCol: String, groupCol: String,
+                                groupA: String, groupB: String,
+                                bins: Int): (DataFrame, Seq[DataFrame]) = {
     // raw (v, 0/1, 0/1) rows — no per-value pre-aggregation: real-world
     // measure columns are nearly all-distinct (l_extendedprice: 98%),
     // so a groupBy(v) is a full extra shuffle that buys nothing. Ties
@@ -56,25 +71,32 @@ object Stats {
           .otherwise(least(lit(bins - 1),
             floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
               .cast("int"))))
-    // per-bin totals: ≤ `bins` rows — the single-partition window here
-    // is over a CONSTANT-bounded frame, not the data
-    val wOff = Window.orderBy(col("_bin")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = binned.groupBy(col("_bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-bin totals: ≤ `bins` rows at ANY scale — collected and folded
+    // into exclusive prefix offsets on the driver (the q14 pattern).
+    // This action also materializes the binned cache for the final pass.
+    val totals = binned.groupBy(col("_bin"))
       .agg(sum(col("ca")).as("_ta"), sum(col("cb")).as("_tb"))
-      .select(col("_bin"),
-        coalesce(sum(col("_ta")).over(wOff), lit(0L)).as("_offa"),
-        coalesce(sum(col("_tb")).over(wOff), lit(0L)).as("_offb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def exclusivePrefix(ts: Seq[(Int, Long)]): Map[Int, Long] =
+      ts.scanLeft((-1, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+        .sliding(2).collect { case Seq((_, off), (b, _)) => b -> off }.toMap
+    val offA = exclusivePrefix(totals.map(t => (t._1, t._2)).toSeq)
+    val offB = exclusivePrefix(totals.map(t => (t._1, t._3)).toSeq)
     // RANGE frame: every row's cumulative includes ALL rows with value
     // ≤ its own (peers included), so duplicate values never expose a
     // partial, interleaving-order-dependent cumulative
     val wBin = Window.partitionBy(col("_bin")).orderBy(col("v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = binned.join(broadcast(offsets), "_bin")
+    val cum = binned
       .select(col("v"), col("_na"), col("_nb"),
-        (col("_offa") + sum(col("ca")).over(wBin)).as("_cuma"),
-        (col("_offb") + sum(col("cb")).over(wBin)).as("_cumb"))
+        (coalesce(element_at(typedLit(offA), col("_bin")), lit(0L)) +
+          sum(col("ca")).over(wBin)).as("_cuma"),
+        (coalesce(element_at(typedLit(offB), col("_bin")), lit(0L)) +
+          sum(col("cb")).over(wBin)).as("_cumb"))
       .withColumn("_diff", abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
-    cum.agg(
+    val result = cum.agg(
         max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
         max(col("_diff")).as("_dint"),
         // rows are raw (duplicate values allowed), but the RANGE frame
@@ -87,6 +109,7 @@ object Stats {
         round(col("_dint").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 9).as("d_stat"),
         col("at_value"))
+    (result, Seq(binned))
   }
 
   /** All-pairs two-sample KS matrix: `D = sup_x |F_i(x) − F_j(x)|`
@@ -95,9 +118,10 @@ object Stats {
     *
     * Same two-level prefix decomposition as [[ksTest]], in ONE corpus
     * pass for all pairs: every row carries G indicator columns, so the
-    * bin-offset and in-bin cumulative windows compute all G merged
-    * CDFs simultaneously (G extra sum states in the SAME two window
-    * operators — no per-pair re-scan, no join). The G(G−1)/2 integer
+    * driver-folded bin offsets and the in-bin cumulative window
+    * compute all G merged CDFs simultaneously (G extra sum states in
+    * the SAME window operator — no per-pair re-scan, no join, no
+    * global window). The G(G−1)/2 integer
     * cross-differences are row-local projections; one final aggregate
     * takes each pair's sup and arg-min location, and the single
     * 1×(pairs) row explodes to the output. Groups are driver-collected
@@ -135,17 +159,26 @@ object Stats {
           .otherwise(least(lit(bins - 1),
             floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
               .cast("int"))))
-    val wOff = Window.orderBy(col("_bin")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = binned.groupBy(col("_bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-bin totals driver-folded into exclusive prefix offsets (the
+    // q14 pattern, see ksTest) — ≤ bins × G longs, no global window;
+    // the collect doubles as the action that fills the binned cache
+    val totals = binned.groupBy(col("_bin"))
       .agg(sum(col("_c0")).as("_t0"),
         gi.tail.map(i => sum(col(s"_c$i")).as(s"_t$i")): _*)
-      .select(col("_bin") +: gi.map(i =>
-        coalesce(sum(col(s"_t$i")).over(wOff), lit(0L)).as(s"_off$i")): _*)
+      .collect().map(r => r.getInt(0) -> gi.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val offs: IndexedSeq[Map[Int, Long]] = gi.map { i =>
+      totals.map { case (b, ts) => (b, ts(i)) }
+        .scanLeft((-1, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+        .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toMap
+    }
     val wBin = Window.partitionBy(col("_bin")).orderBy(col("v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = binned.join(broadcast(offsets), "_bin")
+    val cum = binned
       .select(col("v") +: (gi.map(i => col(s"_n$i")) ++ gi.map(i =>
-        (col(s"_off$i") + sum(col(s"_c$i")).over(wBin)).as(s"_cum$i"))): _*)
+        (coalesce(element_at(typedLit(offs(i)), col("_bin")), lit(0L)) +
+          sum(col(s"_c$i")).over(wBin)).as(s"_cum$i"))): _*)
     val pairs = for { i <- gi; j <- gi if i < j } yield (i, j)
     val diffs = cum.select(col("v") +: (gi.map(i => col(s"_n$i")) ++
       pairs.map { case (i, j) =>
@@ -155,7 +188,7 @@ object Stats {
         max(col(s"_d_${i}_$j")).as(s"_m_${i}_$j"),
         max_by(col("v"), struct(col(s"_d_${i}_$j"), -col("v"))).as(s"_at_${i}_$j")) } ++
       gi.map(i => max(col(s"_n$i")).as(s"_nn$i"))
-    diffs.agg(aggs.head, aggs.tail: _*)
+    val out = diffs.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs.map { case (i, j) =>
         struct(lit(groups(i)).as("g_a"), lit(groups(j)).as("g_b"),
           col(s"_nn$i").as("n_a"), col(s"_nn$j").as("n_b"),
@@ -166,6 +199,10 @@ object Stats {
       .select(col("_p.g_a").as("g_a"), col("_p.g_b").as("g_b"),
         col("_p.n_a").as("n_a"), col("_p.n_b").as("n_b"),
         col("_p.d_stat").as("d_stat"), col("_p.at_value").as("at_value"))
+      // pairs-bounded result: materialize and release the bin cache
+      .localCheckpoint(true)
+    binned.unpersist(blocking = false)
+    out
   }
 
   /** Exact interpolated percentiles per group WITHOUT the built-in

@@ -229,15 +229,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges === 1, s"expected one user-key exchange:\n$p")
   }
 
-  test("q141: KS cumulative windows partition by the bin id; offsets broadcast") {
+  test("q141: KS cumulative windows partition by the bin id; NO global window anywhere") {
     // the data-sized window must be keyed on _bin (the two-level prefix
-    // sum); only the ≤`bins`-row offsets frame may use a global window
-    val p = plan("q141_ks_test")
+    // sum); bin offsets are driver-folded literal maps, so not even
+    // the ≤`bins`-row frame plans an unpartitioned window
+    val (result, caches) = operators.Stats.ksTestPlan(
+      spark.read.parquet(s"$d/lineitem.parquet"), "l_extendedprice",
+      "l_returnflag", "R", "A", bins = 1024)
+    val p = result.queryExecution.executedPlan.toString
     assert(p.contains("windowspecdefinition(_bin"),
       s"in-bin cumulative must partition by _bin:\n$p")
-    assert(p.contains("BroadcastExchange"),
-      s"bounds/offsets must broadcast, not shuffle the big side:\n$p")
+    assert(!p.contains("No Partition Defined"), s"global window leaked in:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the final pass must read the binned cache:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no data-sized join anywhere:\n$p")
+    caches.foreach(_.unpersist())
+  }
+
+  test("q141/q159: the public KS operators clean up their own caches") {
+    spark.catalog.clearCache() // earlier tests leave q14-contract caches
+    Queries.byName("q141_ks_test").fn(spark, d).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "ksTest left frames cached")
+    Queries.byName("q159_ks_matrix").fn(spark, d).collect()
+    assert(spark.sharedState.cacheManager.isEmpty, "ksMatrix left frames cached")
   }
 
   test("q143: time-weighted avg shares ONE key exchange between window and agg") {
@@ -283,6 +297,34 @@ class PlanShapeSpec extends SparkSpec {
     Queries.byName("q147_rank_percentiles").fn(spark, d).collect()
     assert(spark.sharedState.cacheManager.isEmpty,
       "groupedExactPercentiles must unpersist gstats/binned/binOff on return")
+  }
+
+  test("catalog-wide: unpartitioned windows appear ONLY on the documented allowlist") {
+    // a windowspecdefinition whose FIRST argument is already a sort
+    // order has no partition keys — it moves all data to one partition.
+    // Every current case is constant-bounded by construction; anything
+    // new must either partition, driver-fold (the q14/ksTest offsets
+    // pattern), or justify itself onto this list.
+    val globalWindow = """windowspecdefinition\([^,)]*\s(ASC|DESC)""".r
+    val allowed = Map(
+      // one row per calendar day: bounded by the timespan, not the data
+      "q154_cusum_changepoint" -> "day-bounded CUSUM series",
+      "q151_kaplan_meier" -> "day-bounded survival grid",
+      // scores snap to micro units -> ≤ 1e6+1 distinct rows at any SF
+      "q149_auc" -> "score-granularity-bounded rank frame",
+      // fixed decile calibration bins (10 rows)
+      "q150_isotonic_calibration" -> "constant 10-bin frame",
+      // integer acctbal buckets (~thousands), then survivor sliver only
+      "q133_skyline" -> "bucket-bounded prefix-max + pruned sliver")
+    val offenders = Queries.all.flatMap { q =>
+      val p = q.fn(spark, d).queryExecution.executedPlan.toString
+      if (globalWindow.findFirstIn(p).isDefined && !allowed.contains(q.name))
+        Some(q.name)
+      else None
+    }
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"unallowlisted single-partition windows in: ${offenders.mkString(", ")}")
   }
 
   /** K8: every pair adjacent — C(8,3)=56 triangles, each node in
