@@ -69,6 +69,48 @@ object Streams {
       round(psi, 6).as("psi"))
   }
 
+  /** Streaming heavy hitters: per event-time window, the top-`topN`
+    * terms by Misra–Gries estimate (the streaming twin of the batch
+    * q79 — "what's trending in the ingest feed right now").
+    *
+    * ONE stateful aggregation: the mergeable
+    * [[graft.operators.Sketches.MisraGries]] Aggregator runs inside
+    * the windowed groupBy, so streaming state is a ≤`capacity`-entry
+    * counter map per open window — bounded regardless of stream
+    * volume or term universe, watermark-evicted. Ranking the single
+    * result map is a stateless array_sort projection (no second
+    * aggregation, no window function).
+    *
+    * Estimate semantics: identical to batch Misra–Gries — exact when a
+    * window's distinct-term count stays ≤ capacity (the parity the
+    * spec pins), within n/capacity under-count otherwise. Above
+    * capacity the surviving counter SET can additionally depend on
+    * micro-batch arrival order (the classic mergeable-sketch caveat —
+    * same as running batch MG under a different partitioning); size
+    * capacity for the tail you care about.
+    */
+  def heavyHittersStream(events: DataFrame, tsCol: String, termCol: String,
+                         windowDur: String, capacity: Int, topN: Int,
+                         watermark: String = "1 hour"): DataFrame = {
+    val agg = udaf(new graft.operators.Sketches.MisraGries(capacity),
+      Encoders.STRING)
+    val ranked = array_sort(map_entries(col("_m")), (a, b) =>
+      when(a.getField("value") > b.getField("value"), -1)
+        .when(a.getField("value") < b.getField("value"), 1)
+        .when(a.getField("key") < b.getField("key"), -1)
+        .when(a.getField("key") > b.getField("key"), 1)
+        .otherwise(0))
+    events.withWatermark(tsCol, watermark)
+      .filter(col(termCol).isNotNull && length(col(termCol)) > 0)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(agg(col(termCol)).as("_m"))
+      .select(col("w.start").as("window_start"),
+        posexplode(slice(ranked, 1, topN)))
+      .select(col("window_start"), col("col.key").as("term"),
+        col("col.value").as("est_count"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Streaming exact dedup: drops re-deliveries of the same key across
     * micro-batches; the watermark bounds the dedup state (keys older
     * than the watermark are evicted, so state is O(keys within the

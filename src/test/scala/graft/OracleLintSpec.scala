@@ -176,33 +176,37 @@ class OracleLintSpec extends AnyFunSuite {
     taint
   }
 
-  /** The final (last top-level) select list's items. */
+  /** ALL top-level select lists' items: every depth-0 SELECT is a
+    * final-query branch (CTE bodies sit inside parens), so this lints
+    * each arm of a UNION ALL output, not just the last one. */
   private def finalItems(sql: String): Seq[String] = {
     val u = sql.toUpperCase
-    var depth = 0; var last = -1; var i = 0
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0; var i = 0
     while (i < sql.length) {
       sql.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
           if (depth == 0 && u.startsWith("SELECT", i) &&
-              (i == 0 || !isIdent(sql.charAt(i - 1)))) last = i
+              (i == 0 || !isIdent(sql.charAt(i - 1)))) starts += i
       }
       i += 1
     }
-    if (last < 0) return Nil
-    var j = last + 6; depth = 0; var end = sql.length
-    while (j < sql.length && end == sql.length) {
-      sql.charAt(j) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && u.startsWith("FROM", j) && !isIdent(sql.charAt(j - 1)))
-            end = j
+    starts.toSeq.flatMap { s =>
+      var j = s + 6; var d = 0; var end = sql.length
+      while (j < sql.length && end == sql.length) {
+        sql.charAt(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+            if (d == 0 && u.startsWith("FROM", j) && !isIdent(sql.charAt(j - 1)))
+              end = j
+        }
+        j += 1
       }
-      j += 1
+      splitItems(sql.substring(s + 6, end))
     }
-    splitItems(sql.substring(last + 6, end))
   }
 
   private def offenders(name: String, sql: String): Seq[String] = {

@@ -79,6 +79,47 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("drift_out").agg(max(col("psi"))).head().getDouble(0) >= 0.0)
   }
 
+  test("heavyHittersStream: windowed top terms equal the batch computation (sub-capacity exact)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // term universe (7 event "types") far below capacity 64 -> the MG
+    // sketch is exact per window, so stream == batch == true counts
+    // regardless of micro-batch arrival order
+    val events = mkEvents(500).map { case (u, ts, id, _, v) =>
+      (u, ts, id, s"term${id % 7}", v)
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = heavyHittersStream(streamDf, "ts", "event_type",
+        "10 minutes", capacity = 64, topN = 3)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    stream.addData(events.take(137))
+    out.processAllAvailable()
+    stream.addData(events.drop(137))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("hh_out").collect().map(_.toSeq).toSet
+    val batchDf = events.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val batch = heavyHittersStream(batchDf, "ts", "event_type",
+        "10 minutes", capacity = 64, topN = 3)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // ranks are 1..3 per window and est_count equals the exact count
+    val exact = batchDf
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    spark.table("hh_out").collect().foreach { r =>
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3)
+      assert(r.getAs[Long]("est_count") ==
+        exact((r.get(0), r.getAs[String]("term"))))
+    }
+  }
+
   test("dedupStream drops cross-batch re-deliveries, keeping state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
