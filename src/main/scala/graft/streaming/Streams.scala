@@ -111,6 +111,34 @@ object Streams {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Streaming windowed distinct-count estimate: per event-time window,
+    * the approximate number of distinct `keyCol` values (unique users /
+    * documents / sources per window) via the mergeable
+    * [[graft.operators.Sketches.KmvDistinct]] sketch.
+    *
+    * State = k longs per open window, watermark-evicted. Unlike the
+    * Misra–Gries stream (whose surviving counter SET can depend on
+    * micro-batch arrival order above capacity), the KMV state is the
+    * SET of the k smallest distinct hashes — a commutative, idempotent
+    * merge — so stream output equals batch output EXACTLY at any
+    * cardinality, not just below the sketch size. Exact (integer)
+    * counts below k distinct; (k−1)/kth-min estimate above.
+    * `keyCol` must be integral (the sketch hashes with the engine's
+    * reproducible splitmix64, the q62 oracle contract); pre-hash other
+    * types with xxhash64 and [[Sketches.kmvDistinctHashed]].
+    */
+  def distinctCountStream(events: DataFrame, tsCol: String, keyCol: String,
+                          windowDur: String, k: Int = 256,
+                          watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .filter(col(keyCol).isNotNull)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.operators.Sketches.kmvDistinct(col(keyCol), k), 4)
+          .as("est_distinct"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("est_distinct"))
+
   /** Streaming exact dedup: drops re-deliveries of the same key across
     * micro-batches; the watermark bounds the dedup state (keys older
     * than the watermark are evicted, so state is O(keys within the

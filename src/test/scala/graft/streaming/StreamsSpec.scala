@@ -120,6 +120,42 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("distinctCountStream: windowed KMV estimates equal batch exactly (order-free merge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(500)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    // k=8 far BELOW the ~42 distinct event_ids per hour window: parity
+    // must hold even in the estimating regime (the k-min set is
+    // order-independent)
+    val out = distinctCountStream(streamDf, "ts", "event_id", "60 minutes", k = 8)
+      .writeStream.format("memory").queryName("dc_out")
+      .outputMode("complete").start()
+    stream.addData(events.take(333))
+    out.processAllAvailable()
+    stream.addData(events.drop(333))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("dc_out").collect().map(_.toSeq).toSet
+    val batchDf = events.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val batch = distinctCountStream(batchDf, "ts", "event_id", "60 minutes", k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // and in the exact regime (k > distinct) the estimate IS the count
+    val exactOut = distinctCountStream(batchDf, "ts", "user_id", "10 minutes", k = 64)
+    val truth = batchDf
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(countDistinct(col("user_id")).cast("double").as("d"))
+      .select(col("w.start"), col("d"))
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    exactOut.collect().foreach { r =>
+      assert(r.getAs[Double]("est_distinct") == truth(r.get(0)))
+    }
+  }
+
   test("dedupStream drops cross-batch re-deliveries, keeping state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
