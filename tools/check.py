@@ -35,13 +35,16 @@ for name, sql in sorted(oracle.items()):
         continue
     # portability lint: the driver's hasher canonicalizes DuckDB HUGEINT
     # (int128) differently from Spark's int64, so an oracle must never
-    # expose one (r7's only reds were exactly this)
+    # expose one (r7's only reds were exactly this); DECIMAL (e.g. from
+    # a bare 0.5 literal reaching the output) diverges from Spark
+    # doubles the same way
     try:
         desc = con.execute(f"DESCRIBE {sql}").fetchall()
-        huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
-        if huge:
-            fails.append((name, f"oracle exposes HUGEINT cols {huge}"))
-            print(f"FAIL {name}  oracle exposes HUGEINT cols {huge}")
+        bad = [(r[0], r[1]) for r in desc
+               if any(t in str(r[1]).upper() for t in ("HUGEINT", "DECIMAL"))]
+        if bad:
+            fails.append((name, f"oracle exposes non-portable cols {bad}"))
+            print(f"FAIL {name}  oracle exposes non-portable cols {bad}")
             continue
     except Exception:
         pass
