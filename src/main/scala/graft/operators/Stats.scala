@@ -136,9 +136,16 @@ object Stats {
     * points, so extra evaluation points never raise the sup and the
     * interval-opening point (an i-or-j sample) always wins the min
     * tie-break.
+    *
+    * `maxGroups` also bounds the PLAN width, not just the collect: the
+    * diff projection is G(G−1)/2 columns wide and the final aggregate
+    * carries two expressions per pair — at G=16 that is 120 pairs /
+    * ~300 agg expressions (comfortably codegen-able); at G=64 it would
+    * be 2016 pairs and Janino starts splitting methods. Raise the cap
+    * explicitly for wider grids, or batch the groups.
     */
   def ksMatrix(df: DataFrame, valueCol: String, groupCol: String,
-               bins: Int = 1024, maxGroups: Int = 64): DataFrame = {
+               bins: Int = 1024, maxGroups: Int = 16): DataFrame = {
     val groups = df.select(col(groupCol).cast("string").as("g"))
       .filter(col("g").isNotNull).distinct()
       .orderBy(col("g")).collect().map(_.getString(0)).toSeq
