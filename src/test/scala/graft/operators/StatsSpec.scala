@@ -34,6 +34,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ksTest/ksMatrix: degenerate constant column (lo == hi) gives D = 0") {
+    // exercises the when(_hi === _lo) single-bin branch the gaussian
+    // fuzz never hits
+    val df = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val r = Stats.ksTest(df, "v", "g", "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 1)
+    assert(r.getAs[Double]("d_stat") == 0.0)
+    assert(r.getAs[Double]("at_value") == 5.0)
+    val m = Stats.ksMatrix(df, "v", "g", bins = 16).collect()(0)
+    assert(m.getAs[Double]("d_stat") == 0.0 && m.getAs[Double]("at_value") == 5.0)
+  }
+
   test("ksMatrix: every pair row matches the dedicated two-sample ksTest") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map { _ =>
