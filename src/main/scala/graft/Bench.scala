@@ -63,13 +63,14 @@ object Bench {
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = Queries.all.filter(q => only.forall(_.contains(q.name))).map { q =>
-      // drop the previous query's leaked cache entries (several
-      // operators persist internal frames — rank structures, adjacency
-      // lists, per-order sets — whose lifetime outlives the query), then
-      // collect garbage, both OUTSIDE the timer: otherwise a heap-heavy
-      // query taxes whichever query runs 20 slots later with GC pauses,
-      // making per-query numbers load-order noise (q129 measured 3.2 s
-      // vs 6.4 s purely by position in the run)
+      // drop the previous query's cache entries (since round 8 almost
+      // every persisting operator releases its own frames — only the
+      // q14/q139/q85 rank structures keep theirs by documented caller-
+      // unpersists contract), then collect garbage, both OUTSIDE the
+      // timer: otherwise a heap-heavy query taxes whichever query runs
+      // 20 slots later with GC pauses, making per-query numbers
+      // load-order noise (q129 measured 3.2 s vs 6.4 s purely by
+      // position in the run)
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
