@@ -2597,7 +2597,11 @@ object Queries {
       (s, d) => {
         val li = lineitem(s, d)
         // two-pass robust clamp: tiny per-group percentile frame
-        // broadcast back over the big scan — the big side never shuffles
+        // broadcast back over the big scan — the big side never shuffles.
+        // Built-in percentile state ∝ distinct values — bench-SF path;
+        // the scale twin is Stats.groupedExactPercentiles (O(bins)
+        // state, bit-identical values by StatsSpec) — the q146/q147
+        // pairing applies here verbatim
         val bounds = li.groupBy(col("l_returnflag"))
           .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("_b"))
           .select(col("l_returnflag"),
