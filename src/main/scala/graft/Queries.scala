@@ -3536,13 +3536,14 @@ object Queries {
           .select(col("b1"), col("b2"), col("support"),
             (col("conf_micro").cast("double") / 1e6).as("confidence"),
             (col("lift_micro").cast("double") / 1e6).as("lift"))
-          // materialize the 25-row result eagerly so the corpus-scale
-          // per-order sets cache is released HERE, not left for a
-          // harness clearCache() (library callers get the same
-          // lifetime the bench sees)
-          .localCheckpoint(true)
+        // the 25-row result collects into a LocalRelation so the
+        // corpus-scale per-order sets cache is released HERE, not left
+        // for a harness clearCache() (library callers get the same
+        // lifetime the bench sees, and the result survives executor
+        // loss)
+        val outL = graft.operators.Ckpt.toLocal(out)
         sets.unpersist(blocking = false)
-        out
+        outL
       },
       Some("""WITH ob AS MATERIALIZED (
              |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b

@@ -435,9 +435,10 @@ object Dedup {
     * ≤ ~5), so this beats the O(log n)-round alternating-star scheme's
     * constant factor; `maxIter` bounds pathological chains, and labels
     * are monotone non-increasing so `sum(label)` is an exact, join-free
-    * convergence certificate. Each round `localCheckpoint`s (eager) to
-    * truncate lineage — without it round k replays all k−1 prior
-    * shuffles.
+    * convergence certificate. Each round eagerly truncates lineage
+    * ([[Ckpt.truncate]] — a reliable checkpoint when the session has a
+    * checkpoint dir, a local one otherwise) — without it round k
+    * replays all k−1 prior shuffles.
     *
     * Graphs at or below `driverEdgeLimit` edges (post-distinct, ≤16 MB
     * at the default 2²⁰) short-circuit to a driver union-find: at that
@@ -452,13 +453,12 @@ object Dedup {
     // of e with its reversal evaluates the (possibly expensive)
     // upstream edge pipeline twice — e.g. q64's near-dup pair
     // generation, its dominant cost
-    val bi = edges
+    val bi = Ckpt.truncate(edges
       .select(explode(array(
         struct(col(srcCol).as("_s"), col(dstCol).as("_d")),
         struct(col(dstCol).as("_s"), col(srcCol).as("_d")))).as("_e"))
       .select(col("_e._s").as("_s"), col("_e._d").as("_d"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // ADAPTIVE: after dedup the near-dup graph is usually tiny relative
     // to the corpus (only documents WITH a duplicate appear). Below the
     // bounded threshold (16 bytes/edge ⇒ ≤ 16 MB at the default), a
@@ -493,9 +493,8 @@ object Dedup {
     // init fuses the first propagation round for free: label(v) =
     // min(v, neighbours(v)) straight off the edge list — one
     // aggregation instead of a distinct + a full join round
-    var labels = bi.groupBy(col("_s").as("id"))
-      .agg(min(least(col("_s"), col("_d"))).as("component"))
-      .localCheckpoint(true)
+    var labels = Ckpt.truncate(bi.groupBy(col("_s").as("id"))
+      .agg(min(least(col("_s"), col("_d"))).as("component")))
     def sumOf(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
     var lastSum = sumOf(labels)
@@ -504,9 +503,8 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val msgs = bi.join(labels, bi("_d") === labels("id"))
         .select(col("_s").as("id"), col("component"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+      val next = Ckpt.truncate(labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component")))
       val s = sumOf(next)
       converged = s == lastSum
       lastSum = s

@@ -59,12 +59,11 @@ object Density {
       .join(coreClusters.select(col("id").as("ib"), col("cluster")), "ib")
       .join(core.select(col("id").as("ia")), Seq("ia"), "left_anti")
       .groupBy(col("ia").as("id")).agg(min(col("cluster")).as("_bc"))
-    val out = pts.select(col("id"))
+    val out = Ckpt.truncate(pts.select(col("id"))
       .join(coreClusters.withColumn("_isc", lit(true)), Seq("id"), "left")
       .join(border, Seq("id"), "left")
       .select(col("id"), coalesce(col("_isc"), lit(false)).as("is_core"),
-        coalesce(col("cluster"), col("_bc"), lit(-1L)).as("cluster"))
-      .localCheckpoint(true)
+        coalesce(col("cluster"), col("_bc"), lit(-1L)).as("cluster")))
     pairs.unpersist(blocking = false)
     out
   }

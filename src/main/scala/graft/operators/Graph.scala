@@ -110,13 +110,12 @@ object Graph {
             coalesce(round(col("_s").cast("double") * lit(0.85)), lit(0.0))
               .cast("long")).as("_r"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        rank = rank.localCheckpoint(true)
+        rank = Ckpt.truncate(rank)
     }
     // node-bounded result: materialize eagerly and release the edge/
     // node caches (the driver branch already cleans up after itself)
-    val out = rank.select(col("_n").as("node"),
-      (col("_r").cast("double") / 1e6).as("rank_micro"))
-      .localCheckpoint(true)
+    val out = Ckpt.truncate(rank.select(col("_n").as("node"),
+      (col("_r").cast("double") / 1e6).as("rank_micro")))
     e.unpersist(blocking = false); nodes.unpersist(blocking = false)
     out
   }
@@ -206,12 +205,12 @@ object Graph {
         .agg(min_by(col("_l"), struct(-col("_vw"), col("_l"))).as("_nl"))
       lab = nodes.join(votes, col("_n") === col("_d"), "left")
         .select(col("_n"), coalesce(col("_nl"), col("_n")).as("_l"))
-      if (i % 4 == 0 && i < iters) lab = lab.localCheckpoint(true)
+      if (i % 4 == 0 && i < iters) lab = Ckpt.truncate(lab)
     }
     // node-bounded result: materialize eagerly and release the caches
     // (the driver branch already cleans up after itself)
-    val out = lab.select(col("_n").as("node"), col("_l").as("label"))
-      .localCheckpoint(true)
+    val out = Ckpt.truncate(
+      lab.select(col("_n").as("node"), col("_l").as("label")))
     e.unpersist(blocking = false); dir.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -247,7 +246,7 @@ object Graph {
   def triangleParticipation(edges: DataFrame, aCol: String, bCol: String,
                             broadcastEdgeLimit: Long = 1L << 22): DataFrame = {
     val (result, caches, _) = triangleParticipationPlan(edges, aCol, bCol, broadcastEdgeLimit)
-    val out = result.localCheckpoint(true)
+    val out = Ckpt.truncate(result)
     caches.foreach(_.unpersist(blocking = false))
     out
   }

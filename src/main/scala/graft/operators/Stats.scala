@@ -19,9 +19,11 @@ object Stats {
     * is attained (smallest such value).
     *
     * Scale shape — a two-level prefix sum, no global-order window AT
-    * ALL (not even over the bin totals):
-    *  1. raw (v, indicator) rows; global (lo, hi, n_a, n_b) as a 1-row
-    *     broadcast; binned rows persisted (they feed two passes);
+    * ALL (not even over the bin totals), and no join anywhere:
+    *  1. one scan folds the global (lo, hi, n_a, n_b) into driver
+    *     literals — a 1-row collect, so the bin expression needs no
+    *     broadcast of a globals frame; binned rows persisted (they
+    *     feed two passes);
     *  2. per-bin totals (≤ `bins` rows at ANY scale) COLLECT to the
     *     driver and fold into exclusive prefix offsets — the q14
     *     offsets pattern: a literal-map lookup in a projection replaces
@@ -30,8 +32,9 @@ object Stats {
     *     two scalars; cumulative = bin offset + in-bin running sum.
     * Parallelism of step 3 is capped at `bins` — raise it with the
     * distinct-value count (it only needs to exceed the executor count).
-    * The result (one row) materializes eagerly and the bin cache is
-    * released before returning.
+    * The 1-row result collects into a driver-held LocalRelation
+    * ([[Ckpt.toLocal]] — survives executor loss, composes lazily) and
+    * the bin cache is released before returning.
     *
     * Determinism: cumulative counts are exact longs; the sup is taken
     * over the INTEGER cross-difference `|cum_a·n_b − cum_b·n_a|`
@@ -43,13 +46,14 @@ object Stats {
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              groupA: String, groupB: String, bins: Int = 1024): DataFrame = {
     val (result, caches) = ksTestPlan(df, valueCol, groupCol, groupA, groupB, bins)
-    val out = result.localCheckpoint(true)
+    val out = Ckpt.toLocal(result)
     caches.foreach(_.unpersist(blocking = false))
     out
   }
 
   /** The lazy final plan + persisted intermediates (the driver-folded
-    * offsets job runs here), for plan-shape tests. */
+    * globals and offsets jobs run here), for plan-shape tests and
+    * callers that want to manage materialization themselves. */
   private[graft] def ksTestPlan(df: DataFrame, valueCol: String, groupCol: String,
                                 groupA: String, groupB: String,
                                 bins: Int): (DataFrame, Seq[DataFrame]) = {
@@ -63,14 +67,23 @@ object Stats {
       .select(col(valueCol).as("v"),
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("ca"),
         when(col(groupCol) === groupB, 1L).otherwise(0L).as("cb"))
-    val globals = rows.agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"),
-      sum(col("ca")).as("_na"), sum(col("cb")).as("_nb"))
-    val binned = rows.crossJoin(broadcast(globals))
+    // global envelope + population sizes: 1 row, folded to driver
+    // literals (binning is any MONOTONE function of v — the cumulative
+    // math below derives offsets from the actual binned data, so the
+    // exact bin boundaries never affect the statistic)
+    val g = rows.agg(min(col("v").cast("double")).as("_lo"),
+      max(col("v").cast("double")).as("_hi"),
+      sum(col("ca")).as("_na"), sum(col("cb")).as("_nb")).head()
+    val empty = g.isNullAt(0)
+    val (lo, hi) = if (empty) (0.0, 0.0) else (g.getDouble(0), g.getDouble(1))
+    val na = if (g.isNullAt(2)) 0L else g.getLong(2)
+    val nb = if (g.isNullAt(3)) 0L else g.getLong(3)
+    val binned = rows
       .withColumn("_bin",
-        when(col("_hi") === col("_lo"), lit(0))
-          .otherwise(least(lit(bins - 1),
-            floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
-              .cast("int"))))
+        if (hi == lo) lit(0)
+        else least(lit(bins - 1),
+          floor((col("v").cast("double") - lit(lo)) / lit(hi - lo) * bins)
+            .cast("int")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-bin totals: ≤ `bins` rows at ANY scale — collected and folded
     // into exclusive prefix offsets on the driver (the q14 pattern).
@@ -90,14 +103,13 @@ object Stats {
     val wBin = Window.partitionBy(col("_bin")).orderBy(col("v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = binned
-      .select(col("v"), col("_na"), col("_nb"),
+      .select(col("v"),
         (coalesce(element_at(typedLit(offA), col("_bin")), lit(0L)) +
           sum(col("ca")).over(wBin)).as("_cuma"),
         (coalesce(element_at(typedLit(offB), col("_bin")), lit(0L)) +
           sum(col("cb")).over(wBin)).as("_cumb"))
-      .withColumn("_diff", abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")))
+      .withColumn("_diff", abs(col("_cuma") * lit(nb) - col("_cumb") * lit(na)))
     val result = cum.agg(
-        max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
         max(col("_diff")).as("_dint"),
         // rows are raw (duplicate values allowed), but the RANGE frame
         // gives every peer of a value the identical cumulative — tied
@@ -105,9 +117,13 @@ object Stats {
         // deterministic; (diff, −v) picks the SMALLEST value among
         // genuine sup ties
         max_by(col("v"), struct(col("_diff"), -col("v"))).as("at_value"))
-      .select(col("n_a"), col("n_b"),
+      .select(
+        // n_a/n_b mirror the pre-fold aggregate semantics: null on an
+        // empty input, the exact counts otherwise
+        (if (empty) lit(null).cast("long") else lit(na)).as("n_a"),
+        (if (empty) lit(null).cast("long") else lit(nb)).as("n_b"),
         round(col("_dint").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 9).as("d_stat"),
+          (lit(na.toDouble) * lit(nb.toDouble)), 9).as("d_stat"),
         col("at_value"))
     (result, Seq(binned))
   }
@@ -116,12 +132,16 @@ object Stats {
     * for EVERY unordered pair of `groupCol` populations — the shape a
     * drift dashboard actually wants (which shards moved vs which?).
     *
-    * Same two-level prefix decomposition as [[ksTest]], in ONE corpus
-    * pass for all pairs: every row carries G indicator columns, so the
+    * Same two-level prefix decomposition as [[ksTest]], computing ALL
+    * pairs together: every row carries G indicator columns, so the
     * driver-folded bin offsets and the in-bin cumulative window
     * compute all G merged CDFs simultaneously (G extra sum states in
     * the SAME window operator — no per-pair re-scan, no join, no
-    * global window). The G(G−1)/2 integer
+    * global window). Total corpus reads: one discovery scan (a single
+    * per-group aggregate that yields the group domain, every nᵢ, and
+    * the global [lo, hi] envelope at once), one binning scan into the
+    * persisted bin frame, and one cached pass for the cumulative
+    * window — independent of the pair count. The G(G−1)/2 integer
     * cross-differences are row-local projections; one final aggregate
     * takes each pair's sup and arg-min location, and the single
     * 1×(pairs) row explodes to the output. Groups are driver-collected
@@ -146,26 +166,50 @@ object Stats {
     */
   def ksMatrix(df: DataFrame, valueCol: String, groupCol: String,
                bins: Int = 1024, maxGroups: Int = 16): DataFrame = {
-    val groups = df.select(col(groupCol).cast("string").as("g"))
-      .filter(col("g").isNotNull).distinct()
-      .orderBy(col("g")).collect().map(_.getString(0)).toSeq
+    val (result, caches) = ksMatrixPlan(df, valueCol, groupCol, bins, maxGroups)
+    // pairs-bounded result: collect into a LocalRelation and release
+    // the bin cache
+    val out = Ckpt.toLocal(result)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The lazy final plan + persisted intermediates (the discovery and
+    * offset-fold jobs run here), for plan-shape tests. */
+  private[graft] def ksMatrixPlan(df: DataFrame, valueCol: String, groupCol: String,
+                                  bins: Int, maxGroups: Int): (DataFrame, Seq[DataFrame]) = {
+    // ONE discovery pass: the per-group (lo, hi, n) aggregate yields
+    // the group domain, every population size, AND the global [lo, hi]
+    // envelope — no separate distinct() scan for the domain and no
+    // globals broadcast (all of it folds to driver literals). A group
+    // whose values are all null has no sample points and is dropped.
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val gstats = base.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(min(col(valueCol).cast("double")).as("_lo"),
+        max(col(valueCol).cast("double")).as("_hi"), count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    val groups = gstats.map(_._1).toSeq
     require(groups.size >= 2, "ksMatrix needs at least two groups")
     require(groups.size <= maxGroups,
       s"${groups.size} groups exceed maxGroups=$maxGroups — a KS grid over a " +
-        "data-scale dimension is a different (all-pairs) problem")
+        "data-scale dimension is a different (all-pairs) problem; for a wider " +
+        "config-scale grid raise maxGroups explicitly or batch the group pairs " +
+        "across passes (see SCALE.md §ksMatrix)")
+    val lo = gstats.map(_._2).min
+    val hi = gstats.map(_._3).max
+    val ns = gstats.map(_._4)
     val gi = groups.indices
-    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val rows = base
       .select(col(valueCol).as("v") +: gi.map(i =>
         when(col(groupCol).cast("string") === groups(i), 1L).otherwise(0L)
           .as(s"_c$i")): _*)
-    val globals = rows.agg(min(col("v")).as("_lo"),
-      max(col("v")).as("_hi") +: gi.map(i => sum(col(s"_c$i")).as(s"_n$i")): _*)
-    val binned = rows.crossJoin(broadcast(globals))
+    val binned = rows
       .withColumn("_bin",
-        when(col("_hi") === col("_lo"), lit(0))
-          .otherwise(least(lit(bins - 1),
-            floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
-              .cast("int"))))
+        if (hi == lo) lit(0)
+        else least(lit(bins - 1),
+          floor((col("v").cast("double") - lit(lo)) / lit(hi - lo) * bins)
+            .cast("int")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-bin totals driver-folded into exclusive prefix offsets (the
     // q14 pattern, see ksTest) — ≤ bins × G longs, no global window;
@@ -183,129 +227,158 @@ object Stats {
     val wBin = Window.partitionBy(col("_bin")).orderBy(col("v"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = binned
-      .select(col("v") +: (gi.map(i => col(s"_n$i")) ++ gi.map(i =>
+      .select(col("v") +: gi.map(i =>
         (coalesce(element_at(typedLit(offs(i)), col("_bin")), lit(0L)) +
-          sum(col(s"_c$i")).over(wBin)).as(s"_cum$i"))): _*)
+          sum(col(s"_c$i")).over(wBin)).as(s"_cum$i")): _*)
     val pairs = for { i <- gi; j <- gi if i < j } yield (i, j)
-    val diffs = cum.select(col("v") +: (gi.map(i => col(s"_n$i")) ++
+    val diffs = cum.select(col("v") +:
       pairs.map { case (i, j) =>
-        abs(col(s"_cum$i") * col(s"_n$j") - col(s"_cum$j") * col(s"_n$i"))
-          .as(s"_d_${i}_$j") }): _*)
+        abs(col(s"_cum$i") * lit(ns(j)) - col(s"_cum$j") * lit(ns(i)))
+          .as(s"_d_${i}_$j") }: _*)
     val aggs = pairs.flatMap { case (i, j) => Seq(
         max(col(s"_d_${i}_$j")).as(s"_m_${i}_$j"),
-        max_by(col("v"), struct(col(s"_d_${i}_$j"), -col("v"))).as(s"_at_${i}_$j")) } ++
-      gi.map(i => max(col(s"_n$i")).as(s"_nn$i"))
-    val out = diffs.agg(aggs.head, aggs.tail: _*)
+        max_by(col("v"), struct(col(s"_d_${i}_$j"), -col("v"))).as(s"_at_${i}_$j")) }
+    val result = diffs.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs.map { case (i, j) =>
         struct(lit(groups(i)).as("g_a"), lit(groups(j)).as("g_b"),
-          col(s"_nn$i").as("n_a"), col(s"_nn$j").as("n_b"),
+          lit(ns(i)).as("n_a"), lit(ns(j)).as("n_b"),
           round(col(s"_m_${i}_$j").cast("double") /
-            (col(s"_nn$i").cast("double") * col(s"_nn$j").cast("double")), 9)
+            (lit(ns(i).toDouble) * lit(ns(j).toDouble)), 9)
             .as("d_stat"),
           col(s"_at_${i}_$j").as("at_value")) }: _*)).as("_p"))
       .select(col("_p.g_a").as("g_a"), col("_p.g_b").as("g_b"),
         col("_p.n_a").as("n_a"), col("_p.n_b").as("n_b"),
         col("_p.d_stat").as("d_stat"), col("_p.at_value").as("at_value"))
-      // pairs-bounded result: materialize and release the bin cache
-      .localCheckpoint(true)
-    binned.unpersist(blocking = false)
-    out
+    (result, Seq(binned))
   }
 
   /** Exact interpolated percentiles per group WITHOUT the built-in
     * `percentile` aggregate's per-group counts map (state ∝ distinct
     * values — at 100 TB of near-unique doubles that map IS the data).
-    * Rank-based two-phase plan instead:
-    *  1. per-(group, fixed-width bin) counts — ONE skinny shuffle,
-    *     agg state ≤ `bins` rows per group;
-    *  2. exclusive bin offsets (per-group window over ≤ `bins` rows)
-    *     locate which bin holds each target order statistic;
-    *  3. ONLY the target bins' rows (≈ n/bins per hit) re-scan into a
-    *     tiny in-bin rank window; everything else never shuffles.
+    * Rank-based plan with every group-/bin-bounded intermediate folded
+    * on the DRIVER (the q14/ksTest offsets pattern):
+    *  1. per-group (lo, hi, n) — one scan, collected (groups rows);
+    *  2. per-(group, bin) counts — one scan of the persisted bin
+    *     frame, collected (≤ groups × `bins` rows at ANY scale); the
+    *     driver folds exclusive offsets and locates, for each target
+    *     order statistic `p·(n−1)` (both bracketing positions), the
+    *     bin that holds it and the in-bin rank it needs;
+    *  3. ONLY the target bins' rows (≈ n/bins per hit, a literal-map
+    *     filter — no join) rank in a tiny (group, bin) window; the
+    *     bracketing values join one broadcast LocalRelation of target
+    *     positions. Everything else never shuffles, and no
+    *     group-/bin-bounded frame ever becomes a Spark-side join
+    *     input.
     * Interpolation mirrors Spark's `Percentile.getPercentile`
     * arithmetic op-for-op — `(higher−index)·lo + (index−lower)·hi`
     * with `index = p·(n−1)` — so results are bit-identical to the
     * built-in (and to DuckDB's `quantile_cont`, which q53 pins equal
     * on this arithmetic).
     *
-    * Returns one row per group: `g`, `p_<i>` value columns in `ps`
-    * order.
+    * Rows with a null group are dropped (matching the built-in
+    * aggregate's join-path behavior for this operator since round 7).
+    * Group keys are matched through their canonical string form —
+    * injective for the atomic types a partition dimension carries.
+    *
+    * Returns one row per group: `g` (original type preserved),
+    * `p_<i>` value columns in `ps` order — collected into a
+    * driver-held LocalRelation (one row per group is summary-sized by
+    * contract), so the operator releases its own corpus-scale cache
+    * and the result survives executor loss.
     */
   def groupedExactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                               ps: Seq[Double], bins: Int = 1024): DataFrame = {
     val (result, caches) = groupedExactPercentilesPlan(df, groupCol, valueCol, ps, bins)
-    // materialize eagerly (one row per group — summary-sized at any
-    // corpus scale) so the operator releases its own caches: library
-    // callers must not depend on a harness-side clearCache() to
-    // reclaim a corpus-scale cached frame
-    val out = result.localCheckpoint(true)
+    val out = Ckpt.toLocal(result)
     caches.foreach(_.unpersist(blocking = false))
     out
   }
 
-  /** The lazy plan + its persisted intermediates, for plan-shape tests
-    * and callers that want to manage cache lifetime themselves. */
+  /** The lazy plan + its persisted intermediates (the driver-side
+    * stats/offset folds run here), for plan-shape tests and callers
+    * that want to manage cache lifetime themselves. */
   private[graft] def groupedExactPercentilesPlan(
       df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], bins: Int = 1024): (DataFrame, Seq[DataFrame]) = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    val rows = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-    // gstats and binOff are group-/bin-bounded (tiny at any data scale)
-    // but DERIVED from full scans — persisted because they feed several
-    // downstream branches (targets, both binned passes, tb, hitBins);
-    // left lazy, each broadcast consumer would replay the whole
-    // upstream scan+shuffle (measured 3.4× on the MAD query).
-    val gstats = rows.groupBy(col("g"))
+    val spark = df.sparkSession
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(groupCol).cast("string").as("_gk"),
+        col(valueCol).cast("double").as("v"))
+    // pass 1: per-group bounds and counts — groups rows, driver-folded
+    val gstats = rows.groupBy(col("_gk"))
       .agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"), count(lit(1)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // binned feeds BOTH the bin-count pass (binOff) and the target-bin
-    // rank pass (ranked): unpersisted, each consumer replays the full
-    // source scan + broadcast join (the round-7 bench's 10 s q147).
-    // Cached, the source is scanned once for gstats and once here —
-    // the floor for range-binning (bounds must exist before bins).
-    // MEMORY_AND_DISK: corpus-sized, spills instead of evicting.
-    val binned = rows.join(broadcast(gstats), "g")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val gIdx: Map[String, Int] = gstats.keys.toSeq.sorted.zipWithIndex.toMap
+    val loM = gstats.map { case (k, (l, _, _)) => k -> l }
+    val hiM = gstats.map { case (k, (_, h, _)) => k -> h }
+    // binned feeds BOTH the bin-count pass and the target-bin rank
+    // pass: unpersisted, each consumer replays the full source scan
+    // (the round-7 bench's 10 s q147). Cached, the source is scanned
+    // once for gstats and once here — the floor for range-binning
+    // (bounds must exist before bins). MEMORY_AND_DISK: corpus-sized,
+    // spills instead of evicting. Bounds ride as literal maps — no
+    // broadcast join.
+    val binned = rows
+      .withColumn("_lo", element_at(typedLit(loM), col("_gk")))
+      .withColumn("_hi", element_at(typedLit(hiM), col("_gk")))
       .withColumn("_bin",
         when(col("_hi") === col("_lo"), lit(0))
           .otherwise(least(lit(bins - 1),
             floor((col("v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)
               .cast("int"))))
-      .select(col("g"), col("v"), col("_bin"))
+      .select(col("g"), col("_gk"), col("v"), col("_bin"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wG = Window.partitionBy(col("g")).orderBy(col("_bin"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val binOff = binned.groupBy(col("g"), col("_bin"))
+    // pass 2: per-(group, bin) counts — ≤ groups × bins rows at ANY
+    // scale, collected and folded on the driver (this action also
+    // fills the binned cache for the final pass)
+    val counts = binned.groupBy(col("_gk"), col("_bin"))
       .agg(count(lit(1)).as("_c"))
-      .withColumn("_off", coalesce(sum(col("_c")).over(wG), lit(0L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // target 0-based order statistics: for each p both bracketing
-    // positions (floor/ceil of p·(n−1)); groups × ps × 2 rows
-    val pArr = typedLit(ps)
-    val targets = gstats.select(col("g"), col("_n"),
-        posexplode(pArr).as(Seq("_pi", "_p")))
-      .withColumn("_idx", col("_p") * (col("_n") - 1).cast("double"))
-      .select(col("g"), col("_pi"), col("_idx"),
-        explode(array(floor(col("_idx")).cast("long"),
-          ceil(col("_idx")).cast("long"))).as("_pos"))
-      .dropDuplicates("g", "_pi", "_pos")
-    // bin containment: _off ≤ pos < _off + _c  (both frames are small)
-    val tb = targets.join(broadcast(binOff),
-      targets("g") === binOff("g") && col("_pos") >= col("_off") &&
-        col("_pos") < col("_off") + col("_c"))
-      .select(targets("g"), col("_pi"), col("_idx"), col("_pos"),
-        col("_bin"), col("_off"))
-    val hitBins = tb.select(col("g"), col("_bin")).distinct()
-    // in-bin rank over ONLY the hit bins (≈ n/bins rows per hit): the
-    // window partition is (g, bin) — thousands of small partitions
-    val wBin = Window.partitionBy(col("g"), col("_bin")).orderBy(col("v"))
-    val ranked = binned.join(broadcast(hitBins), Seq("g", "_bin"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // driver fold: exclusive bin offsets per group, then for each
+    // target order statistic the (bin, in-bin rank) that holds it
+    val offsets: Map[String, IndexedSeq[(Int, Long, Long)]] =
+      counts.groupBy(_._1).map { case (gk, cs) =>
+        var acc = 0L
+        gk -> cs.sortBy(_._2).map { case (_, b, c) =>
+          val o = acc; acc += c; (b, o, c)
+        }.toIndexedSeq
+      }
+    val hitKeys = scala.collection.mutable.Set.empty[Long]    // gIdx·bins + bin
+    val targetRows = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Int, Double)]
+    for ((gk, (_, _, n)) <- gstats; (p, pi) <- ps.zipWithIndex) {
+      val idx = p * (n - 1).toDouble
+      val positions = Set(math.floor(idx).toLong, math.ceil(idx).toLong)
+      for (pos <- positions) {
+        val (b, off, _) = offsets(gk)
+          .find(t => pos >= t._2 && pos < t._2 + t._3)
+          .getOrElse(offsets(gk).last)
+        hitKeys += gIdx(gk).toLong * bins + b
+        targetRows += ((gk, b, pos - off, pi, idx))
+      }
+    }
+    // in-bin rank over ONLY the hit bins (≈ n/bins rows per hit,
+    // selected by a literal-map filter on the composite gIdx·bins+bin
+    // key — collision-free because _bin < bins): the window partition
+    // is (group, bin) — thousands of small partitions
+    val hitM: Map[Long, Boolean] = hitKeys.iterator.map(_ -> true).toMap
+    val wBin = Window.partitionBy(col("_gk"), col("_bin")).orderBy(col("v"))
+    val ranked = binned
+      .filter(element_at(typedLit(hitM),
+        element_at(typedLit(gIdx), col("_gk")).cast("long") * bins + col("_bin"))
+        .isNotNull)
       .withColumn("_rk", row_number().over(wBin).cast("long") - 1)
-    val vals = ranked.join(broadcast(tb.select(col("g").as("tg"), col("_pi"),
-        col("_idx"), col("_pos"), col("_bin").as("tbin"), col("_off"))),
-      col("g") === col("tg") && col("_bin") === col("tbin") &&
-        col("_rk") === col("_pos") - col("_off"))
-      .select(col("g"), col("_pi"), col("_idx"), col("_pos"), col("v"))
+    // the target positions are a driver-built LocalRelation (groups ×
+    // ps × ≤2 rows) broadcast against the ranked sliver
+    import spark.implicits._
+    val targets = targetRows.toSeq
+      .toDF("_tgk", "_tbin", "_trk", "_pi", "_idx")
+    val vals = ranked.join(broadcast(targets),
+      col("_gk") === col("_tgk") && col("_bin") === col("_tbin") &&
+        col("_rk") === col("_trk"))
+      .select(col("g"), col("_pi"), col("_idx"), col("v"))
     // fold the ≤2 bracketing values into Spark's interpolation formula
     val interp = vals.groupBy(col("g"), col("_pi"), col("_idx"))
       .agg(min(col("v")).as("_vlo"), max(col("v")).as("_vhi"))
@@ -318,7 +391,7 @@ object Stats {
       .pivot("_pi", ps.indices.map(i => i: Any).toSeq)
       .agg(first(col("_val")))
       .select(col("g") +: ps.indices.map(i => col(i.toString).as(s"p_$i")): _*)
-    (result, Seq(gstats, binned, binOff))
+    (result, Seq(binned))
   }
 
   /** Per-key time-weighted average of a step function: each observation

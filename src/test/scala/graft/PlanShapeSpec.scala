@@ -327,9 +327,28 @@ class PlanShapeSpec extends SparkSpec {
       if (hasGlobalWindow(p) && !allowed.contains(q.name)) Some(q.name)
       else None
     }
+    // EAGER operators (collect-to-LocalRelation / lineage-truncating)
+    // return a plan the sweep above can't see into — their internal
+    // windows are inspected through the private[graft] *Plan variants
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val lazyPlans = Seq(
+      ("q141_ks_test(plan)",
+        operators.Stats.ksTestPlan(li, "l_extendedprice", "l_returnflag",
+          "R", "A", 1024)),
+      ("q159_ks_matrix(plan)",
+        operators.Stats.ksMatrixPlan(li, "l_extendedprice", "l_returnflag",
+          1024, 16)),
+      ("q147_rank_percentiles(plan)",
+        operators.Stats.groupedExactPercentilesPlan(li, "l_returnflag",
+          "l_extendedprice", Seq(0.05, 0.5, 0.95))))
+    val lazyOffenders = lazyPlans.flatMap { case (name, (result, caches)) =>
+      val p = result.queryExecution.executedPlan.toString
+      caches.foreach(_.unpersist())
+      if (hasGlobalWindow(p)) Some(name) else None
+    }
     spark.catalog.clearCache()
-    assert(offenders.isEmpty,
-      s"unallowlisted single-partition windows in: ${offenders.mkString(", ")}")
+    assert((offenders ++ lazyOffenders).isEmpty,
+      s"unallowlisted single-partition windows in: ${(offenders ++ lazyOffenders).mkString(", ")}")
   }
 
   /** K8: every pair adjacent — C(8,3)=56 triangles, each node in

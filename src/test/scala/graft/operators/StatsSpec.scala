@@ -46,6 +46,16 @@ class StatsSpec extends SparkSpec {
     assert(m.getAs[Double]("d_stat") == 0.0 && m.getAs[Double]("at_value") == 5.0)
   }
 
+  test("ksMatrix: exceeding maxGroups names the cap and points at the batching recipe") {
+    val df = (1 to 40).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.ksMatrix(df, "v", "g", bins = 16, maxGroups = 16)
+    }
+    assert(e.getMessage.contains("maxGroups=16"), e.getMessage)
+    assert(e.getMessage.contains("SCALE.md"),
+      s"the error must point a wide-grid user at the documented batching recipe: ${e.getMessage}")
+  }
+
   test("ksMatrix: every pair row matches the dedicated two-sample ksTest") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map { _ =>
