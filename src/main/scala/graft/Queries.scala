@@ -2597,15 +2597,18 @@ object Queries {
       (s, d) => {
         val li = lineitem(s, d)
         // two-pass robust clamp: tiny per-group percentile frame
-        // broadcast back over the big scan — the big side never shuffles.
-        // Built-in percentile state ∝ distinct values — bench-SF path;
-        // the scale twin is Stats.groupedExactPercentiles (O(bins)
-        // state, bit-identical values by StatsSpec) — the q146/q147
-        // pairing applies here verbatim
-        val bounds = li.groupBy(col("l_returnflag"))
-          .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("_b"))
-          .select(col("l_returnflag"),
-            element_at(col("_b"), 1).as("_lo"), element_at(col("_b"), 2).as("_hi"))
+        // broadcast back over the big scan — the big side never
+        // shuffles. Bounds come from the RANK-BASED percentile path
+        // (O(bins) agg state at any scale — the built-in percentile's
+        // counts map is ∝ distinct values, which on a 100-TB
+        // near-unique column IS the data); values are bit-identical to
+        // the built-in by StatsSpec, so the quantile_cont oracle is
+        // unchanged. q53/q63 stay on the built-in as the documented
+        // engine-parity pins.
+        val bounds = Stats.groupedExactPercentiles(li, "l_returnflag",
+            "l_extendedprice", Seq(0.05, 0.95))
+          .select(col("g").as("l_returnflag"),
+            col("p_0").as("_lo"), col("p_1").as("_hi"))
         li.join(broadcast(bounds), Seq("l_returnflag"))
           // round(4) pins clamped values onto a grid both engines agree
           // on before the order-unspecified sum (q53 establishes the
@@ -4050,17 +4053,25 @@ object Queries {
       (s, d) => {
         val li = lineitem(s, d)
         // median absolute deviation: q104's two-pass broadcast-bounds
-        // shape. The built-in percentile's counts-map state is fine at
-        // bench SF; q147 is the rank-based scale path for the same
-        // statistic family (bit-identical interpolation, O(bins) state)
-        val med = li.groupBy(col("l_returnflag"))
-          .agg(expr("percentile(l_extendedprice, 0.5)").as("_med"))
-        li.join(broadcast(med), Seq("l_returnflag"))
+        // shape, BOTH medians on the rank-based percentile path
+        // (O(bins) agg state — see q104; bit-identical to the built-in
+        // by StatsSpec, so the quantile_cont oracle is unchanged).
+        // The deviation median re-derives the deviation column in the
+        // operator's two passes — the price of exact two-level
+        // statistics; at cluster scale persist `dev` before the call.
+        val med = Stats.groupedExactPercentiles(li, "l_returnflag",
+            "l_extendedprice", Seq(0.5))
+          .select(col("g").as("l_returnflag"), col("p_0").as("_med"))
+        val dev = li.join(broadcast(med), Seq("l_returnflag"))
           .select(col("l_returnflag"),
             abs(col("l_extendedprice") - col("_med")).as("_adev"), col("_med"))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), round(max(col("_med")), 4).as("median"),
-            round(expr("percentile(_adev, 0.5)"), 4).as("mad"))
+        val mad = Stats.groupedExactPercentiles(dev, "l_returnflag",
+            "_adev", Seq(0.5))
+          .select(col("g").as("l_returnflag"), round(col("p_0"), 4).as("mad"))
+        dev.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(max(col("_med")), 4).as("median"))
+          .join(broadcast(mad), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"), col("median"), col("mad"))
       },
       Some("""WITH m AS (
              |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
