@@ -69,6 +69,72 @@ object Streams {
       round(psi, 6).as("psi"))
   }
 
+  /** Streaming two-sample Kolmogorov–Smirnov drift monitor: per
+    * event-time window, `D = sup_x |F_win(x) − F_base(x)|` between the
+    * window's `valueCol` distribution and a BROADCAST baseline
+    * histogram on the same fixed grid (per-bin counts, e.g. last
+    * month's batch profile binned once) — the KS companion to
+    * [[driftStream]]'s PSI, reusing [[graft.operators.Stats.ksTest]]'s
+    * binned-CDF decomposition.
+    *
+    * ONE stateful aggregation, state = `bins` longs per open window
+    * (the same conditional-sum array as [[driftStream]]),
+    * watermark-evicted. The CDF fold is a STATELESS projection of
+    * constant plan size: cumulative window counts come from a
+    * `transform(sequence, aggregate(slice))` higher-order expression
+    * (runtime O(bins²) per emitted window row — window rows are few),
+    * the baseline cumulative rides as a literal array, and the sup is
+    * the same exact integer cross-difference
+    * `max_k |cumW_k·n_b − cumB_k·n_win|` as the batch operator, taken
+    * at the SMALLEST attaining bin (`array_position` finds the first
+    * maximum).
+    *
+    * Exactness contract: when every value lies on a bin lower edge
+    * (grid-quantized scores, integer counts, micro-units — with
+    * `lo + k·(hi−lo)/bins` exactly representable), both empirical CDFs
+    * are constant inside every bin, so the binned sup IS the exact
+    * two-sample statistic and `d_stat`/`at_value` equal
+    * `Stats.ksTest` on the union of window rows and baseline sample
+    * (the parity StreamsSpec pins). Off-grid values bin-quantize the
+    * evaluation points: `d_stat` then underestimates by at most the
+    * largest within-bin CDF movement — size `bins` to the resolution
+    * the alert threshold needs.
+    */
+  def ksStream(events: DataFrame, tsCol: String, valueCol: String,
+               windowDur: String, lo: Double, hi: Double, bins: Int,
+               baselineBins: Array[Long],
+               watermark: String = "1 hour"): DataFrame = {
+    require(baselineBins.length == bins,
+      s"baselineBins must have one count per bin ($bins)")
+    require(baselineBins.forall(_ >= 0L))
+    val nB = baselineBins.sum
+    require(nB > 0L, "baseline histogram is empty")
+    val cumB: Seq[Long] = baselineBins.scanLeft(0L)(_ + _).tail.toSeq
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("int")))
+    val counts = events.withWatermark(tsCol, watermark)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_b", bin)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("total"),
+        array((0 until bins).map(i =>
+          sum(when(col("_b") === i, 1L).otherwise(0L))): _*).as("ns"))
+    val cumW = transform(sequence(lit(1), lit(bins)),
+      k => aggregate(slice(col("ns"), lit(1), k), lit(0L), (a, x) => a + x))
+    val diffs = zip_with(cumW, typedLit(cumB),
+      (wc, bc) => abs(wc * lit(nB) - bc * col("total")))
+    val step = (hi - lo) / bins
+    counts
+      .withColumn("_diffs", diffs)
+      .withColumn("_dint", array_max(col("_diffs")))
+      .select(col("w.start").as("window_start"),
+        col("total").as("n_win"), lit(nB).as("n_base"),
+        round(col("_dint").cast("double") /
+          (col("total").cast("double") * lit(nB.toDouble)), 9).as("d_stat"),
+        (lit(lo) + (array_position(col("_diffs"), col("_dint")) - 1) *
+          lit(step)).as("at_value"))
+  }
+
   /** Streaming heavy hitters: per event-time window, the top-`topN`
     * terms by Misra–Gries estimate (the streaming twin of the batch
     * q79 — "what's trending in the ingest feed right now").

@@ -79,6 +79,53 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("drift_out").agg(max(col("psi"))).head().getDouble(0) >= 0.0)
   }
 
+  test("ksStream: stream == batch, and on-grid windows equal Stats.ksTest exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // grid-quantized values (integers 0..15 on a [0,16)/16-bin grid):
+    // the documented exactness contract — binned D IS the exact D
+    val events = (0 until 480).map { i =>
+      val ts = new java.sql.Timestamp(1700000000000L + (i / 240) * 600000L + (i % 5) * 1000L)
+      // first window roughly uniform, second window right-shifted
+      val v = if (i < 240) (i % 16).toDouble else (8 + (i % 8)).toDouble
+      (i.toLong, ts, v)
+    }
+    // baseline: uniform-ish histogram over the same 16 bins
+    val baselineSample = (0 until 320).map(i => (i % 16).toDouble)
+    val baselineBins = Array.tabulate(16)(b => baselineSample.count(_ == b).toLong)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val streamDf = stream.toDF().toDF("event_id", "ts", "value")
+    val out = ksStream(streamDf, "ts", "value", "10 minutes",
+        lo = 0.0, hi = 16.0, bins = 16, baselineBins = baselineBins)
+      .writeStream.format("memory").queryName("ks_out")
+      .outputMode("complete").start()
+    stream.addData(events.take(200))
+    out.processAllAvailable()
+    stream.addData(events.drop(200))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("ks_out").collect().map(_.toSeq).toSet
+    val batchDf = events.toDF("event_id", "ts", "value")
+    val batch = ksStream(batchDf, "ts", "value", "10 minutes",
+        0.0, 16.0, 16, baselineBins)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 2)
+    // per-window exact parity with the batch two-sample operator on
+    // the union of that window's rows and the baseline sample
+    for (w <- Seq(0, 1)) {
+      val winRows = events.filter(_._2.getTime / 600000L % 2 == w).map(_._3)
+      val union = (winRows.map(("w", _)) ++ baselineSample.map(("b", _))).toDF("g", "v")
+      val want = graft.operators.Stats.ksTest(union, "v", "g", "w", "b").head()
+      val got = spark.table("ks_out")
+        .filter(col("window_start").cast("long") / 600 % 2 === w).head()
+      assert(got.getAs[Long]("n_win") === want.getAs[Long]("n_a"), s"window $w")
+      assert(got.getAs[Long]("n_base") === want.getAs[Long]("n_b"), s"window $w")
+      assert(got.getAs[Double]("d_stat") === want.getAs[Double]("d_stat"), s"window $w")
+      assert(got.getAs[Double]("at_value") === want.getAs[Double]("at_value"), s"window $w")
+    }
+  }
+
   test("heavyHittersStream: windowed top terms equal the batch computation (sub-capacity exact)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

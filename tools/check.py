@@ -46,8 +46,11 @@ for name, sql in sorted(oracle.items()):
             fails.append((name, f"oracle exposes non-portable cols {bad}"))
             print(f"FAIL {name}  oracle exposes non-portable cols {bad}")
             continue
-    except Exception:
-        pass
+    except Exception as e:
+        # a failed DESCRIBE means the HUGEINT/DECIMAL gate did NOT run
+        # for this oracle — say so instead of silently passing, so a
+        # disabled gate is visible in the output
+        print(f"WARN {name}  type lint skipped (DESCRIBE failed: {e})")
     sdf = sdf.reindex(sorted(sdf.columns), axis=1)
     odf = odf.reindex(sorted(odf.columns), axis=1)
     ok = True
