@@ -276,13 +276,18 @@ object Queries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          // money sums are cents-graded longs before the order-
+          // unspecified aggregation (exact, partition-order-free); the
+          // 10x scale check showed a rounded-double sum drifting past
+          // the output rounding at multi-million-row groups
+          round(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100.0, 2).as("sum_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("n"),
           min(to_date(col("l_shipdate"))).as("first_ship"),
           max(to_date(col("l_shipdate"))).as("last_ship")),
       Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-             |round(sum(l_extendedprice), 2) AS sum_price, avg(l_quantity) AS avg_qty,
+             |round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price, avg(l_quantity) AS avg_qty,
              |count(*) AS n, CAST(min(l_shipdate) AS DATE) AS first_ship,
              |CAST(max(l_shipdate) AS DATE) AS last_ship
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
@@ -302,8 +307,11 @@ object Queries {
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal")),
-      Some("""SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(round(col("c_acctbal") * 100).cast("long"))
+            .cast("double") / 100.0, 2).as("sum_bal")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+             |round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_bal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name, n_name""".stripMargin),
@@ -327,13 +335,15 @@ object Queries {
         orders(s, d).createOrReplaceTempView("v_orders")
         customer(s, d).createOrReplaceTempView("v_customer")
         s.sql("""SELECT c_mktsegment, o_orderpriority,
-                 count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+                 count(*) AS n,
+                 round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
                  FROM v_orders JOIN v_customer ON o_custkey = c_custkey
                  WHERE o_orderdate < DATE '1997-01-01'
                  GROUP BY c_mktsegment, o_orderpriority""")
       },
       Some("""SELECT c_mktsegment, o_orderpriority,
-             |count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+             |count(*) AS n,
+             |round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderdate < DATE '1997-01-01'
              |GROUP BY c_mktsegment, o_orderpriority""".stripMargin),
@@ -711,9 +721,12 @@ object Queries {
       (s, d) => events(s, d)
         .groupBy(to_date(col("ts")).as("day"),
           hour(col("ts")).cast("long").as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 100).cast("long"))
+            .cast("double") / 100.0, 2).as("sum_value")),
       Some("""SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr, event_type,
-             |count(*) AS n, round(sum(value), 2) AS sum_value
+             |count(*) AS n,
+             |round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
              |FROM events GROUP BY 1, 2, 3""".stripMargin),
       "tumbling-window agg (batch equivalent of streaming window)"),
 
@@ -2507,10 +2520,11 @@ object Queries {
       (s, d) => orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          round(sum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("double") / 100.0, 2).as("sum_price"),
           grouping_id().cast("long").as("gid")),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             |round(sum(o_totalprice), 2) AS sum_price,
+             |round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price,
              |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
       "CUBE grouping sets with GROUPING_ID (single-pass partial-agg expansion)"),
@@ -2610,14 +2624,18 @@ object Queries {
           .select(col("g").as("l_returnflag"),
             col("p_0").as("_lo"), col("p_1").as("_hi"))
         li.join(broadcast(bounds), Seq("l_returnflag"))
-          // round(4) pins clamped values onto a grid both engines agree
-          // on before the order-unspecified sum (q53 establishes the
-          // interpolated percentiles themselves are bit-identical)
+          // clamped values snap to exact 1e-4 integer units BEFORE the
+          // order-unspecified sum (the repo-wide integer-grading
+          // contract): a rounded DOUBLE grid is NOT enough — at 6M+
+          // rows the partition-order-dependent FP accumulation drifts
+          // past the output rounding and desyncs from the oracle (the
+          // 10x scale check caught exactly that)
           .select(col("l_returnflag"),
             round(greatest(col("_lo"), least(col("_hi"), col("l_extendedprice"))), 4).as("_w"))
+          .withColumn("_wi", round(col("_w") * 10000).cast("long"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("_w")), 2).as("sum_w"),
+            round(sum(col("_wi")).cast("double") / 10000.0, 2).as("sum_w"),
             round(min(col("_w")), 4).as("min_w"),
             round(max(col("_w")), 4).as("max_w"))
       },
@@ -2631,7 +2649,8 @@ object Queries {
              |    round(greatest(b.lo, least(b.hi, l.l_extendedprice)), 4) AS w
              |  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
              |)
-             |SELECT l_returnflag, count(*) AS n, round(sum(w), 2) AS sum_w,
+             |SELECT l_returnflag, count(*) AS n,
+             |  round(CAST(sum(CAST(round(w * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS sum_w,
              |  round(min(w), 4) AS min_w, round(max(w), 4) AS max_w
              |FROM w GROUP BY l_returnflag""".stripMargin),
       "winsorized (percentile-clamped) aggregation — robust outlier handling, two-pass broadcast"),
@@ -3957,7 +3976,9 @@ object Queries {
           .select(bin.cast("long").as("bin"), col("o_totalprice").as("v"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n"), round(min(col("v")), 2).as("min_v"),
-            round(max(col("v")), 2).as("max_v"), round(sum(col("v")), 2).as("sum_v"))
+            round(max(col("v")), 2).as("max_v"),
+            round(sum(round(col("v") * 100).cast("long"))
+              .cast("double") / 100.0, 2).as("sum_v"))
       },
       Some {
         val cases = (1 to 9).map(i =>
@@ -3967,7 +3988,8 @@ object Queries {
            |b AS (SELECT CAST(1 + $cases AS BIGINT) AS bin, o_totalprice AS v
            |      FROM orders, e)
            |SELECT bin, count(*) AS n, round(min(v), 2) AS min_v,
-           |  round(max(v), 2) AS max_v, round(sum(v), 2) AS sum_v
+           |  round(max(v), 2) AS max_v,
+           |  round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_v
            |FROM b GROUP BY bin""".stripMargin
       },
       "equal-frequency decile binning (broadcast interpolated edges, comparison-sum assignment, per-bin profile)"),

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve dataset generator: writes a `factor`× replica of a
+  * testdata directory that preserves each table's DISTRIBUTIONAL shape,
+  * so wall-time ratios between the source and the replica measure the
+  * operators' scaling behavior rather than a changed workload
+  * (SCALE.md's measurement harness).
+  *
+  * Replication rules:
+  *  - `lineitem` / `orders`: `factor` copies with the order key offset
+  *    by replica × 1e9 — join consistency with each other is preserved,
+  *    dimension keys (part/supplier/customer/nation) are untouched, so
+  *    per-order baskets, value histograms, and the key-space-bounded
+  *    trade graphs replicate exactly.
+  *  - `documents`: doc_id offset the same way; the TEXT of replica i
+  *    goes through a per-replica alphanumeric substitution cipher
+  *    (`translate` with a rotated alphabet). A cipher is a bijection on
+  *    token space: every within-replica shingle-set relation (n-gram
+  *    Jaccard, minhash bands, containment) is preserved EXACTLY, while
+  *    cross-replica token overlap vanishes — so near-dup structure
+  *    replicates as `factor` disjoint copies instead of artificial
+  *    cross-replica cliques (which would quadratically inflate pair
+  *    volume and measure a different problem).
+  *  - everything else (dimensions, events, embeddings): copied as-is.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <factor>
+  */
+object ScaleGen {
+  private val lowerDigits = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  private def rotated(s: String, k: Int): String =
+    s.drop(k % s.length) + s.take(k % s.length)
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val offset = 1000000000L
+    def replicate(t: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => per(t, i)).reduce(_ unionByName _)
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    write(replicate(li)((d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * offset))), "lineitem")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    write(replicate(ord)((d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * offset))), "orders")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    write(replicate(docs) { (d, i) =>
+      val from = lowerDigits + upper
+      val to = rotated(lowerDigits, i) + rotated(upper, i)
+      d.withColumn("doc_id", col("doc_id") + lit(i * offset))
+        .withColumn("text", translate(col("text"), from, to))
+    }, "documents")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "events", "embeddings")) {
+      val p = new java.io.File(s"$src/$t.parquet")
+      if (p.exists) write(spark.read.parquet(p.getPath), t)
+    }
+    println(s"""{"scaled":"$dst","factor":$factor}""")
+    spark.stop()
+  }
+}

@@ -13,7 +13,9 @@ con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written multi-part table (ScaleGen output)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 fails = []
