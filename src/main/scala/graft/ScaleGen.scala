@@ -72,10 +72,18 @@ object ScaleGen {
         .withColumn("text", translate(col("text"), from, to))
     }, "documents")
 
+    // unchanged tables are BYTE-copied, not rewritten through Spark: a
+    // read/write round-trip rewrites the parquet logical types (the
+    // driver's nanosecond timestamps, read as longs under
+    // `nanosAsLong`, come back out as plain BIGINT) and the DuckDB
+    // oracle side then sees a different schema than at the source SF
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
                   "events", "embeddings")) {
-      val p = new java.io.File(s"$src/$t.parquet")
-      if (p.exists) write(spark.read.parquet(p.getPath), t)
+      val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+      if (java.nio.file.Files.exists(from))
+        java.nio.file.Files.copy(from,
+          java.nio.file.Paths.get(s"$dst/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     println(s"""{"scaled":"$dst","factor":$factor}""")
     spark.stop()

@@ -56,6 +56,39 @@ class StatsSpec extends SparkSpec {
       s"the error must point a wide-grid user at the documented batching recipe: ${e.getMessage}")
   }
 
+  test("ksMatrix: the SCALE.md batching recipe reproduces the single wide pass exactly") {
+    // pins the documented G > maxGroups escape hatch (SCALE.md §ksMatrix):
+    // batch the groups, run ksMatrix per batch pair, keep cross-batch
+    // pairs only off the diagonal — the union must equal one wide pass
+    val rnd = new scala.util.Random(31)
+    val groups = (0 until 6).map(i => s"g$i")
+    val rows = (1 to 900).map { _ =>
+      val g = groups(rnd.nextInt(groups.size))
+      (g, math.round((rnd.nextGaussian() + g.last.asDigit * 0.3) * 1e3) / 1e3)
+    }
+    val df = rows.toDF("g", "v")
+    val wide = Stats.ksMatrix(df, "v", "g", bins = 64, maxGroups = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+
+    val batches = groups.grouped(2).toSeq
+    val parts =
+      (for (i <- batches.indices; j <- i until batches.size) yield {
+        val keep = batches(i) ++ batches(j)
+        Stats.ksMatrix(df.filter(col("g").isin(keep: _*)), "v", "g", bins = 64)
+          .filter(if (i == j) lit(true)
+                  else !(col("g_a").isin(batches(i): _*) &&
+                         col("g_b").isin(batches(i): _*)) &&
+                       !(col("g_a").isin(batches(j): _*) &&
+                         col("g_b").isin(batches(j): _*)))
+      }).reduce(_ unionByName _)
+    val batched = parts.collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+
+    assert(batched.keySet == wide.keySet,
+      s"pair coverage differs: ${batched.keySet} vs ${wide.keySet}")
+    assert(batched.size == groups.size * (groups.size - 1) / 2)
+    for ((k, want) <- wide) assert(batched(k) == want, s"pair $k")
+  }
+
   test("ksMatrix: every pair row matches the dedicated two-sample ksTest") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map { _ =>

@@ -10,6 +10,10 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 
 con = duckdb.connect()
+# cap DuckDB's thread pool when sharding checks across processes
+# (e.g. the SCALE.md 10x run): CHECK_THREADS=8 python3 tools/check.py ...
+if os.environ.get("CHECK_THREADS"):
+    con.execute(f"SET threads TO {int(os.environ['CHECK_THREADS'])}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf}/{t}.parquet"
