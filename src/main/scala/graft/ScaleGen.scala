@@ -64,6 +64,20 @@ object ScaleGen {
     write(replicate(ord)((d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * offset))), "orders")
 
+    // events replicate by offsetting user_id/event_id: every event-time
+    // operator in the catalog partitions by user (sessions, funnels,
+    // retention cohorts, as-of grids) or aggregates across users with
+    // integer-graded sums, so `factor` disjoint user populations over
+    // the SAME time range replicate the workload's window structure
+    // exactly. `ts` is read under nanosAsLong and written back as the
+    // raw ns long — tools/check.py rebuilds the DuckDB view with
+    // make_timestamp(ts // 1000), the same exact truncation Spark's
+    // loader applies (`ts div 1000`).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    write(replicate(ev)((d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * offset))
+        .withColumn("user_id", col("user_id") + lit(i * offset))), "events")
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     write(replicate(docs) { (d, i) =>
       val from = lowerDigits + upper
@@ -78,7 +92,7 @@ object ScaleGen {
     // `nanosAsLong`, come back out as plain BIGINT) and the DuckDB
     // oracle side then sees a different schema than at the source SF
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "events", "embeddings")) {
+                  "embeddings")) {
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       if (java.nio.file.Files.exists(from))
         java.nio.file.Files.copy(from,

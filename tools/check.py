@@ -14,13 +14,25 @@ con = duckdb.connect()
 # (e.g. the SCALE.md 10x run): CHECK_THREADS=8 python3 tools/check.py ...
 if os.environ.get("CHECK_THREADS"):
     con.execute(f"SET threads TO {int(os.environ['CHECK_THREADS'])}")
+def view_sql(t, src):
+    # ScaleGen keeps events.ts in the source's ns-as-long layout (a
+    # Spark rewrite can't emit TIMESTAMP(NANOS)); rebuild the timestamp
+    # with the EXACT truncation Spark's loader applies (`ts div 1000`)
+    if t == "events":
+        types = {r[0]: r[1] for r in
+                 con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()}
+        if types.get("ts") == "BIGINT":
+            return (f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
+    return f"CREATE VIEW {t} AS SELECT * FROM {src}"
+
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf}/{t}.parquet"
     if os.path.isdir(p):  # Spark-written multi-part table (ScaleGen output)
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        con.execute(view_sql(t, f"'{p}/*.parquet'"))
     elif os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        con.execute(view_sql(t, f"'{p}'"))
 
 fails = []
 for name, sql in sorted(oracle.items()):
