@@ -4661,7 +4661,106 @@ object Queries {
            |), m AS (SELECT $ms FROM dd)
            |$branches""".stripMargin
       },
-      "all-pairs KS drift matrix (one corpus pass, G merged CDFs in two shared windows, per-pair integer sup)")
+      "all-pairs KS drift matrix (one corpus pass, G merged CDFs in two shared windows, per-pair integer sup)"),
+
+    Q("q160_mixture_allocate",
+      // α=1/2 temperature mixing over the language distribution: the
+      // skewed lang domain (en dominates) shows the flattening — en's
+      // share of the 1000-doc budget drops below its corpus share
+      (s, d) => Sampling.temperatureAllocate(documents(s, d), col("lang"), 1000L),
+      // full re-derivation: graded sqrt (IEEE sqrt is correctly rounded
+      // in both engines; graded to micro-units before any sum), then
+      // exact integer Hamilton apportionment with the same (rem DESC,
+      // source ASC) tie-break
+      Some("""WITH c AS (
+             |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang
+             |), g AS (
+             |  SELECT source, n_docs,
+             |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000, 0) AS BIGINT) AS s
+             |  FROM c
+             |), t AS (SELECT CAST(sum(s) AS BIGINT) AS total FROM g),
+             |f AS (
+             |  SELECT source, n_docs, s,
+             |    s * 1000000 // total AS weight_ppm,
+             |    1000 * s // total AS fl,
+             |    1000 * s % total AS rem
+             |  FROM g CROSS JOIN t
+             |), l AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS leftover FROM f),
+             |r AS (
+             |  SELECT *, row_number() OVER (ORDER BY rem DESC, coalesce(source, '')) AS rn
+             |  FROM f
+             |)
+             |SELECT source, n_docs, CAST(weight_ppm AS BIGINT) AS weight_ppm,
+             |  CAST(fl + CASE WHEN rn <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS alloc
+             |FROM r""".stripMargin),
+      "temperature-smoothed (α=0.5) mixture allocation: graded-sqrt weights + exact integer Hamilton apportionment, sum(alloc)=budget"),
+
+    Q("q161_k_anonymity",
+      (s, d) => Privacy.kAnonymityAudit(customer(s, d),
+        Seq(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("mktsegment")),
+        floor(col("c_acctbal") / 1000).cast("long"), k = 5, l = 3),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             |  c_mktsegment AS mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+             |    AS n_sensitive,
+             |  CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+             |  CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3
+             |    THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+             |FROM customer GROUP BY 1, 2""".stripMargin),
+      "k-anonymity / l-diversity release audit: per-QI-group size + sensitive-domain diversity verdicts (one hash agg, bounded output)"),
+
+    Q("q162_image_neardup",
+      // perceptual image dedup over the binary column: decode → dHash
+      // → guaranteed-recall banded Hamming join. The fabricated corpus
+      // plants near-dup groups (doc_id mod 200 shares a pixel base;
+      // 1/64 of pixels perturbed per doc), so pairs are within-group
+      // with small nonzero Hamming distances — the "same image,
+      // different encode" structure the operator exists to find
+      (s, d) => Multimodal.imageNearDup(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateNearDupImageCol(col("doc_id"), 200).as("content")),
+          "doc_id", "content", maxHamming = 4)
+        .withColumn("hamming", col("hamming").cast("long")),
+      // the oracle re-derives every sampled PIXEL from the fabrication
+      // arithmetic (splitmix64 via OracleSql.mix64), rebuilds each
+      // 64-bit dHash, and takes ALL pairs within Hamming 4 directly —
+      // valid because the block-combination banding has guaranteed
+      // recall at Hamming ≤ 4, so the Spark output is exactly that set
+      Some {
+        def pix(pos: String): String = {
+          val payload =
+            s"(${OracleSql.mix64(s"CAST(b * 1048576 + $pos AS UBIGINT)")} & 255)"
+          val perturb =
+            s"CASE WHEN (${OracleSql.mix64(s"CAST(doc_id * 8191 + $pos AS UBIGINT)")} & 63) = 0 THEN 32 ELSE 0 END"
+          s"CAST((($payload + $perturb) & 255) AS BIGINT)"
+        }
+        s"""WITH dims AS (
+           |  SELECT doc_id, doc_id % 200 AS b,
+           |    16 + (doc_id % 200) % 48 AS w,
+           |    16 + ((doc_id % 200) * 7) % 48 AS h
+           |  FROM documents
+           |), bits AS (
+           |  SELECT doc_id, j,
+           |    ${pix("((j * (w*h - 1)) // 64)")} AS pa,
+           |    ${pix("(((j+1) * (w*h - 1)) // 64)")} AS pb
+           |  FROM dims CROSS JOIN (SELECT unnest(range(64)) AS j)
+           |), sh AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(sum(CASE WHEN pa < pb
+           |      THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END),
+           |      0) AS UBIGINT) AS sh
+           |  FROM bits GROUP BY doc_id
+           |)
+           |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
+           |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+           |WHERE bit_count(xor(a.sh, b2.sh)) <= 4""".stripMargin
+      },
+      "multimodal perceptual near-dup: binary decode → 64-bit dHash → banded Hamming pairs (hashes oracle-recomputed pixel-by-pixel in SQL)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

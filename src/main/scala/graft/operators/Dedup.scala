@@ -173,7 +173,21 @@ object Dedup {
     * `maxHamming` ≤ 5 keeps the explode factor ≤ 56.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), Exprs.simhash64(col(textCol)).as("sh")),
+      maxHamming)
+
+  /** The guaranteed-recall banding core of [[simhashPairs]], over an
+    * ALREADY-FINGERPRINTED frame — reusable for any 64-bit
+    * locality-sensitive signature (text simhash, image/audio
+    * perceptual hashes, see [[Multimodal.imageNearDup]]). Input
+    * columns: `id`, `sh` (the 64-bit fingerprint as a long). Output:
+    * `(id_a, id_b, hamming)` for every pair with Hamming ≤
+    * `maxHamming` — exact, because every such pair shares ≥ 3 clean
+    * blocks and is therefore guaranteed a bucket collision.
+    */
+  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 5,
       s"maxHamming must be in [1,5] (explode factor C(h+3,3)), got $maxHamming")
     val nBlocks = maxHamming + 3
@@ -184,7 +198,6 @@ object Dedup {
       (shiftrightunsigned(col("sh"), lo).bitwiseAND(lit((1L << width) - 1)), width)
     }
     val combos = (0 until nBlocks).combinations(3).toSeq.zipWithIndex
-    val sig = df.select(col(idCol).as("id"), Exprs.simhash64(col(textCol)).as("sh"))
     val keyed = sig.select(col("id"), col("sh"),
       explode(array(combos.map { case (blocks, tid) =>
         val key = blocks.foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, bi) =>

@@ -220,4 +220,86 @@ object Multimodal {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()))
       .toDF("id", "embedding")
   }
+
+  // ------------------------------------------------- perceptual dedup
+
+  /** Deterministic fake image with PLANTED near-duplicate structure:
+    * the pixel base derives from `seed mod nGroups`, so seeds in the
+    * same residue class produce near-identical images, plus a sparse
+    * per-seed perturbation (1/64 of pixels shifted by +32) so
+    * within-group copies differ by a few perceptual-hash bits — the
+    * "same photo, re-encoded/re-cropped" structure an image dedup
+    * stage exists to find. All arithmetic (splitmix64 + bit masks), so
+    * a second engine re-derives every pixel — and thus every hash and
+    * every pair — from first principles.
+    */
+  def fabricateNearDupImage(seed: Long, nGroups: Int): Array[Byte] = {
+    val base = math.floorMod(seed, nGroups.toLong)
+    val w = 16 + (math.floorMod(base, 48L)).toInt
+    val h = 16 + (math.floorMod(base * 7, 48L)).toInt
+    val out = java.nio.ByteBuffer.allocate(12 + w * h)
+    out.putInt(ImageMagic).putInt(w).putInt(h)
+    var i = 0
+    while (i < w * h) {
+      val p = (mix64(base * 1048576 + i) & 0xFF) +
+        (if ((mix64(seed * 8191 + i) & 63) == 0) 32 else 0)
+      out.put((p & 0xFF).toByte)
+      i += 1
+    }
+    out.array()
+  }
+
+  private def fabricateNearDupImageUdf(nGroups: Int) =
+    udf((seed: Long) => fabricateNearDupImage(seed, nGroups))
+  def fabricateNearDupImageCol(seed: org.apache.spark.sql.Column,
+                               nGroups: Int) =
+    fabricateNearDupImageUdf(nGroups)(seed)
+
+  /** 64-bit difference hash (dHash) of a fake-container image: sample
+    * 65 evenly spaced payload positions `p_j = j·(n−1) div 64` and set
+    * bit j iff `pix[p_j] < pix[p_{j+1}]`. Gradient signs are stable
+    * under re-encoding/brightness shifts — the standard perceptual
+    * fingerprint family. Works on the payload BYTES, not the
+    * fabrication arithmetic: a real codec would slot in above this
+    * unchanged.
+    */
+  def dhash64(bytes: Array[Byte]): Long = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    require(b.getInt() == ImageMagic, "not a fake image")
+    val w = b.getInt(); val h = b.getInt()
+    val n = w * h
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      val a = bytes(12 + (j.toLong * (n - 1) / 64).toInt) & 0xFF
+      val c = bytes(12 + ((j + 1).toLong * (n - 1) / 64).toInt) & 0xFF
+      if (a < c) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Image near-duplicate pairs: decode → perceptual hash (one
+    * partition-batched pass, [[dhash64]]) → the guaranteed-recall
+    * banded Hamming join of [[Dedup.hammingPairs]]. Output
+    * `(id_a, id_b, hamming)` for every pair of images within
+    * `maxHamming` dHash bits.
+    *
+    * Scale shape: the binary column never shuffles — it collapses to
+    * an 8-byte fingerprint in the decode stage's own map, and only
+    * (id, hash, bandKey) rows move. Candidate buckets are the
+    * C(maxHamming+3, 3) block-combination keys (~32 bits each), so at
+    * billions of images a bucket holds O(N / 2^32) rows — no
+    * quadratic blowup on non-duplicates.
+    */
+  def imageNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 4): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val sig = ds.mapPartitions { it =>
+      it.map { case (id, bytes) => (id, dhash64(bytes)) }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "sh")
+    Dedup.hammingPairs(sig, maxHamming)
+  }
 }

@@ -128,6 +128,81 @@ object Sampling {
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Temperature-smoothed mixture allocation: apportion an integer
+    * document `budget` across the values of `sourceCol` with weights
+    * `w_s ∝ n_s^0.5` — the standard "upsample the tail, downsample the
+    * head" data-mixing step (α-temperature sampling with α = 1/2) used
+    * to pick per-source quotas before building a training mix.
+    *
+    * Output: one row per source — `(source, n_docs, weight_ppm,
+    * alloc)` with `sum(alloc) = budget` exactly.
+    *
+    * Determinism contract (cross-engine oracle parity): `sqrt` is
+    * correctly rounded by IEEE-754 in every engine, and its result is
+    * immediately graded to integer micro-units (`round(sqrt(n)·1e6)`),
+    * so all downstream arithmetic — the weight normalization, the
+    * floor quotas `budget·s div total`, and the largest-remainder
+    * (Hamilton) distribution of the leftover — is exact integer math
+    * with ties broken on the source key. No order-unspecified FP sum
+    * anywhere.
+    *
+    * Scale shape: ONE distributed aggregation (groupBy(source).count —
+    * map-side partial combine, shuffle of |sources| rows); the
+    * apportionment itself runs on the driver over the source domain,
+    * which is key-space-bounded (a corpus has thousands of sources,
+    * not billions) and capped by `maxSources` — the same bounded-
+    * domain driver-fold contract as the KS bin offsets. Long-overflow
+    * guard: `budget · s_max` must fit in a long, i.e.
+    * budget · sqrt(n_max) < 9.2e12 — checked at runtime.
+    */
+  def temperatureAllocate(df: DataFrame, sourceCol: Column, budget: Long,
+                          maxSources: Int = 100000): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val counts = df.groupBy(sourceCol.cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect()
+    require(counts.length <= maxSources,
+      s"${counts.length} sources exceed maxSources=$maxSources — the " +
+        "apportionment is a bounded-domain driver fold; raise the cap " +
+        "only if the source domain is genuinely that large")
+    // graded sqrt: one correctly-rounded IEEE sqrt + one multiply per
+    // source, snapped to integer micro-units before ANY accumulation
+    val graded = counts.map { r =>
+      val src = if (r.isNullAt(0)) null else r.getString(0)
+      val n = r.getLong(1)
+      (src, n, math.round(math.sqrt(n.toDouble) * 1e6))
+    }
+    val total = graded.iterator.map(_._3).sum
+    val sMax = graded.iterator.map(_._3).max
+    require(sMax == 0 || budget <= Long.MaxValue / sMax,
+      s"budget·sqrt(n_max) overflows long (budget=$budget, sMax=$sMax)")
+    val floors = graded.map { case (src, n, s) =>
+      (src, n, s * 1000000L / total, budget * s / total, budget * s % total)
+    }
+    val leftover = (budget - floors.iterator.map(_._4).sum).toInt
+    // Hamilton: the `leftover` largest remainders get one extra doc;
+    // ties (and the null source, if present) break on the source key
+    val bumpSet = floors.sortBy { case (src, _, _, _, rem) =>
+      (-rem, Option(src).getOrElse(""))
+    }.take(leftover).map(t => Option(t._1)).toSet
+    val rows = floors.map { case (src, n, ppm, fl, _) =>
+      org.apache.spark.sql.Row(src, n, ppm,
+        fl + (if (bumpSet.contains(Option(src))) 1L else 0L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("weight_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("alloc",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
   /** Token-budget sharding for pretraining prep: assign each document a
     * shard id so every shard holds ≈ `tokensPerShard` tokens of
     * `orderCol`-consecutive documents — the step that sizes training

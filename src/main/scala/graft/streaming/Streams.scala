@@ -135,6 +135,62 @@ object Streams {
           lit(step)).as("at_value"))
   }
 
+  /** Streaming windowed percentile monitor: per event-time window, a
+    * bin-resolution BRACKET `[lo_bound, hi_bound)` for each requested
+    * percentile — the streaming twin of the batch rank-based
+    * percentile path ([[graft.operators.Stats.groupedExactPercentiles]]).
+    * The batch operator resolves the exact order statistic with a
+    * second within-bin pass; a single-pass windowed aggregation cannot
+    * revisit data, so the streaming contract is the honest one-pass
+    * half: the target rank `⌈p·n⌉` is located in the cumulative bin
+    * histogram and the crossing bin's value-domain edges are emitted.
+    * Bracket width = (hi−lo)/bins — size `bins` to the alert
+    * resolution needed (the p99-latency-dashboard shape).
+    *
+    * ONE stateful aggregation, state = `bins` longs per open window
+    * (same bound as [[driftStream]]/[[ksStream]]), watermark-evicted;
+    * the rank lookup is a stateless projection per percentile. By
+    * construction the true within-window percentile lies inside the
+    * emitted bracket — the invariant the spec pins against the exact
+    * batch path.
+    */
+  def percentileStream(events: DataFrame, tsCol: String, valueCol: String,
+                       windowDur: String, lo: Double, hi: Double, bins: Int,
+                       percentiles: Seq[Double],
+                       watermark: String = "1 hour"): DataFrame = {
+    require(bins >= 1 && bins <= 100000, s"bins out of range: $bins")
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0,1]: $percentiles")
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol) - lo) / (hi - lo) * bins).cast("int")))
+    // clamp out-of-range values into the edge bins (same policy as the
+    // drift/KS monitors): the bracket for a percentile that lands in an
+    // edge bin is then a one-sided bound
+    val counts = events.withWatermark(tsCol, watermark)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_b", bin)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("total"),
+        array((0 until bins).map(i =>
+          sum(when(col("_b") === i, 1L).otherwise(0L))): _*).as("ns"))
+    val cum = transform(sequence(lit(1), lit(bins)),
+      k => aggregate(slice(col("ns"), lit(1), k), lit(0L), (a, x) => a + x))
+    val step = (hi - lo) / bins
+    counts
+      .withColumn("_cum", cum)
+      .select(col("w.start").as("window_start"), col("total").as("n_win"),
+        explode(array(percentiles.map { p =>
+          val target = greatest(lit(1L), ceil(col("total") * lit(p)).cast("long"))
+          val idx = size(filter(col("_cum"), c => c < target)) // 0-based crossing bin
+          struct(lit(p).as("p"),
+            (lit(lo) + idx.cast("double") * lit(step)).as("lo_bound"),
+            (lit(lo) + (idx + 1).cast("double") * lit(step)).as("hi_bound"))
+        }: _*)).as("q"))
+      .select(col("window_start"), col("n_win"), col("q.p"),
+        col("q.lo_bound"), col("q.hi_bound"))
+  }
+
   /** Streaming heavy hitters: per event-time window, the top-`topN`
     * terms by Misra–Gries estimate (the streaming twin of the batch
     * q79 — "what's trending in the ingest feed right now").

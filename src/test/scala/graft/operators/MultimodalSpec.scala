@@ -88,4 +88,39 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
     }
   }
+
+  test("fabricateNearDupImage: same residue class → few dHash bits apart, " +
+       "different class → far apart") {
+    val hashes = (0L until 30L).map(id =>
+      id -> Multimodal.dhash64(Multimodal.fabricateNearDupImage(id, 10)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for ((ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib) {
+      if (ia % 10 == ib % 10)
+        assert(ham(ha, hb) <= 8,
+          s"planted near-dups $ia/$ib differ by ${ham(ha, hb)} bits")
+      else
+        assert(ham(ha, hb) >= 10,
+          s"unrelated $ia/$ib only ${ham(ha, hb)} bits apart")
+    }
+  }
+
+  test("imageNearDup equals the brute-force Hamming-ball pair set") {
+    import spark.implicits._
+    val n = 120
+    val df = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"),
+        Multimodal.fabricateNearDupImageCol(col("doc_id"), 20).as("content"))
+      .repartition(5)
+    val got = Multimodal.imageNearDup(df, "doc_id", "content", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = (0 until n).map(i =>
+      Multimodal.dhash64(Multimodal.fabricateNearDupImage(i.toLong, 20)))
+    val want = (for {
+      a <- 0 until n; b <- a + 1 until n
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 4
+    } yield (a.toLong, b.toLong, d)).toSet
+    assert(want.nonEmpty, "fabrication should plant pairs within Hamming 4")
+    assert(got === want,
+      "banded join must find EXACTLY the Hamming-ball pairs (guaranteed recall)")
+  }
 }

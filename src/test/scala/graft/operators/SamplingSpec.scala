@@ -171,4 +171,48 @@ class SamplingSpec extends SparkSpec {
     val heavy = got.count { case (st, id, _) => st == "even" && id % 10 == 0 }
     assert(heavy >= 20, s"expected heavy-weight dominance in 'even', got $heavy/25")
   }
+
+  test("temperatureAllocate: exact budget, graded-sqrt weights, α-flattening") {
+    import spark.implicits._
+    // skewed corpus: head source 100×, tail 1
+    val df = (Seq.fill(10000)("head") ++ Seq.fill(400)("mid") ++
+      Seq.fill(100)("tail")).toDF("src")
+    val got = Sampling.temperatureAllocate(df, col("src"), 997L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._4).sum === 997L, "allocation must sum to the budget exactly")
+    // reference fold: graded sqrt + Hamilton, independently re-derived
+    val s = Map("head" -> math.round(math.sqrt(10000.0) * 1e6),
+      "mid" -> math.round(math.sqrt(400.0) * 1e6),
+      "tail" -> math.round(math.sqrt(100.0) * 1e6))
+    val total = s.values.sum
+    val floors = s.view.mapValues(v => 997L * v / total).toMap
+    val rems = s.map { case (k, v) => k -> 997L * v % total }
+    val leftover = (997L - floors.values.sum).toInt
+    val bumped = rems.toSeq.sortBy { case (k, r) => (-r, k) }
+      .take(leftover).map(_._1).toSet
+    val want = got.map { case (src, _, _, _) =>
+      (src, floors(src) + (if (bumped(src)) 1L else 0L))
+    }
+    assert(got.map(t => (t._1, t._4)).toSeq === want.toSeq)
+    // α=1/2 flattening: head has 100× tail's rows but only 10× its
+    // allocation (sqrt compresses the ratio)
+    val byName = got.map(t => t._1 -> t._4).toMap
+    assert(byName("head") < 11 * byName("tail"),
+      s"sqrt should compress 100x rows to ~10x alloc, got $byName")
+    assert(byName("head") > 5 * byName("tail"), s"but still head-heavy: $byName")
+  }
+
+  test("temperatureAllocate: uniform counts tie-break deterministically on source") {
+    import spark.implicits._
+    // 7 equal sources, budget not divisible by 7: the 5 leftover docs
+    // go to the alphabetically-first sources (all remainders tie)
+    val df = (0 until 700).map(i => s"s${i % 7}").toDF("src")
+    val got = Sampling.temperatureAllocate(df, col("src"), 47L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
+    assert(got.map(_._2).sum === 47L)
+    val want = Seq("s0" -> 7L, "s1" -> 7L, "s2" -> 7L, "s3" -> 7L,
+      "s4" -> 7L, "s5" -> 6L, "s6" -> 6L)
+    assert(got.toSeq === want)
+  }
 }

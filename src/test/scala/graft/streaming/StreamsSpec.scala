@@ -126,6 +126,49 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("percentileStream: stream == batch, and brackets contain the exact percentiles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 480).map { i =>
+      val ts = new java.sql.Timestamp(1700000000000L + (i / 240) * 600000L + (i % 5) * 1000L)
+      // window 0: uniform over [0,64); window 1: concentrated high
+      val v = if (i < 240) (i * 37 % 64).toDouble else (48 + i * 11 % 16).toDouble
+      (i.toLong, ts, v)
+    }
+    val ps = Seq(0.5, 0.95)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val streamDf = stream.toDF().toDF("event_id", "ts", "value")
+    val out = percentileStream(streamDf, "ts", "value", "10 minutes",
+        lo = 0.0, hi = 64.0, bins = 16, percentiles = ps)
+      .writeStream.format("memory").queryName("pct_out")
+      .outputMode("complete").start()
+    stream.addData(events.take(150))
+    out.processAllAvailable()
+    stream.addData(events.drop(150))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("pct_out").collect().map(_.toSeq).toSet
+    val batch = percentileStream(events.toDF("event_id", "ts", "value"),
+        "ts", "value", "10 minutes", 0.0, 64.0, 16, ps)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch, "micro-batched result must equal one-shot batch")
+    assert(streamed.size === 4, "2 windows x 2 percentiles")
+    // the emitted bin bracket must contain the EXACT within-window
+    // percentile (rank ⌈p·n⌉ order statistic, brute-forced)
+    for (w <- Seq(0, 1); p <- ps) {
+      val winRows = events.filter(_._2.getTime / 600000L % 2 == w)
+        .map(_._3).sorted
+      val exact = winRows((math.ceil(p * winRows.size).toLong - 1).toInt)
+      val got = spark.table("pct_out")
+        .filter(col("window_start").cast("long") / 600 % 2 === w &&
+          col("p") === p).head()
+      assert(got.getAs[Double]("lo_bound") <= exact &&
+        exact < got.getAs[Double]("hi_bound"),
+        s"window $w p$p: exact $exact outside " +
+          s"[${got.getAs[Double]("lo_bound")}, ${got.getAs[Double]("hi_bound")})")
+    }
+  }
+
   test("heavyHittersStream: windowed top terms equal the batch computation (sub-capacity exact)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
