@@ -4760,7 +4760,80 @@ object Queries {
            |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.sh, b2.sh)) <= 4""".stripMargin
       },
-      "multimodal perceptual near-dup: binary decode → 64-bit dHash → banded Hamming pairs (hashes oracle-recomputed pixel-by-pixel in SQL)")
+      "multimodal perceptual near-dup: binary decode → 64-bit dHash → banded Hamming pairs (hashes oracle-recomputed pixel-by-pixel in SQL)"),
+
+    Q("q163_mixture_interleave",
+      // turn the q160 quotas into an actual global training order:
+      // stride keys (2i-1)/(2n_s) spread each lang at its allocated
+      // rate from position 1; global rank via the zero-window
+      // driver-folded row-number path (q14's structure)
+      (s, d) => Sampling.mixtureInterleave(documents(s, d), col("lang"),
+        col("doc_id"), 1000L),
+      // full re-derivation: the q160 Hamilton CTEs give per-source
+      // quotas; the per-source draw replays mix64 order; the stride key
+      // is ONE exact-integer IEEE division so the global row_number
+      // agrees bit-for-bit; ties break (coalesce(source,''), src_idx)
+      Some(s"""WITH c AS (
+             |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang
+             |), g AS (
+             |  SELECT source, n_docs,
+             |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000, 0) AS BIGINT) AS s
+             |  FROM c
+             |), t AS (SELECT CAST(sum(s) AS BIGINT) AS total FROM g),
+             |f AS (
+             |  SELECT source, s, 1000 * s // total AS fl, 1000 * s % total AS rem
+             |  FROM g CROSS JOIN t
+             |), l AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS leftover FROM f),
+             |r AS (
+             |  SELECT source, fl,
+             |    row_number() OVER (ORDER BY rem DESC, coalesce(source, '')) AS rn
+             |  FROM f
+             |), a AS (
+             |  SELECT source,
+             |    fl + CASE WHEN rn <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS alloc
+             |  FROM r
+             |), docs AS (
+             |  SELECT doc_id, lang AS source,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY ${OracleSql.mix64Signed("doc_id")}, doc_id) AS BIGINT)
+             |      AS src_idx
+             |  FROM documents
+             |), sel AS (
+             |  SELECT d.doc_id, d.source, d.src_idx, a.alloc
+             |  FROM docs d JOIN a ON d.source IS NOT DISTINCT FROM a.source
+             |  WHERE d.src_idx <= a.alloc
+             |)
+             |SELECT CAST(row_number() OVER (
+             |    ORDER BY CAST(2 * src_idx - 1 AS DOUBLE) / CAST(2 * alloc AS DOUBLE),
+             |      coalesce(source, ''), src_idx) AS BIGINT) AS pos,
+             |  source, src_idx, doc_id AS id
+             |FROM sel""".stripMargin),
+      "stride-scheduled mixture interleave: α=0.5 quotas → deterministic per-source draw → evenly-spread global training order (zero-window global rank)"),
+
+    Q("q164_jl_projection",
+      // 64-dim float embeddings → 16-dim integer-graded JL sign
+      // projection: the preprocessing that makes high-dim embedding
+      // columns affordable to band/bucket at corpus scale
+      (s, d) => Similarity.jlProject(embeddings(s, d), "vec_id", "embedding",
+        inDim = 64, outDim = 16),
+      // sign matrix re-derived from mix64(j*64 + i-1) bit 0; inputs
+      // graded to micro-units BEFORE the sum so the projection is exact
+      // integer math in both engines (no FP accumulation order)
+      Some(s"""WITH g AS (
+             |  SELECT vec_id,
+             |    [CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+             |     FOR x IN embedding] AS gv
+             |  FROM embeddings
+             |)
+             |SELECT vec_id, CAST(j AS BIGINT) AS j,
+             |  CAST(sum((((${OracleSql.mix64Signed("j * 64 + i - 1")}) & 1) * 2 - 1)
+             |    * gv[i]) AS BIGINT) AS comp
+             |FROM g
+             |CROSS JOIN (SELECT unnest(range(16)) AS j)
+             |CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+             |GROUP BY vec_id, j""".stripMargin),
+      "Johnson-Lindenstrauss ±1 random projection (map-only, exact integer micro-unit arithmetic, sign matrix re-derived in SQL)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -203,6 +203,59 @@ object Sampling {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
+  /** Stride-scheduled mixture interleave: turn [[temperatureAllocate]]
+    * quotas into an actual GLOBAL TRAINING ORDER in which each source's
+    * documents are spread evenly — source s with quota `n_s` occupies
+    * positions near `(2i−1)/(2n_s)` of the schedule (classic stride
+    * scheduling), so a training run consuming the output sequentially
+    * sees every source at its allocated rate from the first batch,
+    * instead of source-sized runs (the "shuffle your mixture" step a
+    * curriculum-correct data loader needs, done once at corpus-build
+    * time instead of per-epoch in the loader).
+    *
+    * Per source, WHICH `n_s` docs fill the quota is the
+    * [[topNPerStratum]] draw (smallest `mix64(key)` — deterministic,
+    * layout-independent); WITHIN a source the draw order is the
+    * schedule order. Output: `(pos, source, src_idx, <key>)` with
+    * `pos` a dense 1..budget global position.
+    *
+    * Determinism contract: the stride key `(2i−1)/(2n_s)` is ONE
+    * correctly-rounded IEEE division of exact integers — equal
+    * rationals give bit-equal doubles in every engine, unequal
+    * rationals give the same rounded double everywhere, and remaining
+    * ties (same i, same n_s) break on `(source, i)`. No accumulation,
+    * no order-unspecified FP anywhere.
+    *
+    * Scale shape: the quota table is a driver-bounded LocalRelation
+    * (≤ `maxSources` rows) that Catalyst broadcast-joins onto the
+    * corpus; the per-source rank is a window PARTITIONED by source;
+    * the global position comes from
+    * [[graft.operators.Relational.globalRowNumberScalable]] (range
+    * exchange + driver-folded offsets — NO single-partition window).
+    * Only `budget` rows reach the final sort. Cache contract: the
+    * global-row-number intermediate stays persisted like q14 —
+    * callers unpersist the result (cascades) or clearCache.
+    */
+  def mixtureInterleave(df: DataFrame, sourceCol: Column, keyCol: Column,
+                        budget: Long, maxSources: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = temperatureAllocate(df, sourceCol, budget, maxSources)
+      .select(col("source").as("_alloc_source"), col("alloc"))
+    val base = df.select(sourceCol.cast("string").as("source"), keyCol.as("id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.plans.Exprs.mix64(col("id").cast("long")), col("id"))
+    val ranked = base
+      .withColumn("src_idx", row_number().over(w).cast("long"))
+      .join(alloc, col("source") <=> col("_alloc_source"))
+      .filter(col("src_idx") <= col("alloc"))
+    val strideKey = ((col("src_idx") * 2 - 1).cast("double") /
+      (col("alloc") * 2).cast("double")).as("_stride")
+    val keyed = ranked.withColumn("_stride", strideKey)
+    Relational.globalRowNumberScalable(keyed, "pos",
+        col("_stride"), coalesce(col("source"), lit("")), col("src_idx"))
+      .select(col("pos"), col("source"), col("src_idx"), col("id"))
+  }
+
   /** Token-budget sharding for pretraining prep: assign each document a
     * shard id so every shard holds ≈ `tokensPerShard` tokens of
     * `orderCol`-consecutive documents — the step that sizes training

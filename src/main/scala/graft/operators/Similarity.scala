@@ -163,6 +163,46 @@ object Similarity {
       .select(col("query_id"), col("id"), col("rrf"), col("rank").cast("long").as("rank"))
   }
 
+  /** Johnson–Lindenstrauss sign random projection: reduce an
+    * `Array[Float]` embedding column from `inDim` to `outDim`
+    * dimensions with the deterministic ±1 matrix
+    * `sign(j,i) = 2·(mix64(j·inDim + i) & 1) − 1` (Achlioptas-style
+    * database-friendly JL: ±1 entries preserve pairwise distances to
+    * (1±ε) with outDim = O(log n / ε²), no Gaussian sampling needed).
+    * The ANN/semantic-dedup preprocessing step that makes a 1024-dim
+    * embedding column affordable to band, bucket, and scan at corpus
+    * scale.
+    *
+    * Output: `(vec_id, j, comp)` exploded per output dimension, with
+    * `comp` in integer MICRO-UNITS of the input (inputs are graded to
+    * `round(x·1e6)` longs before the sum, so the projection is exact
+    * integer arithmetic — order-free, bit-reproducible cross-engine;
+    * callers wanting the conventional scaling divide by
+    * `sqrt(outDim)·1e6`). Overflow bound: |comp| ≤ inDim · max|x| ·
+    * 1e6 — safe for any embedding with |x| < 9.2e12/(inDim·1e6).
+    *
+    * Scale shape: MAP-ONLY — a narrow projection of k·d integer
+    * multiply-adds per row (array HOFs over the graded vector), no
+    * shuffle, no UDF, no driver state; composes with pushdown (the
+    * scan reads only id + embedding).
+    */
+  def jlProject(df: DataFrame, idCol: String, embCol: String,
+                inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1, s"inDim must be positive, got $inDim")
+    require(outDim >= 1 && outDim <= inDim,
+      s"outDim must be in [1, inDim=$inDim], got $outDim")
+    val graded = transform(col(embCol), x =>
+      round(x.cast("double") * 1e6).cast("long"))
+    val comps = (0 until outDim).map { j =>
+      aggregate(sequence(lit(0), lit(inDim - 1)), lit(0L), (acc, i) =>
+        acc + (Exprs.mix64((lit(j.toLong * inDim) + i).cast("long"))
+          .bitwiseAND(lit(1L)) * 2 - 1) * element_at(col("_g"), i + 1))
+    }
+    df.select(col(idCol).cast("long").as("vec_id"), graded.as("_g"))
+      .select(col("vec_id"), posexplode(array(comps: _*)).as(Seq("j", "comp")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("comp"))
+  }
+
   private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))

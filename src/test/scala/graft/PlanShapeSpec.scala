@@ -351,6 +351,44 @@ class PlanShapeSpec extends SparkSpec {
       s"unallowlisted single-partition windows in: ${(offenders ++ lazyOffenders).mkString(", ")}")
   }
 
+  test("q160: the allocation result is a shuffle-free driver-local relation") {
+    // temperatureAllocate's apportionment is a bounded-domain driver
+    // fold; the returned frame must be directly consumable (scan of
+    // driver rows), never a plan that re-runs distributed work
+    val p = plan("q160_mixture_allocate")
+    assert(!p.contains("Exchange"),
+      s"apportionment result must not plan a shuffle:\n$p")
+  }
+
+  test("q161: k-anonymity audit is ONE keyed aggregation (no join, no window)") {
+    val p = plan("q161_k_anonymity")
+    assert(!p.contains("Join"), s"audit must not join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"audit must not window:\n$p")
+    // one distinct-agg: Spark plans key-exchange (+ optional
+    // key+value partial-distinct exchange) — never more
+    val nEx = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(nEx <= 2, s"distinct-agg needs at most 2 exchanges, got $nEx:\n$p")
+  }
+
+  test("q162: no all-pairs product; the binary column collapses BELOW every shuffle") {
+    val p = plan("q162_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"banded Hamming join must never plan an all-pairs product:\n$p")
+    // tree walk: no Exchange may appear in the SUBTREE of a decode
+    // (MapPartitions) node — i.e. images are fingerprinted in the
+    // scan's own stage and only (id, sh, band) rows ever shuffle
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => c.isLetter)
+    for ((l, idx) <- lines.zipWithIndex if l.contains("MapPartitions")) {
+      val n = indent(l)
+      val subtree = lines.drop(idx + 1).takeWhile(x => indent(x) > n)
+      assert(!subtree.exists(_.contains("Exchange")),
+        s"an Exchange below the decode means the binary column shuffled:\n$p")
+    }
+    assert(lines.exists(_.contains("MapPartitions")), "decode stage missing")
+  }
+
   /** K8: every pair adjacent — C(8,3)=56 triangles, each node in
     * C(7,2)=21 of them. */
   private def k8 = {

@@ -215,4 +215,49 @@ class SamplingSpec extends SparkSpec {
       "s4" -> 7L, "s5" -> 6L, "s6" -> 6L)
     assert(got.toSeq === want)
   }
+
+  test("mixtureInterleave: dense positions, exact quotas, stride evenness") {
+    import spark.implicits._
+    val df = ((0 until 900).map(i => ("big", i.toLong)) ++
+      (0 until 100).map(i => ("small", 10000L + i)))
+      .toDF("src", "k")
+    val got = Sampling.mixtureInterleave(df, col("src"), col("k"), 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache() // q14-family cache contract
+    assert(got.map(_._1).sorted.toSeq === (1L to 200L), "positions must be dense 1..budget")
+    // quotas: sqrt(900):sqrt(100) = 3:1 of 200 -> 150/50
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("big" -> 150, "small" -> 50), s"quota split: $bySrc")
+    // stride evenness: every prefix of length m holds m*n_s/T of each
+    // source to within ±2 (the defining property of stride scheduling —
+    // no source-sized runs anywhere in the schedule)
+    val ordered = got.sortBy(_._1)
+    for (m <- Seq(20, 50, 100, 173)) {
+      val prefix = ordered.take(m)
+      for ((s, n) <- Seq(("big", 150.0), ("small", 50.0))) {
+        val want = m * n / 200.0
+        val have = prefix.count(_._2 == s)
+        assert(math.abs(have - want) <= 2,
+          s"prefix $m: $s appears $have times, expected ~$want")
+      }
+    }
+    // within a source the schedule follows the deterministic draw order
+    for (s <- Seq("big", "small")) {
+      val idxs = ordered.filter(_._2 == s).map(_._3).toSeq
+      assert(idxs === idxs.sorted, s"$s src_idx must be increasing along the schedule")
+      assert(idxs === (1L to idxs.length), s"$s must use exactly ranks 1..quota")
+    }
+  }
+
+  test("mixtureInterleave: layout-independent (repartitioned input, same schedule)") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "k")
+    val a = Sampling.mixtureInterleave(df, col("src"), col("k"), 100L)
+      .collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    val b = Sampling.mixtureInterleave(df.repartition(17), col("src"), col("k"), 100L)
+      .collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    assert(a === b, "schedule must not depend on input partitioning")
+  }
 }

@@ -60,4 +60,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1) === List(11L, 10L, 13L, 12L))
     assert(got.map(_._3) === List(1L, 2L, 3L, 4L))
   }
+
+  test("jlProject: exact parity with a driver-side integer reference fold") {
+    import spark.implicits._
+    val vecs = (0 until 20).map { v =>
+      (v.toLong, Array.tabulate(8)(i => ((v * 13 + i * 7) % 11 - 5) / 3.0f))
+    }
+    val got = Similarity.jlProject(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", inDim = 8, outDim = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // independent re-derivation with the same public constants
+    def sign(j: Int, i: Int): Long =
+      (graft.plans.Kernels.mix64(j.toLong * 8 + i) & 1L) * 2 - 1
+    for ((id, emb) <- vecs; j <- 0 until 4) {
+      val want = (0 until 8).map(i =>
+        sign(j, i) * math.round(emb(i).toDouble * 1e6)).sum
+      assert(got((id, j.toLong)) === want, s"vec $id component $j")
+    }
+    assert(got.size === 20 * 4)
+  }
+
+  test("jlProject: preserves pairwise distances to JL tolerance on planted clusters") {
+    import spark.implicits._
+    // two tight clusters far apart: after projection, within-cluster
+    // distances must stay well below cross-cluster distances (the
+    // property ANN banding over the projected space relies on)
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val far = Array.tabulate(64)(i => if (i % 3 == 0) -2f else 2f)
+    def j(p: Array[Float], s: Int) = p.zipWithIndex.map {
+      case (x, i) => x + 0.001f * ((s * 17 + i) % 5 - 2) }
+    val vecs = (0 until 10).map(v => (v.toLong, j(base, v))) ++
+      (10 until 20).map(v => (v.toLong, j(far, v)))
+    val proj = Similarity.jlProject(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", inDim = 64, outDim = 16)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2).toDouble)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val within = for (a <- 0 until 10; b <- a + 1 until 10)
+      yield d2(proj(a.toLong).toSeq, proj(b.toLong).toSeq)
+    val across = for (a <- 0 until 10; b <- 10 until 20)
+      yield d2(proj(a.toLong).toSeq, proj(b.toLong).toSeq)
+    assert(within.max < across.min / 10,
+      s"projected within-cluster max ${within.max} must sit far below " +
+        s"cross-cluster min ${across.min}")
+  }
 }
