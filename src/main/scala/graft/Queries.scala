@@ -4833,7 +4833,108 @@ object Queries {
              |CROSS JOIN (SELECT unnest(range(16)) AS j)
              |CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
              |GROUP BY vec_id, j""".stripMargin),
-      "Johnson-Lindenstrauss ±1 random projection (map-only, exact integer micro-unit arithmetic, sign matrix re-derived in SQL)")
+      "Johnson-Lindenstrauss ±1 random projection (map-only, exact integer micro-unit arithmetic, sign matrix re-derived in SQL)"),
+
+    Q("q165_perplexity_gate",
+      // compose the two proven pieces: q108's bigram LM scores + the
+      // rank-based per-group percentile — drop each language's worst
+      // decile (the KenLM-style curation gate, per-lang thresholds)
+      (s, d) => LanguageModel.perplexityGate(documents(s, d), "doc_id", "text",
+          "lang", dropFrac = 0.10)
+        .withColumnRenamed("grp", "lang"),
+      // q108's oracle CTEs verbatim, then quantile_cont per lang and
+      // the >= filter; scores are exact integer micro-nat sums divided
+      // once, so both engines compare identical doubles (equal-bracket
+      // cutoffs are returned exactly by both interpolations)
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM documents
+             |), pt AS (
+             |  SELECT doc_id, pair, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+             |                           FOR i IN range(1, len(tk))]) AS pair
+             |    FROM toks) GROUP BY doc_id, pair
+             |), bc AS (SELECT pair, sum(tf) AS bc FROM pt GROUP BY pair
+             |), ut AS (
+             |  SELECT doc_id, term, count(*) AS utf FROM (
+             |    SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+             |), uc AS (SELECT term, sum(utf) AS uc FROM ut GROUP BY term
+             |), v AS (SELECT count(*) AS v FROM uc
+             |), lp AS (
+             |  SELECT pt.doc_id, pt.tf,
+             |    CAST(round(ln(CAST(bc.bc + 1 AS DOUBLE) / CAST(uc.uc + v.v AS DOUBLE)) * 1e6, 0)
+             |      AS BIGINT) AS lp_micro
+             |  FROM pt JOIN bc USING (pair)
+             |  JOIN uc ON uc.term = string_split(pt.pair, ' ')[1]
+             |  CROSS JOIN v
+             |), score AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(tf * lp_micro) AS DOUBLE) /
+             |      CAST(sum(tf) * 1000000 AS DOUBLE) AS avg_logprob
+             |  FROM lp GROUP BY doc_id
+             |), sl AS (
+             |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
+             |  FROM score s JOIN documents d USING (doc_id)
+             |), thr AS (
+             |  SELECT lang, quantile_cont(avg_logprob, 0.10) AS cutoff
+             |  FROM sl GROUP BY lang
+             |)
+             |SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.avg_logprob
+             |FROM sl JOIN thr USING (lang)
+             |WHERE sl.avg_logprob >= thr.cutoff""".stripMargin),
+      "perplexity-gate curation: corpus-trained bigram LM + per-language rank-percentile cutoff, worst decile dropped (no global window)"),
+
+    Q("q166_source_overlap",
+      (s, d) => Dedup.sourceOverlapMatrix(documents(s, d), "source", "text",
+        shingleK = 3),
+      // string-side re-derivation (q36's shingle CTE): hash-Jaccard
+      // equals string-Jaccard collision-free at 64 bits
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |  FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT source,
+             |         unnest([array_to_string(tk[i:i+2], ' ')
+             |                 FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS sgl
+             |  FROM toks WHERE len(tk) > 0
+             |), n AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+             |), inter AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |         CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.source < b.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT i.src_a, i.src_b, i.n_shared, na.n AS n_a, nb.n AS n_b,
+             |  round(CAST(i.n_shared AS DOUBLE) / least(na.n, nb.n), 6) AS containment,
+             |  round(CAST(i.n_shared AS DOUBLE) / (na.n + nb.n - i.n_shared), 6) AS jaccard
+             |FROM inter i JOIN n na ON i.src_a = na.source
+             |JOIN n nb ON i.src_b = nb.source""".stripMargin),
+      "cross-source shingle overlap matrix: one corpus pass, in-row pair fold, C(|sources|,2)-bounded output (no all-pairs doc join)"),
+
+    Q("q167_hard_negatives",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.hardNegatives(
+            emb.filter(col("vec_id") % 25 =!= 0),
+            emb.filter(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             |CAST(rank AS BIGINT) AS rank FROM
+             |(SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |    CAST(q.embedding AS DOUBLE[])) AS cosine,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |      CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+             | FROM embeddings c, embeddings q
+             | WHERE q.vec_id % 25 = 0 AND c.vec_id % 25 <> 0 AND c.label <> q.label)
+             |WHERE rank <= 5""".stripMargin),
+      "hard-negative mining: top-k most-similar DIFFERENT-label rows per probe (broadcast probes, label filter before the bounded heap)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -289,6 +289,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-SOURCE n-gram overlap matrix — "how much of source A's
+    * shingle vocabulary also appears in source B" — the corpus-health
+    * audit run before mixing crawls/dumps (a high-containment pair
+    * means one source largely republishes the other, and its docs will
+    * near-dup against it).
+    *
+    * ONE corpus pass, NO all-pairs document join: distinct
+    * (source, shingle-hash) rows (8-byte hashes — payload never
+    * shuffles), then each shingle folds to its ≤|sources| sorted
+    * source set and emits its C(|present|,2) source pairs IN-ROW; the
+    * final aggregation has at most C(|sources|,2) keys. `srcCol` is a
+    * CATALOG-scale dimension by contract (tens to hundreds of feeds) —
+    * for a data-scale key (e.g. per-domain) the output itself is
+    * quadratic and the right tool is [[ngramJaccardPairs]] against a
+    * pinned baseline source.
+    *
+    * Returns one row per unordered source pair (src_a < src_b, only
+    * pairs sharing ≥1 shingle): shared/n_a/n_b distinct-shingle counts,
+    * `containment` = shared / min(n_a, n_b), `jaccard` — both rounded
+    * to 6 dp (exact integer ratios; hash-Jaccard equals string-Jaccard
+    * collision-free at 64 bits, the [[ngramJaccardPairs]] argument).
+    */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+                          shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(srcCol).as("src"),
+        explode(Exprs.shingleHashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val counts = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("src").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("src").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
+  }
+
   /** Corpus-wide exact LINE dedup (the C4 preprocessing step): every
     * line that occurs more than once in the whole corpus is kept only
     * at its first occurrence (lowest (`idCol`, line position)), and

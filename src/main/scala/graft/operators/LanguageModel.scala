@@ -34,6 +34,46 @@ object LanguageModel {
     * of 500 docs flipped by exactly 1e-6 against DuckDB).
     * Documents with fewer than two tokens have no bigrams and drop out.
     */
+  /** Perplexity-gate curation: score every document with the corpus-
+    * trained [[bigramScore]] LM, then drop the worst `dropFrac` tail
+    * PER GROUP (per language, usually — a single global cutoff mostly
+    * deletes whichever language the LM models worst; per-group
+    * thresholds are the standard fix). Documents with fewer than two
+    * tokens carry no bigrams and drop out of both scoring and output.
+    *
+    * Scale shape: the scored frame (one row per document) is persisted
+    * once; the per-group cutoffs come from
+    * [[Stats.groupedExactPercentiles]] (O(bins) aggregation state,
+    * groups-bounded driver fold — never the built-in percentile's
+    * values map) and ride back as ONE broadcast hash join; no global
+    * window anywhere. The output is corpus-sized, so it is eagerly
+    * lineage-truncated ([[Ckpt.truncate]]) and the internal caches are
+    * released before returning.
+    *
+    * Cross-engine determinism: scores are exact-integer micro-nat
+    * sums divided once (see [[bigramScore]]); the cutoff interpolates
+    * between two such scores with Spark's own percentile arithmetic
+    * (bit-identical to DuckDB's `quantile_cont`, pinned by q53/q104),
+    * and when the bracketing scores are equal both engines return that
+    * exact value — so `score >= cutoff` keeps the same set everywhere.
+    */
+  def perplexityGate(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, dropFrac: Double): DataFrame = {
+    require(dropFrac > 0 && dropFrac < 1, s"dropFrac in (0,1), got $dropFrac")
+    val scored = bigramScore(df, idCol, textCol)
+      .join(df.select(col(idCol).as("doc_id"), col(groupCol).as("grp")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cutoffs = Stats.groupedExactPercentiles(
+        scored, "grp", "avg_logprob", Seq(dropFrac))
+      .select(col("g").as("grp"), col("p_0").as("cutoff"))
+    val out = Ckpt.truncate(scored
+      .join(broadcast(cutoffs), Seq("grp"))
+      .filter(col("avg_logprob") >= col("cutoff"))
+      .select(col("doc_id"), col("grp"), col("n_bigrams"), col("avg_logprob")))
+    scored.unpersist(blocking = false)
+    out
+  }
+
   def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pairTf = df.select(col(idCol).as("doc_id"),
         explode(Exprs.pairCounts(col(textCol))).as(Seq("pair", "tf_i")))

@@ -203,6 +203,32 @@ object Similarity {
       .select(col("vec_id"), col("j").cast("long").as("j"), col("comp"))
   }
 
+  /** Hard-negative mining for contrastive / retrieval training: for
+    * each probe, the k most-similar corpus rows carrying a DIFFERENT
+    * label — the near-miss examples a bi-encoder learns the most from
+    * (random negatives are trivially separable; the hard ones sit just
+    * across the decision boundary).
+    *
+    * Same scale contract as [[cosineTopK]]: the probe set broadcasts,
+    * the corpus is scanned exactly once, and the label-mismatch filter
+    * runs BEFORE the bounded top-k aggregation — same-label rows never
+    * enter the heap, so the shuffle still carries ≤ |queries|·k rows
+    * per partition. Ties break (cosine desc, neighbor_id asc).
+    */
+  def hardNegatives(labeled: DataFrame, queries: DataFrame,
+                    corpusId: String, corpusVec: String, corpusLabel: String,
+                    queryId: String, queryVec: String, queryLabel: String,
+                    k: Int): DataFrame = {
+    val scored = labeled.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("cv"), col(corpusLabel).as("nl"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qv"), col(queryLabel).as("ql"))))
+      .filter(col("nl") =!= col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        Exprs.cosineSim(col("cv"), col("qv")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy(col("query_id"))

@@ -51,6 +51,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlapMatrix: hand-computed shared/containment, disjoint sources absent") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "a b c d"),  // shingles {a b c, b c d}
+      ("B", "a b c x"),  // shingles {a b c, b c x}
+      ("C", "z z z")     // shingle  {z z z} — disjoint from A and B
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(df, "source", "text", shingleK = 3)
+      .collect()
+    assert(got.length === 1, "only the (A,B) pair shares a shingle")
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 2L, 2L)))
+    assert(r.getDouble(5) === 0.5)              // containment: 1 / min(2,2)
+    assert(math.abs(r.getDouble(6) - 0.333333) < 1e-9) // jaccard: 1/3 @ 6dp
+  }
+
   test("q34 oracle: minhash est_jaccard tracks exact jaccard within ±0.18 (64 perms)") {
     val df = docsDf(fixture)
     val pairs = Dedup.minhashCandidatePairs(df, "text", "doc_id",

@@ -23,6 +23,33 @@ class LanguageModelSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("perplexityGate: drops each group's worst-decile scores, cleans its caches") {
+    import spark.implicits._
+    // ten docs per group; scores vary because rare bigrams score low.
+    // dropFrac=0.10 over 10 docs → cutoff interpolates in the bottom
+    // bracket → exactly the per-group argmin drops (no in-group ties:
+    // each doc d gets a distinct mix of common/rare bigrams)
+    val docs = (0 until 20).map { i =>
+      val g = if (i < 10) "g1" else "g2"
+      val rare = Seq.fill(i % 10)(s"rare${g}_$i").mkString(" ")
+      (i.toLong, s"common common common $rare", g)
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val kept = LanguageModel.perplexityGate(df, "doc_id", "text", "lang", 0.10)
+      .collect().map(_.getLong(0)).toSet
+    val scores = LanguageModel.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (g <- Seq(0, 10)) {
+      val ids = (g until g + 10).map(_.toLong)
+      val worst = ids.minBy(scores)
+      assert(!kept.contains(worst), s"group at $g keeps its argmin")
+      assert(ids.filterNot(_ == worst).forall(kept), s"group at $g drops only it")
+    }
+    // self-cleaning contract: no internal cache outlives the call
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "perplexityGate must release its scored/binned caches")
+  }
+
   test("pairCounts kernel: multiplicity, ordering, single/empty input") {
     import spark.implicits._
     val df = Seq((0L, "x y x y x"), (1L, "one"), (2L, " ")).toDF("id", "text")

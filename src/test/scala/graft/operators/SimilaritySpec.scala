@@ -43,6 +43,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getLong(2) === 1L)
   }
 
+  test("hardNegatives: same-label rows never surface, ranks follow cosine") {
+    import spark.implicits._
+    // corpus: 6 label-0 points hugging proto0 (VERY close to the query)
+    // and 8 label-1 points at varying angles. A plain top-k would return
+    // the label-0 points; hard negatives must skip them all and rank the
+    // label-1 points by cosine.
+    val q = Array(1f, 0f, 0f)
+    val sameLabel = (0 until 6).map(i =>
+      (i.toLong, Array(1f, 0.001f * i, 0f), 0))
+    val diffLabel = (10 until 18).map { i =>
+      val ang = (i - 9) * 0.1
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0f), 1)
+    }
+    val corpus = (sameLabel ++ diffLabel).toDF("vec_id", "embedding", "label")
+    val queries = Seq((99L, q, 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, queries,
+        "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("rank")).collect()
+    assert(got.length === 5)
+    // increasing angle → decreasing cosine → ids 10,11,12,13,14 in order
+    assert(got.map(_.getLong(1)).toSeq === Seq(10L, 11L, 12L, 13L, 14L))
+    assert(got.map(_.getInt(3)).toSeq === Seq(1, 2, 3, 4, 5))
+    val cosines = got.map(_.getDouble(2))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a > b })
+  }
+
   test("rrfFuse: hand-computed fusion, missing-list docs, tie-break on id") {
     import spark.implicits._
     val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
