@@ -62,6 +62,30 @@ class PlanShapeSpec extends SparkSpec {
       "partial agg must be below (run before) the exchange in the plan tree")
   }
 
+  test("q167: label filter runs before the bounded top-k heap, probes broadcast") {
+    val p = plan("q167_hard_negatives")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(_.contains("partial_topkagg"))
+    val exchangeIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning(query_id"))
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "hard negatives must keep q38's bounded-shuffle shape")
+    // the mismatch filter must sit BELOW the partial aggregation (rows
+    // are dropped before they ever enter the heap, not after the rank)
+    val filterIdx = lines.indexWhere(_.contains("NOT (nl"))
+    assert(filterIdx >= 0, s"label-mismatch filter must exist in-plan:\n$p")
+    assert(filterIdx > partialIdx,
+      "filter must run before (sit below) the partial top-k aggregation")
+  }
+
+  test("q166: source overlap never joins two corpus-scale frames") {
+    val p = plan("q166_source_overlap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"only the two 20-row count joins may appear (broadcast hash):\n$p")
+    assert(p.contains("BroadcastHashJoin"), "count frames must broadcast")
+    assert(p.contains("collect_set"), "the in-row pair fold starts from collect_set")
+  }
+
   test("q33: exact-dup window reuses the 8-byte-hash repartition (one exchange)") {
     val p = plan("q33_dedup_prefix")
     val exchanges = p.linesIterator.count(l =>
