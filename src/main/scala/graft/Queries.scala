@@ -4934,7 +4934,70 @@ object Queries {
              | FROM embeddings c, embeddings q
              | WHERE q.vec_id % 25 = 0 AND c.vec_id % 25 <> 0 AND c.label <> q.label)
              |WHERE rank <= 5""".stripMargin),
-      "hard-negative mining: top-k most-similar DIFFERENT-label rows per probe (broadcast probes, label filter before the bounded heap)")
+      "hard-negative mining: top-k most-similar DIFFERENT-label rows per probe (broadcast probes, label filter before the bounded heap)"),
+
+    Q("q168_leakage_split",
+      // cluster-consistent splits: q64's near-dup clusters + q101's
+      // hash-band assignment, keyed on the CLUSTER so near-dups never
+      // straddle train/eval; 1/size soft-dedup weights ride along
+      (s, d) => {
+        val docs = documents(s, d)
+        Sampling.leakageSafeSplits(docs, "doc_id",
+            Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+              shingleK = 3, minJaccard = 0.12)
+              .select(col("id_a"), col("id_b")),
+            "id_a", "id_b",
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
+            col("split"), col("weight"))
+      },
+      // q64's recursive closure CTEs + singleton coalesce + q101's
+      // mix64 hash bands on the cluster label + exact 1/size weights
+      Some(s"""WITH RECURSIVE toks AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+              |  FROM documents
+              |), sh AS (
+              |  SELECT doc_id,
+              |         list_distinct([array_to_string(tk[i:i+2], ' ')
+              |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
+              |  FROM toks WHERE len(tk) > 0
+              |), pr AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         len(list_intersect(a.ss, b.ss)) AS c,
+              |         len(a.ss) AS na, len(b.ss) AS nb
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |), pairs AS (
+              |  SELECT id_a, id_b FROM pr WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12
+              |), e AS (
+              |  SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION
+              |  SELECT id_b, id_a FROM pairs
+              |), reach AS (
+              |  SELECT s AS id, s AS r FROM e
+              |  UNION
+              |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+              |), cl AS (
+              |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+              |  FROM reach GROUP BY id
+              |), alldocs AS (
+              |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+              |), sz AS (
+              |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+              |  FROM alldocs GROUP BY cluster
+              |), j AS (
+              |  SELECT a.doc_id, a.cluster, s.cluster_size,
+              |    ((${OracleSql.mix64Signed("a.cluster")}) % 1000000 + 1000000) % 1000000 AS hb
+              |  FROM alldocs a JOIN sz s ON a.cluster = s.cluster
+              |)
+              |SELECT doc_id, cluster, cluster_size,
+              |  CASE WHEN hb < 800000 THEN 'train'
+              |       WHEN hb < 900000 THEN 'val'
+              |       ELSE 'test' END AS split,
+              |  round(1.0 / cluster_size, 6) AS weight
+              |FROM j""".stripMargin),
+      "leakage-safe splits: near-dup clusters share one hash-band split; 1/cluster_size soft-dedup weights (cluster frame is dup-docs-only)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -116,6 +116,41 @@ object Sampling {
     df.withColumn(outCol, assigned)
   }
 
+  /** Cluster-consistent (leakage-safe) split assignment: every document
+    * in the same near-dup cluster gets the SAME split, because the
+    * split hash is taken on the cluster label rather than the document
+    * id — [[assignSplits]] alone keeps a GROWING corpus stable, but it
+    * still lets two near-duplicate documents land in train and test and
+    * leak eval content into training. Also emits the soft-dedup weight
+    * `1/cluster_size` (down-weight instead of delete — the "soft" form
+    * of near-dup handling when hard removal is too aggressive).
+    *
+    * Scale shape: `pairs` (near-dup edges, e.g. from
+    * [[Dedup.ngramJaccardPairs]]) closes to clusters via the
+    * distributed [[Dedup.connectedComponents]]; only documents WITH a
+    * duplicate appear there, so the docs⋈clusters join is a hash join
+    * on the id key with the (usually much smaller) cluster frame —
+    * singletons coalesce to their own id without a row ever existing
+    * for them. Sizes add one bounded shuffle on the cluster key; the
+    * split itself stays a narrow codegen'd hash. Returns
+    * (id, cluster, cluster_size, split, weight).
+    */
+  def leakageSafeSplits(docs: DataFrame, idCol: String,
+                        pairs: DataFrame, aCol: String, bCol: String,
+                        splits: Seq[(String, Double)]): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol)
+    val clustered = docs.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+    val sizes = clustered.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assignSplits(clustered.join(sizes, "cluster"), col("cluster"), splits)
+      .withColumn("weight",
+        round(lit(1.0) / col("cluster_size").cast("double"), 6))
+      .select(col("id"), col("cluster"), col("cluster_size"),
+        col("split"), col("weight"))
+  }
+
   /** Weighted corpus mix: unions a deterministic `fraction`-sample of
     * each source (aligned by name, missing columns null). The standard
     * "mix N datasets at given rates" step of a training-data pipeline;

@@ -59,6 +59,44 @@ class SamplingSpec extends SparkSpec {
     assert(kept === a)
   }
 
+  test("leakageSafeSplits: whole clusters share a split, singletons self-cluster, 1/size weights") {
+    import spark.implicits._
+    // 30 docs; edges form clusters {0,1,2,3}, {10,11}, {20,21,22};
+    // everything else is a singleton
+    val docs = (0L until 30L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplits(docs, "doc_id", pairs, "id_a", "id_b",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toMap
+    assert(out.size === 30)
+    // min-id cluster labels; every member shares the label's split
+    for (cluster <- Seq(Seq(0L, 1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L, 22L))) {
+      val labels = cluster.map(out(_)._1).distinct
+      assert(labels === Seq(cluster.min), s"cluster $cluster label")
+      assert(cluster.map(out(_)._3).distinct.size === 1, s"cluster $cluster split")
+      cluster.foreach { id =>
+        assert(out(id)._2 === cluster.size.toLong)
+        assert(out(id)._4 === BigDecimal(1.0 / cluster.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // singletons: own id, size 1, weight 1, and the split equals the
+    // plain assignSplits verdict on that id (the hash key IS the cluster)
+    val plain = Sampling.assignSplits((0L until 30L).toDF("k"), col("k"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- 4L until 10L) {
+      assert(out(id)._1 === id && out(id)._2 === 1L && out(id)._4 === 1.0)
+      assert(out(id)._3 === plain(id), s"singleton $id split must be hash(id)")
+    }
+    // clustered docs follow hash(cluster label), not hash(own id)
+    for (cluster <- Seq(Seq(0L, 1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L, 22L)))
+      cluster.foreach(id => assert(out(id)._3 === plain(cluster.min)))
+  }
+
   test("weightedMix unions per-source samples by name, filling missing columns") {
     import spark.implicits._
     val webDocs = (0L until 1000L).map(i => (i, s"w$i", "en")).toDF("id", "text", "lang")
