@@ -4997,7 +4997,49 @@ object Queries {
               |       ELSE 'test' END AS split,
               |  round(1.0 / cluster_size, 6) AS weight
               |FROM j""".stripMargin),
-      "leakage-safe splits: near-dup clusters share one hash-band split; 1/cluster_size soft-dedup weights (cluster frame is dup-docs-only)")
+      "leakage-safe splits: near-dup clusters share one hash-band split; 1/cluster_size soft-dedup weights (cluster frame is dup-docs-only)"),
+
+    Q("q169_winnowing",
+      (s, d) => Dedup.winnowingPairs(documents(s, d), "text", "doc_id",
+        k = 5, w = 4, minShared = 2),
+      // full re-derivation: positional k-gram rolling hashes (q42's
+      // arithmetic), w-window list_min selection, distinct fingerprints,
+      // shared-fingerprint pairs — DuckDB list slices are inclusive so
+      // tk[i:i+4] is the 5-gram and hs[i:i+3] the 4-window
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |           t -> t <> '') AS tk
+             |  FROM documents
+             |), kg AS (
+             |  SELECT doc_id,
+             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(tk[i:i+4],
+             |          x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
+             |      (a, b) -> (a * 31 + b) % 1000000007)
+             |     FOR i IN range(1, len(tk) - 5 + 2)] AS hs
+             |  FROM toks WHERE len(tk) >= 8
+             |), fp AS (
+             |  SELECT doc_id,
+             |    list_distinct([list_min(hs[i:i+3])
+             |                   FOR i IN range(1, len(hs) - 4 + 2)]) AS fps
+             |  FROM kg
+             |), nf AS (
+             |  SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM fp
+             |), ex AS (
+             |  SELECT doc_id, unnest(fps) AS f FROM fp
+             |), pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT pr.id_a, pr.id_b, pr.n_shared, na.nf AS nf_a, nb.nf AS nf_b,
+             |  round(CAST(pr.n_shared AS DOUBLE) / least(na.nf, nb.nf), 6) AS score
+             |FROM pr JOIN nf na ON pr.id_a = na.doc_id
+             |JOIN nf nb ON pr.id_b = nb.doc_id
+             |WHERE pr.n_shared >= 2""".stripMargin),
+      "winnowing (MOSS) fingerprint pairs: in-row window-min selection, 8-byte inverted index, guaranteed detection of shared k+w-1 token runs")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

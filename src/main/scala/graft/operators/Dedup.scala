@@ -289,6 +289,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Winnowing fingerprint pairs (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): every k-token rolling hash is computed per position,
+    * each w-window keeps only its MINIMUM hash, and the distinct
+    * window minima are the document's fingerprints — the selection
+    * guarantees any shared run of ≥ k+w−1 tokens leaves at least one
+    * shared fingerprint, at ~2/(w+1) the density of full k-gram
+    * indexing. The standard local-similarity detector where n-gram
+    * Jaccard (a GLOBAL ratio) goes blind: a verbatim paragraph inside
+    * an otherwise-unrelated document.
+    *
+    * Scale shape mirrors [[ngramJaccardPairs]]: fingerprint selection
+    * is IN-ROW (one codegen'd higher-order-function chain, no
+    * explode-then-window), the inverted index shuffles 8-byte
+    * fingerprint keys only, and `maxFingerprintDf` drops
+    * boilerplate-hot fingerprints before they can pair quadratically
+    * (recall-affecting by contract, like q36's df cap). Documents
+    * shorter than k+w−1 tokens carry no full window and drop out.
+    *
+    * Returns (id_a, id_b, n_shared, nf_a, nf_b, score) for pairs with
+    * ≥ `minShared` shared fingerprints; `score` = n_shared /
+    * min(nf_a, nf_b), the containment normalization (rounded 6 dp).
+    */
+  def winnowingPairs(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 5, w: Int = 4, minShared: Int = 2,
+                     maxFingerprintDf: Long = 1000000L): DataFrame = {
+    require(k >= 1 && w >= 1 && minShared >= 1)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      (x: org.apache.spark.sql.Column) => x =!= "")
+    val base = df.select(col(idCol).as("id"), toks.as("tk"))
+      .filter(size(col("tk")) >= k + w - 1)
+    // per-position k-gram rolling hashes (q42's arithmetic, windowed)
+    val kg = base.select(col("id"),
+      transform(sequence(lit(0), size(col("tk")) - k), i =>
+        aggregate(
+          transform(slice(col("tk"), i + 1, lit(k)),
+            x => length(x).cast("long") * 7 + ascii(x).cast("long")),
+          lit(0L),
+          (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))).as("hs"))
+    val fp = kg.select(col("id"),
+        array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+          i => array_min(slice(col("hs"), i + 1, lit(w))))).as("fps"))
+      .withColumn("nf", size(col("fps")))
+    val inv = fp.select(col("id"), col("nf"), explode(col("fps")).as("f"))
+    val hot = inv.groupBy(col("f")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxFingerprintDf)
+      .select(col("f"))
+    val pruned = inv.join(hot, "f")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nf").as("nf_a"), col("b.nf").as("nf_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("nf_a"), col("nf_b"),
+        round(col("n_shared").cast("double") /
+          least(col("nf_a"), col("nf_b")).cast("double"), 6).as("score"))
+  }
+
   /** Cross-SOURCE n-gram overlap matrix — "how much of source A's
     * shingle vocabulary also appears in source B" — the corpus-health
     * audit run before mixing crawls/dumps (a high-containment pair

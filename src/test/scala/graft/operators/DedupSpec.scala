@@ -51,6 +51,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowingPairs matches a sequential brute-force winnower; planted span detected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val planted = "p1 p2 p3 p4 p5 p6 p7 p8 p9"     // 9 tokens ≥ k+w-1 = 8
+    val docs = (0 until 12).map(i => (i.toLong,
+      if (i % 5 == 0) s"${doc(20)} $planted ${doc(20)}" else doc(45)))
+    val df = docs.toDF("doc_id", "text")
+
+    val (k, w) = (5, 4)
+    def fps(text: String): Set[Long] = {
+      val tk = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < k + w - 1) Set.empty
+      else {
+        val hs = tk.sliding(k).map(_.foldLeft(0L)((a, x) =>
+          (a * 31 + (x.length.toLong * 7 + x.head.toInt)) % 1000000007L)).toVector
+        hs.sliding(w).map(_.min).toSet
+      }
+    }
+    val expected = (for {
+      i <- docs.indices; j <- docs.indices if i < j
+      shared = (fps(docs(i)._2) & fps(docs(j)._2)).size if shared >= 1
+    } yield ((i.toLong, j.toLong), shared.toLong)).toMap
+
+    val got = Dedup.winnowingPairs(df, "text", "doc_id", k, w, minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === expected)
+    // the k+w-1 guarantee: docs sharing the planted 9-token run share
+    // ≥ 1 fingerprint (≥ 2 is NOT guaranteed — adjacent windows often
+    // select the same minimum, that's the whole point of winnowing)
+    assert(got.contains((0L, 5L)) && got.contains((0L, 10L)) && got.contains((5L, 10L)))
+  }
+
   test("sourceOverlapMatrix: hand-computed shared/containment, disjoint sources absent") {
     import spark.implicits._
     val df = Seq(
