@@ -296,6 +296,47 @@ object Streams {
     deduped.drop("_h")
   }
 
+  /** Streaming eval-contamination guard: every arriving document's
+    * shingle set is intersected IN-ROW against the benchmark's distinct
+    * shingle-hash set (a broadcast sorted-array literal — eval suites
+    * are catalog-scale by contract, thousands of items), and each
+    * event-time window reports how many docs overlap the benchmark
+    * above `minOverlap` — the online twin of the batch
+    * [[graft.operators.Dedup.contaminationRate]] gate, catching eval
+    * leakage AT INGEST instead of at the next full-corpus audit.
+    *
+    * Scale shape: no stream-stream join, no per-doc state — the
+    * intersection is the allocation-free sorted-merge kernel
+    * ([[graft.plans.Exprs.sortedIntersectCount]]) over two sorted
+    * arrays, a stateless map; the only stateful operator is the
+    * windowed aggregation (three longs + one double per open window,
+    * watermark-evicted).
+    */
+  def contaminationStream(docs: DataFrame, textCol: String, tsCol: String,
+                          benchmark: DataFrame, benchTextCol: String,
+                          shingleK: Int = 3, minOverlap: Double = 0.5,
+                          windowDur: String = "1 hour",
+                          watermark: String = "1 hour"): DataFrame = {
+    import graft.plans.Exprs
+    val benchArr: Seq[Long] = benchmark
+      .select(explode(Exprs.shingleHashes(col(benchTextCol), shingleK)).as("sh"))
+      .distinct().orderBy(col("sh")).collect().map(_.getLong(0)).toSeq
+    val benchLit = typedLit(benchArr)
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("_hs", Exprs.shingleHashes(col(textCol), shingleK))
+      .withColumn("_n", size(col("_hs")))
+      .filter(col("_n") > 0)
+      .withColumn("_ov",
+        Exprs.sortedIntersectCount(col("_hs"), benchLit).cast("double") /
+          col("_n").cast("double"))
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_ov") >= minOverlap, 1L).otherwise(0L)).as("n_contaminated"),
+        round(max(col("_ov")), 6).as("max_overlap"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_contaminated"), col("max_overlap"))
+  }
+
   /** Stream-stream inner equi-join with an event-time interval: each
     * left row pairs with right rows of the same key whose timestamp is
     * within `[leftTs - lowerSec, leftTs + upperSec]`. Both sides carry

@@ -309,6 +309,52 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("contaminationStream: planted benchmark copies flagged, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven")).toDF("bid", "text")
+    val t0 = 1700000000000L
+    // 40 docs over 4 ten-minute windows; every 8th is a verbatim
+    // benchmark copy (overlap 1.0), the rest fresh vocab (overlap 0)
+    val docs = (0 until 40).map { i =>
+      val text =
+        if (i % 8 == 0) (if (i % 16 == 0) "alpha beta gamma delta epsilon zeta"
+                         else "one two three four five six seven")
+        else (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, new java.sql.Timestamp(t0 + i * 60000L), text)
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Streams.contaminationStream(
+        stream.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+        bench, "text", minOverlap = 0.5, windowDur = "10 minutes")
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("complete").start()
+    stream.addData(docs.take(17))
+    out.processAllAvailable()
+    stream.addData(docs.drop(17))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("contam_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // every doc lands in exactly one clock-aligned window; the five
+    // verbatim copies (i = 0, 8, 16, 24, 32) are the only flagged docs
+    // and score exactly 1.0 wherever they appear
+    assert(streamed.toSeq.map(_._2).sum === 40L, s"windows: $streamed")
+    assert(streamed.toSeq.map(_._3).sum === 5L)
+    assert(streamed.forall(w => if (w._3 > 0) w._4 === 1.0 else w._4 === 0.0))
+    // unified-API contract: identical batch computation, identical rows
+    val batch = Streams.contaminationStream(
+        docs.toDF("doc_id", "ts", "text"), "text", "ts",
+        bench, "text", minOverlap = 0.5, windowDur = "10 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch)
+  }
+
   test("intervalJoin: stream-stream join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
