@@ -5039,7 +5039,47 @@ object Queries {
              |FROM pr JOIN nf na ON pr.id_a = na.doc_id
              |JOIN nf nb ON pr.id_b = nb.doc_id
              |WHERE pr.n_shared >= 2""".stripMargin),
-      "winnowing (MOSS) fingerprint pairs: in-row window-min selection, 8-byte inverted index, guaranteed detection of shared k+w-1 token runs")
+      "winnowing (MOSS) fingerprint pairs: in-row window-min selection, 8-byte inverted index, guaranteed detection of shared k+w-1 token runs"),
+
+    Q("q170_sprt",
+      // Wald SPRT per experiment cell: H0 p=0.4 vs H1 p=0.6 on the
+      // value>=5 success indicator, α=β=0.05. The micro-nat constants
+      // are precomputed integer literals in BOTH engines (ln never
+      // evaluates at query time): ln(1.5)e6=405465, ln(19)e6=2944439
+      (s, d) => Stats.sprt(events(s, d),
+          col("user_id") % 8, "ts", "event_id",
+          col("value") >= 5.0,
+          c1Micro = 405465L, c0Micro = -405465L,
+          aMicro = 2944439L, bMicro = -2944439L)
+        .withColumn("key", col("key").cast("long")),
+      Some("""WITH walked AS (
+             |  SELECT user_id % 8 AS key,
+             |    sum(CASE WHEN value >= 5.0 THEN 405465 ELSE -405465 END)
+             |      OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+             |    row_number() OVER (PARTITION BY user_id % 8
+             |                       ORDER BY ts, event_id) AS n
+             |  FROM events
+             |), dec AS (
+             |  SELECT key, llr, n,
+             |    CASE WHEN llr >= 2944439 THEN 'accept_h1'
+             |         WHEN llr <= -2944439 THEN 'accept_h0' END AS d
+             |  FROM walked
+             |), firsts AS (
+             |  SELECT key, min(n) AS nd FROM dec WHERE d IS NOT NULL GROUP BY key
+             |), tot AS (
+             |  SELECT key, CAST(count(*) AS BIGINT) AS n_seen,
+             |    max_by(llr, n) AS llr_final
+             |  FROM dec GROUP BY key
+             |)
+             |SELECT CAST(t.key AS BIGINT) AS key, t.n_seen,
+             |  coalesce(dd.d, 'continue') AS decision,
+             |  CAST(f.nd AS BIGINT) AS n_at_decision,
+             |  CAST(coalesce(dd.llr, t.llr_final) AS BIGINT) AS llr_micro
+             |FROM tot t
+             |LEFT JOIN firsts f ON t.key = f.key
+             |LEFT JOIN dec dd ON dd.key = t.key AND dd.n = f.nd""".stripMargin),
+      "Wald SPRT sequential A/B stop rule: exact integer micro-nat LLR walk, one key shuffle, first-crossing decision per cell")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -394,6 +394,52 @@ object Stats {
     (result, Seq(binned))
   }
 
+  /** Wald sequential probability ratio test (SPRT) per experiment key:
+    * the classic always-valid A/B stop rule. Events walk in
+    * (`tsCol`, `tieCol`) order; each success adds `c1Micro` =
+    * round(ln(p1/p0)·10⁶) to the log-likelihood ratio, each failure
+    * `c0Micro` = round(ln((1−p1)/(1−p0))·10⁶); the FIRST row where the
+    * running LLR reaches `aMicro` (≥ ⇒ accept H1) or `bMicro`
+    * (≤ ⇒ accept H0) decides the key. Keys whose walk never crosses
+    * report `continue` with their final state.
+    *
+    * The four micro-nat constants are caller-supplied INTEGER literals
+    * (compute them once, offline), so the whole walk is exact integer
+    * arithmetic — cross-engine identical by construction, no
+    * transcendental evaluated in either engine at query time.
+    *
+    * Scale shape: ONE shuffle on the key; the running sum and row
+    * counter share the key-partitioned window's exchange and sort, the
+    * first crossing is a `min_by` aggregation on the same partitioning,
+    * and per-key output is one row. No global window, no join back —
+    * finals and crossings fold in a single grouped aggregation.
+    */
+  def sprt(df: DataFrame, keyCol: Column, tsCol: String, tieCol: String,
+           successCol: Column, c1Micro: Long, c0Micro: Long,
+           aMicro: Long, bMicro: Long): DataFrame = {
+    require(aMicro > 0 && bMicro < 0, "boundaries must bracket zero")
+    val w = Window.partitionBy(col("_k")).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = df
+      .select(keyCol.as("_k"), col(tsCol), col(tieCol),
+        when(successCol, lit(c1Micro)).otherwise(lit(c0Micro)).as("_step"))
+      .withColumn("_llr", sum(col("_step")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_dec",
+        when(col("_llr") >= aMicro, lit("accept_h1"))
+          .when(col("_llr") <= bMicro, lit("accept_h0")))
+    walked.groupBy(col("_k").as("key"))
+      .agg(count(lit(1)).as("n_seen"),
+        min(when(col("_dec").isNotNull, col("_n"))).as("n_at_decision"),
+        min_by(col("_dec"), when(col("_dec").isNotNull, col("_n"))).as("_d"),
+        min_by(col("_llr"), when(col("_dec").isNotNull, col("_n"))).as("_l"),
+        max_by(col("_llr"), col("_n")).as("_lf"))
+      .select(col("key"), col("n_seen"),
+        coalesce(col("_d"), lit("continue")).as("decision"),
+        col("n_at_decision"),
+        coalesce(col("_l"), col("_lf")).as("llr_micro"))
+  }
+
   /** Per-key time-weighted average of a step function: each observation
     * holds its value until the next one; the last observation carries no
     * weight. `twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first)`, keys with a

@@ -46,6 +46,29 @@ class StatsSpec extends SparkSpec {
     assert(m.getAs[Double]("d_stat") == 0.0 && m.getAs[Double]("at_value") == 5.0)
   }
 
+  test("sprt: first crossing decides, both boundaries and the continue case, exact llr") {
+    import spark.implicits._
+    // c1=+10, c0=-10, A=+35, B=-35: key "up" hits +40 at n=4 (and the
+    // later dips must not matter); key "down" hits -40 at n=4; key
+    // "flat" alternates and never crosses
+    def rows(k: String, outcomes: Seq[Boolean]) =
+      outcomes.zipWithIndex.map { case (s, i) =>
+        (k, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, s)
+      }
+    val df = (rows("up",   Seq(true, true, true, true, false, false, false, false, false)) ++
+              rows("down", Seq(false, false, false, false, true, true)) ++
+              rows("flat", Seq(true, false, true, false, true, false)))
+      .toDF("k", "ts", "eid", "s")
+    val got = Stats.sprt(df, col("k"), "ts", "eid", col("s"),
+        c1Micro = 10L, c0Micro = -10L, aMicro = 35L, bMicro = -35L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    assert(got("up") === ((9L, "accept_h1", Some(4L), 40L)))
+    assert(got("down") === ((6L, "accept_h0", Some(4L), -40L)))
+    assert(got("flat") === ((6L, "continue", None, 0L)))
+  }
+
   test("ksMatrix: exceeding maxGroups names the cap and points at the batching recipe") {
     val df = (1 to 40).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
     val e = intercept[IllegalArgumentException] {
