@@ -5062,8 +5062,8 @@ object Queries {
              |  FROM events
              |), dec AS (
              |  SELECT key, llr, n,
-             |    CASE WHEN llr >= 2944439 THEN 'accept_h1'
-             |         WHEN llr <= -2944439 THEN 'accept_h0' END AS d
+             |    CASE WHEN CAST(llr AS BIGINT) >= 2944439 THEN 'accept_h1'
+             |         WHEN CAST(llr AS BIGINT) <= -2944439 THEN 'accept_h0' END AS d
              |  FROM walked
              |), firsts AS (
              |  SELECT key, min(n) AS nd FROM dec WHERE d IS NOT NULL GROUP BY key
