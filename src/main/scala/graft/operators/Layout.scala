@@ -43,4 +43,34 @@ object Layout {
     */
   def zorder2(a: Column, b: Column, bits: Int = 16): Column =
     zorder(Seq(a, b), bits)
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * routing rule for shards/workers/cache nodes whose COUNT changes
+    * over a pipeline's life (Thaler & Ravishankar 1998). Key `k` goes
+    * to `argmax_s mix64(mix64(k) XOR s)`: every (key, shard) pair gets
+    * an independent 64-bit score and the key follows the winner, so
+    * growing `n → n+1` moves EXACTLY the keys whose new shard wins —
+    * 1/(n+1) of them in expectation — and every other key stays put.
+    * A `pmod(hash, n)` route reshuffles (n−1)/n of all keys on the
+    * same change; at 100 TB that is the difference between warming one
+    * new shard and rewriting the fleet.
+    *
+    * Pure per-row expression: `nShards` codegen'd mix64 evaluations,
+    * no shuffle, no UDF. Scores compare as SIGNED longs (the natural
+    * array_max order on both the JVM and an oracle engine re-deriving
+    * the same bits); ties — a 64-bit hash collision — resolve to the
+    * lowest shard id via first-position semantics. O(nShards) per row:
+    * meant for routing tiers (tens of shards), not hash partitioning
+    * with thousands of reducers — Spark's own exchange already handles
+    * the latter.
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards=$nShards out of range — per-row cost is O(nShards)")
+    import graft.plans.Exprs
+    val h = Exprs.mix64(key.cast("long"))
+    val scores = array((0 until nShards).map(s =>
+      Exprs.mix64(h.bitwiseXOR(lit(s.toLong)))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
 }
