@@ -5079,7 +5079,97 @@ object Queries {
              |FROM tot t
              |LEFT JOIN firsts f ON t.key = f.key
              |LEFT JOIN dec dd ON dd.key = t.key AND dd.n = f.nd""".stripMargin),
-      "Wald SPRT sequential A/B stop rule: exact integer micro-nat LLR walk, one key shuffle, first-crossing decision per cell")
+      "Wald SPRT sequential A/B stop rule: exact integer micro-nat LLR walk, one key shuffle, first-crossing decision per cell"),
+
+    Q("q171_dsir_weights",
+      // DSIR importance weighting (Xie et al. 2023): score every doc by
+      // how much more likely its hashed-bigram features are under the
+      // English slice (the stand-in "high-quality target") than under
+      // the raw pool. FIT is one bucket-count scan folded to a literal
+      // weight map on the driver; SCORE is the returned map-only pass.
+      (s, d) => Dsir.importanceWeights(documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096, shingleK = 2,
+        alpha = 1.0),
+      // Full re-derivation: same tokenizer as the dedup family, bigram
+      // shingles WITH the short-text edge (1 token -> 1 shingle, the
+      // greatest(...) guard), bucket = mix64(poly31) mod 2^12, add-1
+      // smoothed micro-nat weights rounded half-up exactly as the
+      // driver fold does, then the per-doc integer sum.
+      Some {
+        val bhash = s"CAST(${OracleSql.mix64(OracleSql.poly31("sgl"))} % 4096 AS BIGINT)"
+        s"""WITH toks AS (
+           |  SELECT doc_id, (lang = 'en') AS tgt,
+           |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+           |  FROM documents
+           |), sg AS (
+           |  SELECT doc_id, tgt, unnest([array_to_string(tk[i:i+1], ' ')
+           |                              FOR i IN range(1, greatest(len(tk) - 1, 1) + 1)]) AS sgl
+           |  FROM toks WHERE len(tk) > 0
+           |), bk AS (
+           |  SELECT doc_id, tgt, $bhash AS b FROM sg
+           |), cnt AS (
+           |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+           |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc
+           |  FROM bk GROUP BY b
+           |), tot AS (
+           |  SELECT sum(tc) + 4096.0 AS dent, sum(rc) + 4096.0 AS denr FROM cnt
+           |), w AS (
+           |  SELECT b, CAST(round((ln((tc + 1.0) / tot.dent) -
+           |                        ln((rc + 1.0) / tot.denr)) * 1000000, 0) AS BIGINT) AS w
+           |  FROM cnt CROSS JOIN tot
+           |), sc AS (
+           |  SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams, sum(w.w) AS micro
+           |  FROM bk JOIN w USING (b) GROUP BY bk.doc_id
+           |)
+           |SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+           |  CAST(coalesce(sc.micro, 0) AS DOUBLE) / 1000000.0 AS logw
+           |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+      },
+      "DSIR hashed-ngram importance weights: bucket-count fit folded to a literal map, map-only integer-graded scoring (two scans, no joins, no windows)"),
+
+    Q("q172_rendezvous_shard",
+      // HRW routing at n=8 and n=9 on the customer key: the catalog row
+      // pins BOTH assignments plus the moved flag, so the oracle
+      // verifies argmax + signed compare + first-position ties AND the
+      // minimal-movement property on real keys (moved => winner is the
+      // NEW shard; LayoutSpec asserts that structurally).
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          Layout.rendezvousShard(col("c_custkey"), 8).cast("long").as("shard8"),
+          Layout.rendezvousShard(col("c_custkey"), 9).cast("long").as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9")),
+      // Staged re-derivation (the q96 pattern — mix64 nests macro-expand,
+      // so each hash stage is its own projection): h = mix64(key), nine
+      // unsigned scores mix64(h XOR s), signed reinterpretation, then
+      // greatest() + a first-match CASE = argmax with lowest-id ties.
+      Some {
+        val hh = OracleSql.mix64("CAST(c_custkey AS UBIGINT)")
+        val us = (0 until 9).map(s => s"${OracleSql.mix64(s"xor(hh, $s)")} AS u$s").mkString(",\n         ")
+        val ss = (0 until 9).map(s => s"${OracleSql.toSigned(s"u$s")} AS s$s").mkString(",\n         ")
+        def argmax(n: Int): String = {
+          val m = (0 until n).map(s => s"s$s").mkString("greatest(", ", ", ")")
+          (0 until n).map(s => s"WHEN s$s = $m THEN $s").mkString("CASE ", " ", " END")
+        }
+        s"""WITH h AS (
+           |  SELECT c_custkey, $hh AS hh FROM customer
+           |), un AS (
+           |  SELECT c_custkey,
+           |         $us
+           |  FROM h
+           |), sgn AS (
+           |  SELECT c_custkey,
+           |         $ss
+           |  FROM un
+           |), sh AS (
+           |  SELECT c_custkey,
+           |         CAST(${argmax(8)} AS BIGINT) AS shard8,
+           |         CAST(${argmax(9)} AS BIGINT) AS shard9
+           |  FROM sgn
+           |)
+           |SELECT c_custkey, shard8, shard9, shard8 <> shard9 AS moved
+           |FROM sh""".stripMargin
+      },
+      "rendezvous (HRW) shard routing: per-row codegen'd mix64 score argmax, signed compare, first-position ties; n->n+1 moves only winner-changed keys")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

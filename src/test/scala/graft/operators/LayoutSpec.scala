@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.plans.Kernels
 import org.apache.spark.sql.functions._
 
 class LayoutSpec extends SparkSpec {
@@ -52,6 +53,48 @@ class LayoutSpec extends SparkSpec {
     import spark.implicits._
     val plan = (0L until 100L).map(i => (i, i * 7 % 100)).toDF("a", "b")
       .select(Layout.zorder2(col("a"), col("b"), 16).as("z"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("rendezvousShard matches the driver-side HRW argmax (signed compare, first max wins)") {
+    import spark.implicits._
+    val n = 5
+    val got = (0L until 2000L).toDF("k")
+      .select(col("k"), Layout.rendezvousShard(col("k"), n).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 2000L).foreach { k =>
+      val h = Kernels.mix64(k)
+      var best = 0
+      var bestScore = Kernels.mix64(h ^ 0L)
+      for (s <- 1 until n) {
+        val sc = Kernels.mix64(h ^ s.toLong) // signed JVM compare, strictly
+        if (sc > bestScore) { best = s; bestScore = sc } // greater => first max wins
+      }
+      assert(got(k) === best, s"key $k")
+    }
+  }
+
+  test("growing n -> n+1 moves ONLY keys won by the new shard, ~1/(n+1) of them") {
+    import spark.implicits._
+    val n = 7
+    val rows = (0L until 20000L).toDF("k")
+      .select(col("k"), Layout.rendezvousShard(col("k"), n).as("a"),
+        Layout.rendezvousShard(col("k"), n + 1).as("b"))
+      .collect()
+    val moved = rows.filter(r => r.getInt(1) != r.getInt(2))
+    moved.foreach(r =>
+      assert(r.getInt(2) === n, s"key ${r.getLong(0)} moved between PRE-EXISTING shards"))
+    // binomial(20000, 1/8): sd ~ 0.0023 — bounds are >10 sigma wide
+    val frac = moved.length.toDouble / rows.length
+    assert(frac > 0.08 && frac < 0.17, s"moved fraction $frac, expected ~1/8")
+  }
+
+  test("rendezvousShard is a codegen'd narrow projection (no shuffle, no udf)") {
+    import spark.implicits._
+    val plan = (0L until 100L).toDF("k")
+      .select(Layout.rendezvousShard(col("k"), 8).as("s"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"))
