@@ -45,8 +45,15 @@ object Tables {
       // TIMESTAMP_NTZ; every consumer (unix_micros, casts, windows)
       // expects the session type. All graft sessions pin the session
       // timezone to UTC, so this cast relabels the SAME micros value —
-      // DuckDB's naive read of the file agrees integer-for-integer.
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // DuckDB's naive read of the file agrees integer-for-integer. In
+      // any OTHER timezone the cast would silently shift every event
+      // instead: fail loudly rather than corrupt oracle parity.
+      case TimestampNTZType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events(): the NTZ->TIMESTAMP relabel is value-preserving only " +
+            "under spark.sql.session.timeZone=UTC (set by every graft entry " +
+            s"point); session has '${spark.conf.get("spark.sql.session.timeZone")}'")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

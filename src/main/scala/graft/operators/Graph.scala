@@ -242,10 +242,28 @@ object Graph {
     * Returns `(v, n_triangles)` for every node with ≥1 triangle,
     * materialized eagerly (node-bounded) so the operator releases its
     * own adjacency cache instead of leaking it to the caller.
+    *
+    * **Power-law hub caveat — the `maxDegree` gate.** The adjacency is
+    * one `collect_list` row per node, so a degree-d hub is a single
+    * d-element array row (~8d bytes): a 10⁷-degree web/social hub is an
+    * 80 MB row that a task must hold (and the broadcast path would
+    * replicate). The gate measures the true max TOTAL degree in the
+    * same pre-join pass that sizes the broadcast decision and fails
+    * loudly — an executor OOM mid-join names nothing. Recipe when a
+    * real corpus trips it (the standard high-degree split): partition
+    * edges by `degree(x) ≤ D && degree(y) ≤ D`; run this operator on
+    * the low-degree subgraph; for the hub-incident remainder count
+    * `z ∈ adj(x) ∩ adj(y)` with an explode + inner-join + groupBy
+    * (shuffle-bound, no wide rows — hub lists never materialize in-row)
+    * and union the two credit streams. Hub edges are few (by definition
+    * there are ≤ 2|E|/D nodes above degree D), so the join pass stays
+    * small; only the in-row merge needs the width bound.
     */
   def triangleParticipation(edges: DataFrame, aCol: String, bCol: String,
-                            broadcastEdgeLimit: Long = 1L << 22): DataFrame = {
-    val (result, caches, _) = triangleParticipationPlan(edges, aCol, bCol, broadcastEdgeLimit)
+                            broadcastEdgeLimit: Long = 1L << 22,
+                            maxDegree: Long = 1L << 22): DataFrame = {
+    val (result, caches, _) =
+      triangleParticipationPlan(edges, aCol, bCol, broadcastEdgeLimit, maxDegree)
     val out = Ckpt.truncate(result)
     caches.foreach(_.unpersist(blocking = false))
     out
@@ -255,7 +273,8 @@ object Graph {
     * chose broadcast, for plan-shape tests. */
   private[graft] def triangleParticipationPlan(
       edges: DataFrame, aCol: String, bCol: String,
-      broadcastEdgeLimit: Long): (DataFrame, Seq[DataFrame], Boolean) = {
+      broadcastEdgeLimit: Long,
+      maxDegree: Long = 1L << 22): (DataFrame, Seq[DataFrame], Boolean) = {
     // the adjacency IS the edge set: persisting the |V|-row lists makes
     // the (possibly expensive) upstream edge derivation run exactly
     // once — the probe stream is re-exploded from the cached lists and
@@ -269,7 +288,23 @@ object Graph {
     val probe = adj.select(col("a").as("ea"), explode(col("nbrs")).as("eb"))
     val adjLo = probe.groupBy(col("eb").as("lb"))
       .agg(sort_array(collect_list(col("ea"))).as("lnbrs"))
-    val useBroadcast = probe.count() <= broadcastEdgeLimit
+    // one pre-join pass over the cached adjacency sizes BOTH gates: the
+    // edge count for the broadcast decision and the max TOTAL degree
+    // (either endpoint role — adjLo rows are in-degree-wide) for the
+    // row-width gate. Map-side combine bounds the shuffle at |V| rows.
+    val stats = probe.select(explode(array(col("ea"), col("eb"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d")), lit(0L)).cast("long").as("e2"),
+        coalesce(max(col("d")), lit(0L)).cast("long").as("dmax"))
+      .head()
+    val maxDeg = stats.getLong(1)
+    require(maxDeg <= maxDegree,
+      s"max vertex degree $maxDeg exceeds maxDegree=$maxDegree: a hub " +
+        "adjacency row this wide risks an executor OOM in the in-row " +
+        "merge. Split the graph on degree and route hub-incident edges " +
+        "through an explode+join count — see triangleParticipation's " +
+        "scaladoc for the recipe — or raise maxDegree deliberately.")
+    val useBroadcast = stats.getLong(0) / 2 <= broadcastEdgeLimit
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     val result = probe
       .join(side(adj).as("ax"), col("ea") === col("ax.a"))

@@ -67,4 +67,14 @@ class GraphSpec extends SparkSpec {
       s"a receives nothing, so rank(a) == teleport: $r")
     assert(r("b") > r("a"), s"b collects a's contribution: $r")
   }
+
+  test("triangle degree gate trips on a hub wider than maxDegree, with the split recipe") {
+    val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Graph.triangleParticipation(star, "a", "b", maxDegree = 10)
+    }
+    assert(e.getMessage.contains("explode+join"), "the failure must name the recipe")
+    // the same graph passes with the gate above its hub degree
+    assert(Graph.triangleParticipation(star, "a", "b", maxDegree = 50).count() === 0L)
+  }
 }
