@@ -60,9 +60,36 @@ object Bench {
         .groupBy(col("k")).agg(sum(col("n")).as("s"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // noise canary: a FIXED, IO-free, codegen'd computation whose cost
+    // depends only on the machine — catalog edits never touch it, so
+    // its history is comparable across rounds. A contaminated run
+    // (concurrent builds, another Spark session) is self-identifying:
+    // canary_sec drifts far above its quiet-machine record while the
+    // plan under it is unchanged. Quiet record on this box: ~0.55 s
+    // (local[32], round 10) — treat a run whose canary reads >2x that
+    // as contention, and re-run rather than re-plan.
+    def canaryOnce(): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1, 32)
+        .select((col("id") % 9973).as("k"),
+          (col("id") * lit(6364136223846793005L) + lit(1442695040888963407L)).as("h"))
+        .groupBy(col("k")).agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = Queries.all.filter(q => only.forall(_.contains(q.name))).map { q =>
+    // per-query best-of-N (default 2): the min discards one-off GC/
+    // scheduler hiccups, which at local[32] dominate single-run
+    // variance (SCALE.md's A/B measured 1.5-2x same-code swings)
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    val qlist = Queries.all.filter(q => only.forall(_.contains(q.name)))
+    canaryOnce() // throwaway: the canary plan's own codegen JIT (~2x)
+    val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce())
+    val results = qlist.zipWithIndex.map { case (q, i) =>
+      if (i == qlist.size / 2 && i > 0) canaries += canaryOnce()
       // drop the previous query's cache entries (since round 8 almost
       // every persisting operator releases its own frames — only the
       // q14/q139/q85 rank structures keep theirs by documented caller-
@@ -71,17 +98,21 @@ object Bench {
       // 20 slots later with GC pauses, making per-query numbers
       // load-order noise (q129 measured 3.2 s vs 6.4 s purely by
       // position in the run)
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      val times = (1 to runsPerQuery).flatMap { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
+          None
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (q.name, if (times.isEmpty) 0.0 else times.min, times.size == runsPerQuery)
     }
+    canaries += canaryOnce()
+    val canarySec = canaries.sorted.apply(canaries.size / 2)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries are listed explicitly so a broken query can't
@@ -96,8 +127,9 @@ object Bench {
     // 20 slowest queries (the ones a perf reader actually wants) plus the
     // aggregate; everything else is in benchDetailPath.
     val detailPath = "bench_full.json"
+    val canaryList = canaries.map(c => math.rint(c * 1000) / 1000).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes("UTF-8"))
@@ -105,7 +137,7 @@ object Bench {
     val slowest = results.filter(_._3).sortBy(-_._2).take(20)
       .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._3)},"queries":$slowest,"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._3)},"queries":$slowest,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
