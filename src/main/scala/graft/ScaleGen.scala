@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   *    replicates as `factor` disjoint copies instead of artificial
   *    cross-replica cliques (which would quadratically inflate pair
   *    volume and measure a different problem).
-  *  - everything else (dimensions, events, embeddings): copied as-is.
+  *  - `embeddings`: vec_id offset the same way; replica i > 0 applies
+  *    a per-replica signed coordinate permutation (orthogonal, exact)
+  *    so within-replica similarity structure is preserved bit-for-bit
+  *    while cross-replica neighbors decorrelate.
+  *  - dimensions (`region nation customer supplier part`): byte-copied.
   *
   * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <factor>
   */
@@ -86,13 +90,38 @@ object ScaleGen {
         .withColumn("text", translate(col("text"), from, to))
     }, "documents")
 
+    // embeddings replicate under a per-replica SIGNED PERMUTATION of
+    // the coordinates (rotate by i, deterministic mix64 sign flips) —
+    // an orthogonal transform, so every within-replica norm / inner
+    // product / cosine is preserved EXACTLY (permuting and negating
+    // floats involves no FP arithmetic: ±1·x is exact), while
+    // cross-replica neighbor structure decorrelates. The ANN/semantic-
+    // dedup workload therefore replicates as `factor` disjoint vector
+    // populations — the embedding-space mirror of the documents cipher,
+    // and for the same reason: cross-replica cliques would measure a
+    // densified problem, not "same workload, more data".
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    write(replicate(emb) { (d, i) =>
+      val base = d.withColumn("vec_id", col("vec_id") + lit(i * offset))
+      if (i == 0) base
+      else {
+        val signs = (0 until 64).map(j =>
+          if ((graft.plans.Kernels.mix64(i.toLong * 1000003L + j) & 1L) == 0L) 1.0f
+          else -1.0f).toArray
+        base.withColumn("embedding",
+          transform(col("embedding"), (_, jj) =>
+            element_at(col("embedding"),
+              (pmod(jj + lit(i), size(col("embedding"))) + 1).cast("int")) *
+              element_at(typedLit(signs), ((jj % 64) + 1).cast("int"))))
+      }
+    }, "embeddings")
+
     // unchanged tables are BYTE-copied, not rewritten through Spark: a
     // read/write round-trip rewrites the parquet logical types (the
     // driver's nanosecond timestamps, read as longs under
     // `nanosAsLong`, come back out as plain BIGINT) and the DuckDB
     // oracle side then sees a different schema than at the source SF
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "embeddings")) {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       if (java.nio.file.Files.exists(from))
         java.nio.file.Files.copy(from,
