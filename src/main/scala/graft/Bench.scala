@@ -65,9 +65,10 @@ object Bench {
     // its history is comparable across rounds. A contaminated run
     // (concurrent builds, another Spark session) is self-identifying:
     // canary_sec drifts far above its quiet-machine record while the
-    // plan under it is unchanged. Quiet record on this box: ~0.55 s
-    // (local[32], round 10) — treat a run whose canary reads >2x that
-    // as contention, and re-run rather than re-plan.
+    // plan under it is unchanged. Quiet record on this box: 0.47-0.92 s
+    // across a full catalog sweep (local[32], round 10, median 0.78) —
+    // treat a run whose canary reads >2x that band as contention, and
+    // re-run rather than re-plan.
     def canaryOnce(): Double = {
       spark.catalog.clearCache()
       System.gc()
