@@ -5169,7 +5169,52 @@ object Queries {
            |SELECT c_custkey, shard8, shard9, shard8 <> shard9 AS moved
            |FROM sh""".stripMargin
       },
-      "rendezvous (HRW) shard routing: per-row codegen'd mix64 score argmax, signed compare, first-position ties; n->n+1 moves only winner-changed keys")
+      "rendezvous (HRW) shard routing: per-row codegen'd mix64 score argmax, signed compare, first-position ties; n->n+1 moves only winner-changed keys"),
+
+    Q("q173_unimax_allocate",
+      // UniMax water-filling over the (skewed) language counts:
+      // caps = 2 epochs, budget 700 < sum(caps) = 1000 so the level
+      // actually binds — fr/de saturate, es/zh/en split the residual
+      (s, d) => Sampling.unimaxAllocate(documents(s, d), col("lang"),
+        budget = 700L, maxEpochs = 2L),
+      // full integer re-derivation: ascending-cap ranks, the per-row
+      // prefix fit test (provably equivalent to the iterative
+      // water-filling — failure is monotone in rank), integer level +
+      // mod split with leftover units to the first unsaturated keys
+      Some("""WITH counts AS (
+             |  SELECT lang AS source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang
+             |), caps AS (
+             |  SELECT source, n_docs, n_docs * 2 AS cap FROM counts
+             |), ord AS (
+             |  SELECT *,
+             |    row_number() OVER (ORDER BY cap, coalesce(source, '')) AS rk,
+             |    count(*) OVER () AS ns,
+             |    coalesce(sum(cap) OVER (ORDER BY cap, coalesce(source, '')
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+             |  FROM caps
+             |), st AS (
+             |  SELECT *, cap * (ns - rk + 1) <= 700 - pre AS sat FROM ord
+             |), agg AS (
+             |  SELECT coalesce(sum(cap) FILTER (WHERE sat), 0) AS presat,
+             |         count(*) FILTER (WHERE NOT sat) AS m
+             |  FROM st
+             |), lvl AS (
+             |  SELECT CASE WHEN m = 0 THEN 0 ELSE (700 - presat) // m END AS level,
+             |         CASE WHEN m = 0 THEN 0 ELSE (700 - presat) % m END AS rem
+             |  FROM agg
+             |), ur AS (
+             |  SELECT source,
+             |    row_number() OVER (ORDER BY coalesce(source, '')) AS urank
+             |  FROM st WHERE NOT sat
+             |)
+             |SELECT st.source, st.n_docs, CAST(st.cap AS BIGINT) AS cap,
+             |  CAST(CASE WHEN st.sat THEN st.cap
+             |       ELSE lvl.level + CASE WHEN ur.urank <= lvl.rem THEN 1 ELSE 0 END
+             |       END AS BIGINT) AS alloc
+             |FROM st CROSS JOIN lvl
+             |LEFT JOIN ur ON ur.source IS NOT DISTINCT FROM st.source""".stripMargin),
+      "UniMax epoch-capped uniform allocation: water-filling level over per-source caps, exact integer arithmetic, one groupBy + bounded driver fold")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -190,6 +190,95 @@ object Sampling {
     * guard: `budget · s_max` must fit in a long, i.e.
     * budget · sqrt(n_max) < 9.2e12 — checked at runtime.
     */
+  /** UniMax epoch-capped uniform allocation (Chung et al., "UniMax:
+    * Fairer and More Effective Language Sampling", ICLR 2023):
+    * apportion an integer `budget` across the values of `sourceCol` as
+    * UNIFORMLY as possible subject to the per-source repetition cap
+    * `cap_s = n_s · maxEpochs` — the water-filling solution
+    * `alloc_s = min(cap_s, λ)` with the level λ set so Σ alloc equals
+    * the budget. [[temperatureAllocate]] (q160) trades head
+    * down-sampling against UNBOUNDED tail repetition; UniMax instead
+    * gives every source equal budget until its epoch cap binds — the
+    * fairness/overfit contract large multilingual mixtures want.
+    *
+    * Determinism (cross-engine oracle parity): pure integer arithmetic
+    * end to end. Sources sort ascending by (cap, key); the saturated
+    * set is provably the prefix of rows with
+    * `cap_r · (remaining sources) ≤ budget − (cap prefix sum)` — a
+    * per-row window formula an oracle engine can replay — and the
+    * residual splits as `level = R div m` with the `R mod m` leftover
+    * units going one each to the first unsaturated sources by key.
+    * Σ alloc = min(budget, Σ cap) EXACTLY: when the budget exceeds
+    * every cap the mixture saturates and the surplus stays
+    * deliberately unallocated — UniMax never repeats a source past its
+    * epoch cap.
+    *
+    * Scale shape: ONE distributed aggregation (groupBy(source).count,
+    * map-side partial combine); the water-filling fold runs on the
+    * driver over the key-space-bounded source domain (same bounded-
+    * collect contract as [[temperatureAllocate]], capped by
+    * `maxSources`).
+    *
+    * Output: one row per source — `(source, n_docs, cap, alloc)`.
+    */
+  def unimaxAllocate(df: DataFrame, sourceCol: Column, budget: Long,
+                     maxEpochs: Long, maxSources: Int = 100000): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val spark = df.sparkSession
+    val counts = df.groupBy(sourceCol.cast("string").as("source"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+    require(counts.length <= maxSources,
+      s"${counts.length} sources exceed maxSources=$maxSources — the " +
+        "water-filling fold is a bounded-domain driver pass; raise the " +
+        "cap only if the source domain is genuinely that large")
+    val ns = counts.length
+    counts.foreach { case (_, n) =>
+      require(n <= Long.MaxValue / maxEpochs / math.max(ns, 1),
+        s"cap·|sources| overflows long (n=$n, maxEpochs=$maxEpochs, sources=$ns)")
+    }
+    // ascending (cap, key): caps nondecreasing makes the saturated set
+    // a prefix (if rank r fails the fit test, cap_{r+1} >= cap_r fails
+    // it too — the water never rises past the first overflow)
+    val byCap = counts.map { case (s, n) => (s, n, n * maxEpochs) }
+      .sortBy { case (s, _, c) => (c, Option(s).getOrElse("")) }
+    var r = budget
+    var m = ns.toLong
+    var satCount = 0
+    while (satCount < ns && byCap(satCount)._3 * m <= r) {
+      r -= byCap(satCount)._3
+      m -= 1
+      satCount += 1
+    }
+    val level = if (m == 0) 0L else r / m
+    val rem = if (m == 0) 0L else r % m
+    // the rem leftover units go one each to the FIRST unsaturated
+    // sources by key — the q160 Hamilton tie-break convention
+    val bumpSet = byCap.drop(satCount).map(t => Option(t._1))
+      .sortBy(_.getOrElse("")).take(rem.toInt).toSet
+    val satSet = byCap.take(satCount).map(t => Option(t._1)).toSet
+    val rows = counts.map { case (src, n) =>
+      val cap = n * maxEpochs
+      val alloc =
+        if (satSet.contains(Option(src))) cap
+        else level + (if (bumpSet.contains(Option(src))) 1L else 0L)
+      org.apache.spark.sql.Row(src, n, cap, alloc)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cap",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("alloc",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
   def temperatureAllocate(df: DataFrame, sourceCol: Column, budget: Long,
                           maxSources: Int = 100000): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

@@ -298,4 +298,52 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(a === b, "schedule must not depend on input partitioning")
   }
+
+  private def unimaxDocs(ns: Map[String, Int]) = {
+    import spark.implicits._
+    ns.toSeq.flatMap { case (s, n) => (0 until n).map(i => (s, i)) }
+      .toDF("src", "i")
+  }
+
+  test("unimaxAllocate: water level binds saturated prefix exactly (hand-checked case)") {
+    // caps (epochs=2): a=10, b=20, c=100; budget 60 -> a,b saturate,
+    // c takes the 30-unit residual level
+    val got = Sampling.unimaxAllocate(
+        unimaxDocs(Map("a" -> 5, "b" -> 10, "c" -> 50)), col("src"), 60L, 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((5L, 10L, 10L)))
+    assert(got("b") === ((10L, 20L, 20L)))
+    assert(got("c") === ((50L, 100L, 30L)))
+  }
+
+  test("unimaxAllocate: mod-split leftover goes one each to the first unsaturated keys") {
+    // caps: a=10, b=20, c=100, d=110; budget 75 -> a,b saturate,
+    // residual 45 over {c,d}: level 22, rem 1 -> c (first by key) gets 23
+    val got = Sampling.unimaxAllocate(
+        unimaxDocs(Map("a" -> 5, "b" -> 10, "c" -> 50, "d" -> 55)), col("src"), 75L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("a" -> 10L, "b" -> 20L, "c" -> 23L, "d" -> 22L))
+  }
+
+  test("unimaxAllocate: over-budget saturates every cap and leaves the surplus unallocated") {
+    val rows = Sampling.unimaxAllocate(
+        unimaxDocs(Map("a" -> 5, "b" -> 10, "c" -> 50)), col("src"), 10000L, 2L)
+      .collect()
+    rows.foreach(r => assert(r.getLong(3) === r.getLong(2), s"alloc == cap for ${r.getString(0)}"))
+    assert(rows.map(_.getLong(3)).sum === 130L)
+  }
+
+  test("unimaxAllocate invariants: alloc <= cap, sum == min(budget, sum(cap)), near-uniform unsaturated") {
+    for (budget <- Seq(7L, 40L, 75L, 129L, 131L, 500L)) {
+      val rows = Sampling.unimaxAllocate(
+          unimaxDocs(Map("a" -> 5, "b" -> 10, "c" -> 50)), col("src"), budget, 2L)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      rows.foreach { case (s, cap, alloc) => assert(alloc <= cap, s"$s at budget $budget") }
+      assert(rows.map(_._3).sum === math.min(budget, 130L), s"budget $budget")
+      // unsaturated allocations differ by at most one unit
+      val unsat = rows.filter { case (_, cap, alloc) => alloc < cap }.map(_._3)
+      if (unsat.nonEmpty)
+        assert(unsat.max - unsat.min <= 1L, s"budget $budget: $unsat")
+    }
+  }
 }
