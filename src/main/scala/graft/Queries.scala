@@ -5214,7 +5214,36 @@ object Queries {
              |       END AS BIGINT) AS alloc
              |FROM st CROSS JOIN lvl
              |LEFT JOIN ur ON ur.source IS NOT DISTINCT FROM st.source""".stripMargin),
-      "UniMax epoch-capped uniform allocation: water-filling level over per-source caps, exact integer arithmetic, one groupBy + bounded driver fold")
+      "UniMax epoch-capped uniform allocation: water-filling level over per-source caps, exact integer arithmetic, one groupBy + bounded driver fold"),
+
+    Q("q174_blocklist",
+      // Aho-Corasick blocklist scan: single-word, phrase, and
+      // overlapping-capable patterns over the corpus vocabulary; the
+      // automaton is a plan constant, the scan one codegen pass
+      (s, d) => {
+        val hits = TextFunctions.blocklistHits(col("text"),
+          Seq("slow", "big query", "scan sort", "a a"))
+        documents(s, d).select(col("doc_id"),
+          element_at(hits, 1).as("n_hits"),
+          element_at(hits, 2).as("n_patterns"))
+      },
+      // oracle counts START positions per pattern with an inclusive-
+      // slice probe — identical to AC's end-position firing (overlaps
+      // included for the self-overlapping "a a" pattern)
+      Some("""WITH pats AS (
+             |  SELECT unnest(['slow', 'big query', 'scan sort', 'a a']) AS p
+             |), t AS (
+             |  SELECT doc_id, lower(text) AS t FROM documents
+             |), hits AS (
+             |  SELECT doc_id, p,
+             |    len([i FOR i IN range(1, len(t) - len(p) + 2)
+             |         IF t[i:i+len(p)-1] = p]) AS c
+             |  FROM t CROSS JOIN pats
+             |)
+             |SELECT doc_id, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_hits,
+             |  CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_patterns
+             |FROM hits GROUP BY doc_id""".stripMargin),
+      "Aho-Corasick blocklist scan: O(chars+matches) multi-pattern kernel, per-JVM automaton cache, overlap-exact counts (curation domain/keyword filter)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

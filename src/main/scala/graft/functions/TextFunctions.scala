@@ -140,6 +140,31 @@ object TextFunctions {
   def stripControlChars(text: Column): Column =
     regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
 
+  // ---------------------------------------------------- blocklist scan
+
+  /** Aho–Corasick multi-pattern blocklist scan over the lowercased
+    * text — the domain/keyword filter step of a curation pipeline
+    * (RefinedWeb/C4-class blocklists). Returns the 2-long array
+    * `[n_hits, n_patterns]`: total occurrences of ANY pattern as a
+    * substring (all positions — overlaps included: "aa" occurs twice
+    * in "aaa") and the count of distinct patterns present. One
+    * O(chars + matches) pass regardless of pattern count — the
+    * automaton is built once per executor JVM from the plan-constant
+    * pattern literal ([[graft.plans.Kernels.blocklistHits]]), vs
+    * O(patterns × chars) for a contains-loop or a backtracking regex
+    * alternation. Patterns are matched case-insensitively (both sides
+    * lowercase); config-scale (a blocklist has thousands of entries,
+    * not billions).
+    */
+  def blocklistHits(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "empty blocklist")
+    val norm = patterns.map(_.toLowerCase)
+    require(norm.distinct.size == norm.size, s"duplicate blocklist patterns")
+    require(norm.forall(p => p.nonEmpty && !p.contains('\u0001')),
+      "patterns must be non-empty and free of the \\u0001 joiner")
+    Exprs.blocklistHits(text, lit(norm.mkString("\u0001")))
+  }
+
   // ------------------------------------------------------ PII scrubbing
   // Deterministic regex-class PII detection and redaction — the
   // pre-release scrub every training corpus needs. Patterns stick to

@@ -495,6 +495,25 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Aho–Corasick blocklist scan ([[Kernels.blocklistHits]]): text +
+    * the \\u0001-joined pattern literal → `[n_hits, n_patterns]`. The
+    * pattern side is a plan constant, so codegen embeds it once and
+    * the kernel's per-JVM automaton cache keys on it.
+    */
+  case class BlocklistHits(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "blocklist_hits"
+    override protected def nullSafeEval(t: Any, p: Any): Any =
+      Kernels.blocklistHits(
+        t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, p) => s"graft.plans.Kernels.blocklistHits($t, $p)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BlocklistHits =
+      copy(left = l, right = r)
+  }
+
   // Column-level API ---------------------------------------------------
 
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -522,6 +541,8 @@ object Exprs {
   def bloomContains(c: Column, words: Array[Long], mBits: Int, k: Int): Column =
     col(BloomContains(ex(c), words, mBits, k))
   def tokenCount(c: Column): Column = col(TokenCount(ex(c)))
+  def blocklistHits(text: Column, patternsLit: Column): Column =
+    col(BlocklistHits(ex(text), ex(patternsLit)))
   def meanTokenLen(c: Column): Column = col(MeanTokenLen(ex(c)))
   def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))
   def punctRatio(c: Column): Column = col(PunctRatio(ex(c)))

@@ -1048,4 +1048,87 @@ object Kernels {
       0.5 + 0.5 * (zn / (1.0 + math.abs(zn)))
     }
   }
+
+  // ------------------------------------------- blocklist (Aho–Corasick)
+
+  /** Multi-pattern matcher for [[blocklistHits]]: classic Aho–Corasick
+    * (goto trie + BFS failure links, outputs merged through the fail
+    * chain), built once per DISTINCT pattern set and cached per JVM —
+    * the kernel call carries the pattern set as a codegen literal, so
+    * each executor builds the automaton on first touch and every later
+    * row pays O(chars + matches), independent of pattern count. The
+    * single-regex alternation alternative re-scans on backtrack and
+    * rebuilds per batch; a per-pattern `contains` loop is O(P·chars).
+    */
+  private final class AcAutomaton(val patterns: Array[String]) {
+    import scala.collection.mutable
+    private val children = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    private val out = mutable.ArrayBuffer(List.empty[Int])
+    for (pi <- patterns.indices) {
+      var node = 0
+      val p = patterns(pi)
+      var i = 0
+      while (i < p.length) {
+        node = children(node).getOrElseUpdate(p.charAt(i), {
+          children += mutable.HashMap.empty[Char, Int]
+          out += Nil
+          children.size - 1
+        })
+        i += 1
+      }
+      out(node) = pi :: out(node)
+    }
+    private val fail = new Array[Int](children.size)
+    locally {
+      val queue = mutable.Queue.empty[Int]
+      for ((_, c) <- children(0)) { fail(c) = 0; queue += c }
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        for ((ch, v) <- children(u)) {
+          var f = fail(u)
+          while (f != 0 && !children(f).contains(ch)) f = fail(f)
+          fail(v) = children(f).getOrElse(ch, 0)
+          // BFS order: fail(v) is strictly shallower, already merged
+          out(v) = out(v) ::: out(fail(v))
+          queue += v
+        }
+      }
+    }
+    def step(state: Int, ch: Char): Int = {
+      var s = state
+      while (s != 0 && !children(s).contains(ch)) s = fail(s)
+      children(s).getOrElse(ch, 0)
+    }
+    def outputs(state: Int): List[Int] = out(state)
+  }
+
+  private val acCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AcAutomaton]()
+
+  /** Blocklist scan over the LOWERCASED text: result is the 2-long
+    * array `[n_hits, n_patterns]` — total occurrences of any pattern
+    * (ALL positions, overlaps included: "aa" occurs twice in "aaa")
+    * and the number of distinct patterns present. `patterns` is the
+    * \\u0001-joined lowercase pattern list (a plan-constant literal —
+    * the cache key).
+    */
+  def blocklistHits(text: UTF8String, patterns: UTF8String): ArrayData = {
+    val ac = acCache.computeIfAbsent(patterns.toString,
+      k => new AcAutomaton(k.split('\u0001').filter(_.nonEmpty)))
+    val s = text.toString.toLowerCase
+    var state = 0
+    var hits = 0L
+    val seen = new Array[Boolean](ac.patterns.length)
+    var i = 0
+    while (i < s.length) {
+      state = ac.step(state, s.charAt(i))
+      var o = ac.outputs(state)
+      while (o.nonEmpty) { hits += 1; seen(o.head) = true; o = o.tail }
+      i += 1
+    }
+    var np = 0L
+    var j = 0
+    while (j < seen.length) { if (seen(j)) np += 1; j += 1 }
+    new GenericArrayData(Array(hits, np))
+  }
 }

@@ -489,4 +489,41 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2L) === ((0, 0, 2, "call <PHONE> or <PHONE>")))
     assert(got(3L) === ((0, 0, 0, "clean text, nothing to scrub")))
   }
+
+  test("blocklistHits: overlap-exact Aho-Corasick counts match a brute-force position scan") {
+    import spark.implicits._
+    val pats = Seq("aa", "ab", "abc", "b c", "zz")
+    val texts = Seq(
+      (0L, "aaa"),                 // "aa" overlaps itself: 2 hits
+      (1L, "abcabc ab"),           // ab x3, abc x2 (nested patterns both fire)
+      (2L, "xb cx AB"),            // phrase + case-insensitivity
+      (3L, ""),                    // empty text
+      (4L, "no matches here except a b c run"), // "b c" once
+      (5L, "zzz aabc"))            // zz x2 overlap, aa, ab, abc
+    val got = texts.toDF("id", "t")
+      .select(col("id"), TextFunctions.blocklistHits(col("t"), pats).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def brute(t0: String): Seq[Long] = {
+      val t = t0.toLowerCase
+      val counts = pats.map { p =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+      }
+      Seq(counts.sum, counts.count(_ > 0).toLong)
+    }
+    texts.foreach { case (id, t) => assert(got(id) === brute(t), s"id $id") }
+    assert(got(0L) === Seq(2L, 1L))
+    assert(got(1L) === Seq(5L, 2L))
+    assert(got(5L) === Seq(5L, 4L))
+  }
+
+  test("blocklistHits is codegen'd and rejects malformed pattern sets") {
+    import spark.implicits._
+    val plan = Seq((1L, "x")).toDF("id", "t")
+      .select(TextFunctions.blocklistHits(col("t"), Seq("a", "b")).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"))
+    intercept[IllegalArgumentException] { TextFunctions.blocklistHits(col("t"), Seq.empty) }
+    intercept[IllegalArgumentException] { TextFunctions.blocklistHits(col("t"), Seq("a", "A")) }
+    intercept[IllegalArgumentException] { TextFunctions.blocklistHits(col("t"), Seq("")) }
+  }
 }
