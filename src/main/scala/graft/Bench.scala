@@ -110,11 +110,15 @@ object Bench {
           None
         }
       }
-      (q.name, if (times.isEmpty) 0.0 else times.min, times.size == runsPerQuery)
+      // ok = at least one run completed: a one-off OOM/GC abort on one
+      // of the N runs shouldn't discard a valid min timing, and a
+      // never-succeeding query must NOT appear in the queries map at
+      // all (a 0.0 entry reads as a 0-second pass to a naive consumer)
+      (q.name, if (times.isEmpty) 0.0 else times.min, times.nonEmpty)
     }
     canaries += canaryOnce()
     val canarySec = canaries.sorted.apply(canaries.size / 2)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.filter(_._3).map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries are listed explicitly so a broken query can't
     // masquerade as a fast pass; their time-to-failure is excluded

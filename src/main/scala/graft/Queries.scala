@@ -4072,29 +4072,17 @@ object Queries {
       "per-eval-item contamination containment (broadcast benchmark postings, map-side hit counts)"),
 
     Q("q146_mad",
-      (s, d) => {
-        val li = lineitem(s, d)
-        // median absolute deviation: q104's two-pass broadcast-bounds
-        // shape, BOTH medians on the rank-based percentile path
-        // (O(bins) agg state — see q104; bit-identical to the built-in
-        // by StatsSpec, so the quantile_cont oracle is unchanged).
-        // The deviation median re-derives the deviation column in the
-        // operator's two passes — the price of exact two-level
-        // statistics; at cluster scale persist `dev` before the call.
-        val med = Stats.groupedExactPercentiles(li, "l_returnflag",
-            "l_extendedprice", Seq(0.5))
-          .select(col("g").as("l_returnflag"), col("p_0").as("_med"))
-        val dev = li.join(broadcast(med), Seq("l_returnflag"))
-          .select(col("l_returnflag"),
-            abs(col("l_extendedprice") - col("_med")).as("_adev"), col("_med"))
-        val mad = Stats.groupedExactPercentiles(dev, "l_returnflag",
-            "_adev", Seq(0.5))
-          .select(col("g").as("l_returnflag"), round(col("p_0"), 4).as("mad"))
-        dev.groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), round(max(col("_med")), 4).as("median"))
-          .join(broadcast(mad), Seq("l_returnflag"))
-          .select(col("l_returnflag"), col("n"), col("median"), col("mad"))
-      },
+      (s, d) =>
+        // median absolute deviation: the FUSED two-level rank path —
+        // median and MAD resolve against ONE cached binned frame (two
+        // source scans total, deviations re-binned from pass-1 bounds
+        // with no corpus join; see Stats.groupedMedianAbsDeviation).
+        // Interpolation is bit-identical to quantile_cont, so the
+        // oracle is unchanged from the old two-operator formulation.
+        Stats.groupedMedianAbsDeviation(lineitem(s, d), "l_returnflag",
+            "l_extendedprice")
+          .select(col("g").as("l_returnflag"), col("n"),
+            round(col("median"), 4).as("median"), round(col("mad"), 4).as("mad")),
       Some("""WITH m AS (
              |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
              |  FROM lineitem GROUP BY l_returnflag

@@ -230,7 +230,7 @@ object GeoFunctions {
     if (t.isEmpty) return null
     try {
       val sp = t.indexWhere(c => c == '(' || c.isWhitespace)
-      val typ = (if (sp < 0) t else t.substring(0, sp)).toUpperCase
+      val typ = (if (sp < 0) t else t.substring(0, sp)).toUpperCase(java.util.Locale.ROOT)
       val rest = if (sp < 0) "" else t.substring(sp).trim
       val gjType = typ match {
         case "POINT" => "Point"

@@ -28,7 +28,7 @@ object Identifier {
 
   def makeIdentifier(name: String): String = {
     if (name == null) return null
-    var s = name.toLowerCase
+    var s = name.toLowerCase(java.util.Locale.ROOT)
     s = s.replaceAll(Punct, "")
     s = s.trim
     s = s.replaceAll("[\\s\\-–—]+", "_")

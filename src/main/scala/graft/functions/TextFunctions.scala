@@ -158,7 +158,7 @@ object TextFunctions {
     */
   def blocklistHits(text: Column, patterns: Seq[String]): Column = {
     require(patterns.nonEmpty, "empty blocklist")
-    val norm = patterns.map(_.toLowerCase)
+    val norm = patterns.map(_.toLowerCase(java.util.Locale.ROOT))
     require(norm.distinct.size == norm.size, s"duplicate blocklist patterns")
     require(norm.forall(p => p.nonEmpty && !p.contains('\u0001')),
       "patterns must be non-empty and free of the \\u0001 joiner")

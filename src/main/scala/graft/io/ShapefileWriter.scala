@@ -94,7 +94,7 @@ object ShapefileWriter {
     if (wkt == null) return (0, Nil)
     val t = wkt.trim
     val sp = t.indexWhere(c => c == '(' || c.isWhitespace)
-    val typ = (if (sp < 0) t else t.substring(0, sp)).toUpperCase
+    val typ = (if (sp < 0) t else t.substring(0, sp)).toUpperCase(java.util.Locale.ROOT)
     val rest = if (sp < 0) "" else t.substring(sp).trim
     if (rest == "EMPTY" || rest.isEmpty) return (0, Nil)
     val tree = parseTree(rest, 0)._1

@@ -63,6 +63,19 @@ object Dsir {
                         shingleK: Int = 2, alpha: Double = 1.0): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets=$buckets must be a power of two (bucket id = low bits of the hash)")
+    // the per-bucket weights are folded into a `typedLit` literal map
+    // embedded in the plan (score stays map-only, zero joins): at the
+    // default 4096 that is a few KB of plan, but the cost is linear in
+    // `buckets` — 2^20 buckets would be a multi-MB plan that every
+    // task deserializes and codegen chokes on. 2^16 keeps the literal
+    // under ~1 MB; above that the right design is a broadcast join
+    // against a weights frame, which this operator deliberately does
+    // not silently switch to (the plan shape is part of its contract)
+    require(buckets <= (1 << 16),
+      s"buckets=$buckets exceeds 65536: the per-bucket weight map is a " +
+        "plan-embedded literal, and a map this large belongs in a " +
+        "broadcast join, not the plan. Use fewer hash buckets (the DSIR " +
+        "paper uses 10^4) or join against a materialized weights frame.")
     require(alpha > 0, "alpha must be positive (unsmoothed zero-count buckets have no ln)")
     val mask = (buckets - 1).toLong
     def bucketed = df.select(

@@ -247,17 +247,16 @@ object Graph {
     * one `collect_list` row per node, so a degree-d hub is a single
     * d-element array row (~8d bytes): a 10⁷-degree web/social hub is an
     * 80 MB row that a task must hold (and the broadcast path would
-    * replicate). The gate measures the true max TOTAL degree in the
-    * same pre-join pass that sizes the broadcast decision and fails
-    * loudly — an executor OOM mid-join names nothing. Recipe when a
-    * real corpus trips it (the standard high-degree split): partition
-    * edges by `degree(x) ≤ D && degree(y) ≤ D`; run this operator on
-    * the low-degree subgraph; for the hub-incident remainder count
-    * `z ∈ adj(x) ∩ adj(y)` with an explode + inner-join + groupBy
-    * (shuffle-bound, no wide rows — hub lists never materialize in-row)
-    * and union the two credit streams. Hub edges are few (by definition
-    * there are ≤ 2|E|/D nodes above degree D), so the join pass stays
-    * small; only the in-row merge needs the width bound.
+    * replicate). The gate measures the max PER-ROLE degree (the widest
+    * actual adj/adjLo row — max(out, in), not their sum) in the same
+    * pre-join pass that sizes the broadcast decision and fails
+    * loudly — an executor OOM mid-join names nothing. When a real
+    * corpus trips it, use [[triangleParticipationSplit]]: the same
+    * result via the standard high-degree split, with hub-incident
+    * triangles routed through shuffle joins that never build a wide
+    * row. A tripped gate also unpersists the adjacency cache before
+    * rethrowing, so the split re-run doesn't compete with a stranded
+    * corpus-scale cache.
     */
   def triangleParticipation(edges: DataFrame, aCol: String, bCol: String,
                             broadcastEdgeLimit: Long = 1L << 22,
@@ -289,21 +288,37 @@ object Graph {
     val adjLo = probe.groupBy(col("eb").as("lb"))
       .agg(sort_array(collect_list(col("ea"))).as("lnbrs"))
     // one pre-join pass over the cached adjacency sizes BOTH gates: the
-    // edge count for the broadcast decision and the max TOTAL degree
-    // (either endpoint role — adjLo rows are in-degree-wide) for the
-    // row-width gate. Map-side combine bounds the shuffle at |V| rows.
-    val stats = probe.select(explode(array(col("ea"), col("eb"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d")), lit(0L)).cast("long").as("e2"),
-        coalesce(max(col("d")), lit(0L)).cast("long").as("dmax"))
-      .head()
-    val maxDeg = stats.getLong(1)
-    require(maxDeg <= maxDegree,
-      s"max vertex degree $maxDeg exceeds maxDegree=$maxDegree: a hub " +
-        "adjacency row this wide risks an executor OOM in the in-row " +
-        "merge. Split the graph on degree and route hub-incident edges " +
-        "through an explode+join count — see triangleParticipation's " +
-        "scaladoc for the recipe — or raise maxDegree deliberately.")
+    // edge count for the broadcast decision and the max PER-ROLE degree
+    // for the row-width gate — adj rows are out-degree-wide and adjLo
+    // rows in-degree-wide, so the widest actual row is max(out, in),
+    // NOT their sum (on a symmetrized edge list the summed gate would
+    // trip at half the configured bound). Grouping by (role, v) keeps
+    // sum(d) = 2|E| for the broadcast decision while max(d) reads the
+    // true widest list. Map-side combine bounds the shuffle at 2|V|.
+    // The stats action is the first job against the freshly-persisted
+    // adjacency: if it fails, or the gate trips, unpersist before
+    // rethrowing — the documented recovery is to catch and re-run on a
+    // degree-split graph, which must not compete with a stranded
+    // corpus-scale MEMORY_AND_DISK cache.
+    val stats = try {
+      val st = probe.select(explode(array(
+          struct(lit(0).as("r"), col("ea").as("v")),
+          struct(lit(1).as("r"), col("eb").as("v")))).as("e"))
+        .groupBy(col("e.r"), col("e.v")).agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d")), lit(0L)).cast("long").as("e2"),
+          coalesce(max(col("d")), lit(0L)).cast("long").as("dmax"))
+        .head()
+      require(st.getLong(1) <= maxDegree,
+        s"max vertex degree ${st.getLong(1)} exceeds maxDegree=$maxDegree: " +
+          "a hub adjacency row this wide risks an executor OOM in the " +
+          "in-row merge. Split the graph on degree and route hub-incident " +
+          "edges through an explode+join count — see " +
+          "triangleParticipationSplit, which does exactly that — or " +
+          "raise maxDegree deliberately.")
+      st
+    } catch { case e: Throwable =>
+      adj.unpersist(blocking = false); throw e
+    }
     val useBroadcast = stats.getLong(0) / 2 <= broadcastEdgeLimit
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     val result = probe
@@ -323,5 +338,86 @@ object Graph {
       .agg(sum(col("e.w")).as("n_triangles"))
       .filter(col("n_triangles") > 0)
     (result, Seq(adj), useBroadcast)
+  }
+
+  /** [[triangleParticipation]] for power-law graphs: identical result
+    * (`(v, n_triangles)`, nodes with ≥1 triangle), but hubs above
+    * `degreeThreshold` never materialize an adjacency row, so the
+    * width gate that aborts the in-row operator cannot trip here.
+    *
+    * The standard high-degree split. Vertices are classed low/hub by
+    * TOTAL degree (one groupBy over both endpoint roles); triangles
+    * split by their class profile:
+    *
+    *  - **All-low triangles** have all three edges inside the low
+    *    subgraph (`both endpoints low`), so the in-row compact-forward
+    *    operator handles them — its adjacency rows are ≤ threshold
+    *    wide BY CONSTRUCTION, no gate needed.
+    *  - **Hub-incident triangles** (≥1 hub vertex) are enumerated by
+    *    the two-join wedge plan under the degree-aware total order
+    *    `ord(v) = (isHub(v), v)` — every edge oriented ≺-upward, each
+    *    triangle found exactly once at its ≺-minimum vertex, and a
+    *    triangle contains a hub iff its ≺-MAXIMUM endpoint is a hub
+    *    (hubs sort last), so the wedge build keeps only pairs whose
+    *    larger leg lands on a hub. Wedge volume is Σ_x dH⁺(x)·d⁺(x)
+    *    bounded by |E| · #hubs, and #hubs ≤ 2|E|/D by definition —
+    *    the join pass stays narrow precisely because hubs are rare.
+    *    Everything is equi-join + groupBy: shuffle-bound, no
+    *    `collect_list`, no wide rows anywhere on the hub path.
+    *
+    * The two credit streams union and re-aggregate; both subplans read
+    * the one persisted classed-edge frame, released before return.
+    * Input contract matches [[triangleParticipation]]: one row per
+    * undirected edge with `aCol < bCol`.
+    */
+  def triangleParticipationSplit(edges: DataFrame, aCol: String, bCol: String,
+                                 degreeThreshold: Long = 1L << 12,
+                                 broadcastEdgeLimit: Long = 1L << 22): DataFrame = {
+    val e0 = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .select(col("v"), (col("d") > degreeThreshold).as("hub"))
+    // class both endpoints in one pass and persist: every downstream
+    // subplan (low subgraph, wedge build, wedge close) reads this
+    // frame, and the upstream edge derivation may be expensive. The
+    // degree frame is |V|-bounded and map-side combined; at web scale
+    // both joins shuffle on the vertex key — no broadcast assumption.
+    val classed = e0
+      .join(deg.select(col("v").as("a"), col("hub").as("ah")), "a")
+      .join(deg.select(col("v").as("b"), col("hub").as("bh")), "b")
+      .select(col("a"), col("b"), col("ah"), col("bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lowPart = {
+      val (res, caches, _) = triangleParticipationPlan(
+        classed.filter(!col("ah") && !col("bh")).select(col("a"), col("b")),
+        "a", "b", broadcastEdgeLimit, maxDegree = degreeThreshold.max(1L))
+      (res, caches)
+    }
+    // orient ≺-upward under ord(v) = (hub, v): input rows have a < b,
+    // so only a hub/low mismatch flips an edge (hub `a` sorts after
+    // low `b`). Carry both endpoint classes for the wedge filter.
+    val oriented = classed.select(
+      when(col("ah") && !col("bh"), col("b")).otherwise(col("a")).as("src"),
+      when(col("ah") && !col("bh"), col("a")).otherwise(col("b")).as("dst"),
+      when(col("ah") && !col("bh"), col("ah")).otherwise(col("bh")).as("dh"))
+    // wedges at the ≺-minimum vertex whose LARGER leg is a hub: the
+    // triangle's ≺-max endpoint decides hub membership, so this is
+    // exactly the ≥1-hub triangle set, each once. The close join is
+    // oriented y→z by construction (ord(y) < ord(z)).
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e2.dh") &&
+          (!col("e1.dh") || col("e1.dst") < col("e2.dst")))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val hubTris = wedges
+      .join(oriented.as("c"), col("y") === col("c.src") && col("z") === col("c.dst"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    val result = lowPart._1.unionByName(hubTris)
+      .groupBy(col("v")).agg(sum(col("n_triangles")).as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+    val out = Ckpt.truncate(result)
+    (classed +: lowPart._2).foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -47,7 +47,7 @@ object SkewJoin {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
-    require(allowedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+    require(allowedJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "_")),
       s"saltedEquiJoin replicates the right side, so only left-preserving " +
         s"join types are well-defined; got '$joinType'")
     // deterministic salt (hash of whole left row modulo buckets) so

@@ -57,6 +57,11 @@ object Stats {
   private[graft] def ksTestPlan(df: DataFrame, valueCol: String, groupCol: String,
                                 groupA: String, groupB: String,
                                 bins: Int): (DataFrame, Seq[DataFrame]) = {
+    require(bins >= 1 && bins <= (1 << 17),
+      s"bins=$bins out of [1, 131072]: the per-bin offset folds are " +
+        "plan-embedded literal maps, linear in bins — beyond ~1e5 bins " +
+        "the literal belongs in a broadcast join, and bin resolution " +
+        "gains nothing (the refine pass is already exact)")
     // raw (v, 0/1, 0/1) rows — no per-value pre-aggregation: real-world
     // measure columns are nearly all-distinct (l_extendedprice: 98%),
     // so a groupBy(v) is a full extra shuffle that buys nothing. Ties
@@ -178,6 +183,11 @@ object Stats {
     * offset-fold jobs run here), for plan-shape tests. */
   private[graft] def ksMatrixPlan(df: DataFrame, valueCol: String, groupCol: String,
                                   bins: Int, maxGroups: Int): (DataFrame, Seq[DataFrame]) = {
+    require(bins >= 1 && bins <= (1 << 17),
+      s"bins=$bins out of [1, 131072]: the per-bin offset folds are " +
+        "plan-embedded literal maps, linear in bins — beyond ~1e5 bins " +
+        "the literal belongs in a broadcast join, and bin resolution " +
+        "gains nothing (the refine pass is already exact)")
     // ONE discovery pass: the per-group (lo, hi, n) aggregate yields
     // the group domain, every population size, AND the global [lo, hi]
     // envelope — no separate distinct() scan for the domain and no
@@ -300,6 +310,11 @@ object Stats {
   private[graft] def groupedExactPercentilesPlan(
       df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], bins: Int = 1024): (DataFrame, Seq[DataFrame]) = {
+    require(bins >= 1 && bins <= (1 << 17),
+      s"bins=$bins out of [1, 131072]: the per-bin offset folds are " +
+        "plan-embedded literal maps, linear in bins — beyond ~1e5 bins " +
+        "the literal belongs in a broadcast join, and bin resolution " +
+        "gains nothing (the refine pass is already exact)")
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val spark = df.sparkSession
     val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
@@ -392,6 +407,122 @@ object Stats {
       .agg(first(col("_val")))
       .select(col("g") +: ps.indices.map(i => col(i.toString).as(s"p_$i")): _*)
     (result, Seq(binned))
+  }
+
+  /** Per-group median and median absolute deviation (the robust
+    * location/dispersion pair) in ONE pipeline over a single cached
+    * binned frame — the fused alternative to calling
+    * [[groupedExactPercentiles]] twice with a corpus join in between.
+    *
+    * Two-level statistics (a median OF deviations FROM a median) look
+    * inherently two-pass over the source; they are not. The source is
+    * scanned exactly twice (bounds, then bin+cache — the same floor as
+    * [[groupedExactPercentiles]] alone): once the binned frame
+    * `(g, v, bin)` is cached, BOTH medians resolve against it —
+    *  1. the value median via bin-count prefix sums + target-bin rank
+    *     (O(bins) shuffle state, rank windows only over hit bins);
+    *  2. the deviation `|v − med_g|` is a map-only projection OVER THE
+    *     CACHE (med_g rides as a driver literal map, no join against
+    *     the corpus), re-binned into `[0, max(med−lo, hi−med)]` —
+    *     bounds already known from pass 1's extrema, so the deviation
+    *     stage needs NO discovery scan — and its median resolves by
+    *     the same prefix-sum + hit-bin machinery.
+    * All four post-cache passes read cache, not source; every
+    * aggregate is ≤ groups × bins rows. Interpolation replicates
+    * Spark/DuckDB `percentile`/`quantile_cont` IEEE-exactly (same
+    * bracketing order statistics, same lerp), so `quantile_cont`
+    * oracles apply unchanged to both output columns.
+    *
+    * Returns one row per group: `g` (string group key), `n`, `median`,
+    * `mad` — summary-bounded, materialized as a LocalRelation so the
+    * corpus-scale cache is released before return.
+    */
+  def groupedMedianAbsDeviation(df: DataFrame, groupCol: String,
+                                valueCol: String, bins: Int = 1024): DataFrame = {
+    require(bins >= 1 && bins <= (1 << 17),
+      s"bins=$bins out of [1, 131072] (plan-embedded per-bin literal folds)")
+    val spark = df.sparkSession
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_gk"), col(valueCol).cast("double").as("v"))
+    // pass 1 (source): per-group bounds + counts, driver-folded
+    val gstats = rows.groupBy(col("_gk"))
+      .agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"), count(lit(1)).as("_n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val gIdx: Map[String, Int] = gstats.keys.toSeq.sorted.zipWithIndex.toMap
+    val nM = gstats.map { case (k, (_, _, n)) => k -> n }
+    def binExpr(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0)).otherwise(least(lit(bins - 1),
+        floor((v - lo) / (hi - lo) * bins).cast("int")))
+    // pass 2 (source): bin + cache — the frame every later pass reads
+    val binned = rows
+      .withColumn("_bin", binExpr(col("v"),
+        element_at(typedLit(gstats.map { case (k, (l, _, _)) => k -> l }), col("_gk")),
+        element_at(typedLit(gstats.map { case (k, (_, h, _)) => k -> h }), col("_gk"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact interpolated p-quantile of (_gk, v, _bin) via the bin-
+    // prefix-sum + hit-bin-rank machinery, folded to a driver map
+    def quantileOf(frame: DataFrame, p: Double): Map[String, Double] = {
+      val counts = frame.groupBy(col("_gk"), col("_bin"))
+        .agg(count(lit(1)).as("_c"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val offsets: Map[String, IndexedSeq[(Int, Long, Long)]] =
+        counts.groupBy(_._1).map { case (gk, cs) =>
+          var acc = 0L
+          gk -> cs.sortBy(_._2).map { case (_, b, c) =>
+            val o = acc; acc += c; (b, o, c)
+          }.toIndexedSeq
+        }
+      val hitKeys = scala.collection.mutable.Set.empty[Long]
+      val targetRows = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+      for ((gk, n) <- nM) {
+        val idx = p * (n - 1).toDouble
+        for (pos <- Set(math.floor(idx).toLong, math.ceil(idx).toLong)) {
+          val (b, off, _) = offsets(gk)
+            .find(t => pos >= t._2 && pos < t._2 + t._3)
+            .getOrElse(offsets(gk).last)
+          hitKeys += gIdx(gk).toLong * bins + b
+          targetRows += ((gk, b, pos - off))
+        }
+      }
+      val hitM: Map[Long, Boolean] = hitKeys.iterator.map(_ -> true).toMap
+      val wBin = Window.partitionBy(col("_gk"), col("_bin")).orderBy(col("v"))
+      val ranked = frame
+        .filter(element_at(typedLit(hitM),
+          element_at(typedLit(gIdx), col("_gk")).cast("long") * bins + col("_bin"))
+          .isNotNull)
+        .withColumn("_rk", row_number().over(wBin).cast("long") - 1)
+      import spark.implicits._
+      val targets = targetRows.toSeq.toDF("_tgk", "_tbin", "_trk")
+      val brackets = ranked.join(broadcast(targets),
+          col("_gk") === col("_tgk") && col("_bin") === col("_tbin") &&
+            col("_rk") === col("_trk"))
+        .groupBy(col("_gk")).agg(min(col("v")).as("_vlo"), max(col("v")).as("_vhi"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      brackets.map { case (gk, (vlo, vhi)) =>
+        val idx = p * (nM(gk) - 1).toDouble
+        val lower = math.floor(idx)
+        gk -> (if (vlo == vhi) vlo else (lower + 1 - idx) * vlo + (idx - lower) * vhi)
+      }
+    }
+    val medM = quantileOf(binned, 0.5)
+    // deviation stage: map-only projection over the CACHE. Bounds come
+    // free from pass 1: 0 ≤ |v − med| ≤ max(med − lo, hi − med); loose
+    // at the low end costs only bin utilization, never exactness (the
+    // rank pass refines inside whatever bin the target lands in).
+    val devHi = gstats.map { case (k, (l, h, _)) =>
+      k -> math.max(medM(k) - l, h - medM(k)) }
+    val dev = binned.select(col("_gk"),
+        abs(col("v") - element_at(typedLit(medM), col("_gk"))).as("v"))
+      .withColumn("_bin", binExpr(col("v"), lit(0.0),
+        element_at(typedLit(devHi), col("_gk"))))
+    val madM = quantileOf(dev, 0.5)
+    binned.unpersist(blocking = false)
+    import spark.implicits._
+    gstats.keys.toSeq.sorted
+      .map(gk => (gk, nM(gk), medM(gk), madM(gk)))
+      .toDF("g", "n", "median", "mad")
   }
 
   /** Wald sequential probability ratio test (SPRT) per experiment key:

@@ -27,7 +27,7 @@ object Kernels {
     * distance.
     */
   def simhash(text: UTF8String): Long = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](64)
     var i = 0
     val n = s.length
@@ -61,7 +61,7 @@ object Kernels {
     * materializes the shingle array per row.
     */
   def minhash(text: UTF8String, shingleK: Int, numPerms: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     // token start/end offsets
     var tokStarts = new Array[Int](16)
     var tokEnds = new Array[Int](16)
@@ -124,7 +124,7 @@ object Kernels {
     * higher-order functions cost ~1 ms/row.
     */
   def shingleHashes(text: UTF8String, shingleK: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var tokStarts = new Array[Int](16)
     var tokEnds = new Array[Int](16)
     var nTok = 0
@@ -179,7 +179,7 @@ object Kernels {
     * all tokens).
     */
   def shingleHashesPos(text: UTF8String, shingleK: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var tokStarts = new Array[Int](16)
     var tokEnds = new Array[Int](16)
     var nTok = 0
@@ -263,7 +263,7 @@ object Kernels {
         sumLen += s.codePointCount(start, i)
         if (stops != null) {
           val tok = s.substring(start, i)
-          if (stops.contains(if (lower) tok.toLowerCase else tok)) nStops += 1
+          if (stops.contains(if (lower) tok.toLowerCase(java.util.Locale.ROOT) else tok)) nStops += 1
         }
       }
     }
@@ -295,7 +295,7 @@ object Kernels {
     * stopwords.
     */
   def stopwordRatio(text: UTF8String): Double = {
-    val (n, _, stops) = tokenScan(text.toString.toLowerCase, lower = false, stopSet)
+    val (n, _, stops) = tokenScan(text.toString.toLowerCase(java.util.Locale.ROOT), lower = false, stopSet)
     stops.toDouble / math.max(n, 1)
   }
 
@@ -361,7 +361,7 @@ object Kernels {
     * "und". One `indexOf` per profile gram — all inside codegen.
     */
   def langId(text: UTF8String): UTF8String = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var bestLang = "und"
     var bestScore = 0
     var li = 0
@@ -424,7 +424,7 @@ object Kernels {
     * fewer than `n` tokens → all of them; no tokens → "".
     */
   def prefixTokens(text: UTF8String, n: Int): UTF8String = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(math.min(s.length, n * 12))
     var i = 0
     var tok = 0
@@ -451,7 +451,7 @@ object Kernels {
     * kernel is linear.)
     */
   def chunkTokens(text: UTF8String, n: Int): UTF8String = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var tok = 0
@@ -478,7 +478,7 @@ object Kernels {
     * window.
     */
   def chunkWindows(text: UTF8String, n: Int, stride: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var tokStarts = new Array[Int](16)
     var tokEnds = new Array[Int](16)
     var nTok = 0
@@ -524,7 +524,7 @@ object Kernels {
     * row can compute alone (measured 2.0 s → map-only on q77).
     */
   def topTokenShare(text: UTF8String): Double = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var cap = 64 // power of two; grown at 70% load
     var keys = new Array[Long](cap)
     var cnts = new Array[Int](cap)
@@ -804,7 +804,7 @@ object Kernels {
     * with in-row work: term multiplicity never crosses the wire.
     */
   def termCounts(text: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new java.util.LinkedHashMap[String, Integer]()
     var i = 0
     val n = s.length
@@ -839,7 +839,7 @@ object Kernels {
     * pair multiplicity never crosses the wire.
     */
   def pairCounts(text: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new java.util.LinkedHashMap[String, Integer]()
     var prev: String = null
     var i = 0
@@ -1002,7 +1002,7 @@ object Kernels {
     * whose libm rounding varies across platforms. No terms → 0.5.
     */
   def linearTextScore(text: UTF8String, weights: Array[Double]): Double = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var tokStarts = new Array[Int](16)
     var tokEnds = new Array[Int](16)
     var nTok = 0
@@ -1115,7 +1115,7 @@ object Kernels {
   def blocklistHits(text: UTF8String, patterns: UTF8String): ArrayData = {
     val ac = acCache.computeIfAbsent(patterns.toString,
       k => new AcAutomaton(k.split('\u0001').filter(_.nonEmpty)))
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var state = 0
     var hits = 0L
     val seen = new Array[Boolean](ac.patterns.length)

@@ -91,4 +91,17 @@ class DsirSpec extends SparkSpec {
       Dsir.importanceWeights(df, "doc_id", "text", col("is_target"), buckets = 100)
     }
   }
+
+  test("buckets above 65536 are rejected, not folded into a multi-MB literal plan") {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text", "is_target")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(df, "doc_id", "text", col("is_target"), buckets = 1 << 20)
+    }
+    assert(e.getMessage.contains("broadcast join"),
+      s"the rejection must name the alternative design: ${e.getMessage}")
+    // the boundary itself is legal
+    Dsir.importanceWeights(df, "doc_id", "text", col("is_target"), buckets = 1 << 16)
+      .collect()
+  }
 }

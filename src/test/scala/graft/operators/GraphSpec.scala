@@ -74,7 +74,59 @@ class GraphSpec extends SparkSpec {
       Graph.triangleParticipation(star, "a", "b", maxDegree = 10)
     }
     assert(e.getMessage.contains("explode+join"), "the failure must name the recipe")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a tripped gate must unpersist the adjacency before rethrowing")
     // the same graph passes with the gate above its hub degree
     assert(Graph.triangleParticipation(star, "a", "b", maxDegree = 50).count() === 0L)
+  }
+
+  test("triangle gate reads per-role width: a symmetric-role graph is not double-counted") {
+    // path 0-1-2: vertex 1 has total degree 2 but its widest adjacency
+    // ROW is 1 in each role (out-neighbors {2}, in-neighbors {0}) —
+    // the gate must pass at maxDegree = 1, which the old in+out sum
+    // would have tripped at 2
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    assert(Graph.triangleParticipation(path, "a", "b", maxDegree = 1).count() === 0L)
+  }
+
+  test("triangleParticipationSplit matches the in-row operator on a hub graph that trips the gate") {
+    // K4 low clique (0..3), two hubs (100, 101) each wired to the
+    // clique plus 20 private leaves, and a hub-hub edge: hub degree 25
+    // vs low degree <= 5. Expected triangles: C(4,3)=4 all-low, one
+    // per K4 edge through each hub (6+6 single-hub), and (i,100,101)
+    // for each clique vertex (4 double-hub).
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    val hubEdges = (0L to 3L).flatMap(i => Seq((i, 100L), (i, 101L))) ++
+      (10L to 29L).map(l => (l, 100L)) ++ (30L to 49L).map(l => (l, 101L)) :+
+      (100L, 101L)
+    val edges = (k4 ++ hubEdges).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graph.triangleParticipation(edges, "a", "b", maxDegree = 5)
+    }
+    val split = Graph.triangleParticipationSplit(edges, "a", "b", degreeThreshold = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.triangleParticipation(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split === full, s"split diverged from the in-row operator: $split vs $full")
+    // spot-check the closed-form counts: each clique vertex is in 3
+    // all-low + 3+3 single-hub + 1 double-hub = 10; each hub in 6
+    // single-hub + 4 double-hub = 10
+    assert(split(0L) === 10L && split(100L) === 10L && split(101L) === 10L,
+      s"closed-form triangle counts off: $split")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangleParticipationSplit must release its classed-edge and adjacency caches")
+  }
+
+  test("triangleParticipationSplit handles all-low and all-hub degenerate classings") {
+    val k4 = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)).toDF("a", "b")
+    // threshold above every degree: pure in-row path
+    val allLow = Graph.triangleParticipationSplit(k4, "a", "b", degreeThreshold = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 0: every vertex is a hub, pure wedge-join path
+    val allHub = Graph.triangleParticipationSplit(k4, "a", "b", degreeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L to 3L).map(_ -> 3L).toMap // K4: each vertex in C(3,2)=3 triangles
+    assert(allLow === want, s"all-low path wrong: $allLow")
+    assert(allHub === want, s"all-hub path wrong: $allHub")
   }
 }

@@ -158,6 +158,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("groupedMedianAbsDeviation: bit-identical to the two-pass percentile formulation") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 3000).map { i =>
+      val g = s"g${i % 4}"
+      val v = if (i % 3 == 0) (rnd.nextInt(10) * 1.5) else rnd.nextGaussian() * 100
+      (g, v)
+    } ++ Seq(("solo", 42.0)) ++ Seq(("const", 7.0), ("const", 7.0), ("const", 7.0))
+    val df = rows.toDF("grp", "x")
+    for (bins <- Seq(1, 8, 1024)) {
+      val got = Stats.groupedMedianAbsDeviation(df, "grp", "x", bins = bins)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      // reference: built-in percentile for the median, then the
+      // percentile of |x − med| — the unfused formulation
+      val med = df.groupBy(col("grp"))
+        .agg(expr("percentile(x, 0.5)").as("m"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      val mad = df.withColumn("m", element_at(typedLit(med.map { case (k, v) => k -> v._1 }), col("grp")))
+        .select(col("grp"), abs(col("x") - col("m")).as("d"))
+        .groupBy(col("grp")).agg(expr("percentile(d, 0.5)").as("mad"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == med.keySet, s"bins=$bins")
+      for (g <- med.keySet) {
+        assert(got(g)._1 == med(g)._2, s"bins=$bins group=$g n")
+        assert(got(g)._2 == med(g)._1,
+          s"bins=$bins group=$g median: ${got(g)._2} != ${med(g)._1}")
+        assert(got(g)._3 == mad(g),
+          s"bins=$bins group=$g mad: ${got(g)._3} != ${mad(g)}")
+      }
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "groupedMedianAbsDeviation must release its binned cache")
+  }
+
   test("timeWeightedAvg: hand-computed step series; singleton keys dropped") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
