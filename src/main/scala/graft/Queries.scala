@@ -5231,7 +5231,106 @@ object Queries {
              |SELECT doc_id, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_hits,
              |  CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_patterns
              |FROM hits GROUP BY doc_id""".stripMargin),
-      "Aho-Corasick blocklist scan: O(chars+matches) multi-pattern kernel, per-JVM automaton cache, overlap-exact counts (curation domain/keyword filter)")
+      "Aho-Corasick blocklist scan: O(chars+matches) multi-pattern kernel, per-JVM automaton cache, overlap-exact counts (curation domain/keyword filter)"),
+
+    Q("q175_semantic_dedup_scaled",
+      (s, d) => {
+        // q95's SemDeDup with the SCALE-SAFE dial oracle-checked:
+        // k ∝ N (constant expected cluster size ~500) instead of the
+        // fixed k=8 whose within-cluster pairs densify quadratically
+        // (SCALE.md: 155.6 s vs 8.62 s at 30×). The corpus count is
+        // one cheap action; the floor of 16 keeps tiny corpora from
+        // degenerating to a handful of mega-clusters AND pins k=16 at
+        // the sf0.01 oracle scale — a k the fixed-k entry never
+        // exercises, so the arbitrary-k Lloyd replay is now evidence,
+        // not extrapolation. Same planted near-dups as q95.
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = emb.select(
+          (col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              lit(0.015) * (pmod(i, lit(5)) - lit(2)).cast("double")))
+              .cast("float")).as("embedding"))
+        val corpus = emb.unionByName(planted)
+        val k = math.max(16, (corpus.count() / 500L).toInt)
+        KMeans.semanticNearDupPairs(corpus, "vec_id", "embedding",
+            k = k, iters = 1, minCosine = 0.9)
+          .select(col("cluster").cast("long").as("cluster"), col("id_a"),
+            col("id_b"), round(col("cosine"), 6).as("cosine"))
+      },
+      // the oracle replays Lloyd at k=16 — valid wherever N/500 <= 16
+      // (sf0.01: N=1000 -> k=16); scaled runs move k with N on the
+      // Spark side, which is exactly the dial under test
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 200000,
+              |    [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + 0.015 * (((i-1) % 5) - 2)) AS FLOAT)
+              |     FOR i IN range(1, len(embedding) + 1)]
+              |  FROM embeddings
+              |),
+              |${OracleSql.kmeansCtes(16, 1)}
+              |, pv AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+              |), pairs AS (
+              |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              |), cosd AS (
+              |  SELECT p.cluster, p.id_a, p.id_b,
+              |    ${OracleSql.foldSum("[va.v[i] * vb.v[i] FOR i IN range(1, len(va.v)+1)]")} AS dot,
+              |    ${OracleSql.foldSum("[va.v[i] * va.v[i] FOR i IN range(1, len(va.v)+1)]")} AS na,
+              |    ${OracleSql.foldSum("[vb.v[i] * vb.v[i] FOR i IN range(1, len(vb.v)+1)]")} AS nb
+              |  FROM pairs p JOIN pv va ON va.vec_id = p.id_a JOIN pv vb ON vb.vec_id = p.id_b
+              |), cosv AS (
+              |  SELECT cluster, id_a, id_b,
+              |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cosine
+              |  FROM cosd
+              |)
+              |SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b,
+              |       round(cosine, 6) AS cosine
+              |FROM cosv WHERE cosine >= 0.9""".stripMargin),
+      "SemDeDup at the scale-safe parametrization: k grows with N (constant cluster size), oracle-checked at k=16 (the 100-TB dial, not the densifying fixed-k)"),
+
+    Q("q176_triangles_split",
+      (s, d) => {
+        // triangle counting via the HIGH-DEGREE SPLIT path on the part
+        // co-occurrence graph (support >= 2 keeps it sparse with a
+        // skewed 1..13 degree spread at sf0.01): parts above degree 6
+        // take the ordered wedge-join route, the low-degree subgraph
+        // the in-row sorted-merge route — both credit streams union
+        // into counts the oracle re-derives with NO knowledge of the
+        // split, which is the point: the threshold moves work between
+        // plans, never results
+        val sets = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ss"))
+        val edges = sets.select(explode(expr(
+            "flatten(transform(ss, (x, i) -> " +
+              "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"))
+            .as("p"))
+          .select(col("p.a"), col("p.b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select(col("a"), col("b"))
+        Graph.triangleParticipationSplit(edges, "a", "b", degreeThreshold = 6)
+          .select(col("v").cast("long").as("p_partkey"), col("n_triangles"))
+      },
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+             |), e AS MATERIALIZED (
+             |  SELECT a.p AS a, b.p AS b FROM ob a JOIN ob b
+             |  ON a.ok = b.ok AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |), tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+             |)
+             |SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+             |  CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM (SELECT unnest([x, y, z]) AS p_partkey FROM tri)
+             |GROUP BY p_partkey""".stripMargin),
+      "triangle counting via the high-degree split (hub wedge-joins + low-degree in-row merge; the split-blind oracle proves path equivalence)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
