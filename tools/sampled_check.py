@@ -1,0 +1,237 @@
+# Sampled 10x oracle check for the heavy dedup family — the queries
+# whose FULL DuckDB re-derivation (all-pairs joins / all-shingles x 64
+# perms) exceeds the per-oracle budget at /tmp/sf1x volume and were
+# previously timed-but-unverified there (SCALE.md "oracle-cost skips").
+#
+# Two deterministic mechanisms, both seeded by the repo's own mix64 so
+# every run re-derives the identical sample:
+#
+#  * PAIR-LOCAL oracles (q34 q36 q37 q162): the output decision for a
+#    pair depends only on its two members (per-doc signatures, banded
+#    candidate join, per-pair similarity), so the UNMODIFIED catalog
+#    oracle SQL run over a mix64-restricted corpus slice re-derives
+#    every pair with both endpoints in the slice. The slice is the
+#    union of (a) a uniform mix64 sample of base ids and (b) the
+#    endpoints of a mix64 sample of the SPARK result's pairs, so the
+#    check covers soundness (sampled reported pairs re-derive with
+#    identical values) AND completeness (any pair the oracle finds
+#    inside the slice must appear in the Spark result) over |S|^2/2
+#    implicit candidate pairs — far more than the nominal sample size.
+#  * CENTROID-GLOBAL (q95): cluster assignment depends on corpus-wide
+#    k-means state, so the Lloyd CTEs replay on the FULL 10x corpus
+#    (linear in N at fixed k — affordable); only the within-cluster
+#    all-pairs join (the quadratic part) is restricted, to a sampled
+#    pair set, by a surgical join injected into the `pairs` CTE.
+#  * CLOSURE oracles (q64 q168): the unaffordable part of their SQL is
+#    the pair DERIVATION, which is definitionally q36's output — and
+#    that edge set is sample-verified above and fully verified at
+#    sf0.01. So the closure / split-assignment CTEs run IN FULL over
+#    the Spark-produced 10x edge list (read from q36's Verify parquet)
+#    and the ENTIRE q64/q168 output is hash-compared, conditional only
+#    on the sampled edge evidence.
+#
+# Usage:
+#   SPARK_GRAFT_ONLY=q34_dedup_minhash,q36_ngram_jaccard,q37_embed_neardup,\
+#   q64_dup_clusters,q95_semantic_dedup,q162_image_neardup,q168_leakage_split \
+#     sbt -batch "runMain graft.Verify /tmp/sf1x /tmp/v10"
+#   python3 tools/sampled_check.py /tmp/sf1x /tmp/v10
+import sys, os, re, glob, json
+import duckdb
+
+MASK = (1 << 64) - 1
+
+
+def mix64(x):
+    # splitmix64 finalizer — bit-identical to graft.plans.Kernels.mix64
+    z = (x + 0x9E3779B97F4A7C15) & MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+    return z ^ (z >> 31)
+
+
+def sample(items, n, salt):
+    return sorted(items, key=lambda i: mix64((hash(i) + salt) & MASK))[:n]
+
+
+def connect(sf):
+    con = duckdb.connect()
+    if os.environ.get("CHECK_THREADS"):
+        con.execute(f"SET threads TO {int(os.environ['CHECK_THREADS'])}")
+    # pin an explicit budget: the default (% of RAM at connect time) is
+    # fragile right after a Spark JVM exits and made q37's 10x leg OOM
+    # on a 16 KB allocation with 120 GB actually free
+    con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM', '48GB')}'")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    return con
+
+
+def compare(name, sdf, odf, note):
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    ok, msg = True, ""
+    if list(sdf.columns) != list(odf.columns):
+        ok, msg = False, f"schema {list(sdf.columns)} vs {list(odf.columns)}"
+    elif len(sdf) != len(odf):
+        ok, msg = False, f"rows {len(sdf)} vs {len(odf)}"
+    else:
+        s = sdf.sort_values(by=list(sdf.columns), ignore_index=True)
+        o = odf.sort_values(by=list(odf.columns), ignore_index=True)
+        for c in sdf.columns:
+            a, b = s[c], o[c]
+            try:
+                eq = (a.fillna("__N__") == b.fillna("__N__")).all() \
+                    if a.dtype == object else ((a == b) | (a.isna() & b.isna())).all()
+            except Exception:
+                eq = list(a) == list(b)
+            if not eq:
+                ok, msg = False, f"values differ in col {c}"
+                break
+    print(("PASS " if ok else "FAIL ") + name + f"  [{note}]" +
+          ("" if ok else "  " + msg))
+    return ok
+
+
+def spark_result(out, q):
+    d = os.path.join(out, q)
+    if not glob.glob(f"{d}/*.parquet"):
+        raise RuntimeError(f"no Verify output for {q} under {out}")
+    return f"'{d}/*.parquet'"
+
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    unif_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    out_pairs_n = 600
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    oracle = {k: v for k, v in
+              json.load(open(os.path.join(out, "oracle_sql.json"))).items()
+              if only is None or k in only}
+    fails = []
+
+    # ---- pair-local queries: restricted-corpus replay -------------
+    #   table/id: the base table the oracle reads and its id column
+    #   planted: internal perturbed-copy offset (restricting the base
+    #            view restricts the planted partner consistently)
+    PAIR_LOCAL = {
+        "q34_dedup_minhash": dict(table="documents", id="doc_id", planted=0),
+        "q36_ngram_jaccard": dict(table="documents", id="doc_id", planted=0),
+        "q37_embed_neardup": dict(table="embeddings", id="vec_id", planted=100000),
+        "q162_image_neardup": dict(table="documents", id="doc_id", planted=0),
+    }
+    for q, cfg in PAIR_LOCAL.items():
+        if q not in oracle:
+            continue
+        con = connect(sf)
+        t, idc, planted = cfg["table"], cfg["id"], cfg["planted"]
+        base_ids = set(r[0] for r in
+                       con.execute(f"SELECT {idc} FROM {t}").fetchall())
+
+        def to_base(i):
+            return i if i in base_ids else i - planted
+
+        sp_src = spark_result(out, q)
+        pairs = con.execute(
+            f"SELECT id_a, id_b FROM {sp_src}").fetchall()
+        picked = sample(pairs, out_pairs_n, salt=0xA5)
+        s_ids = set(sample(base_ids, unif_n, salt=0x51))
+        for a, b in picked:
+            s_ids.add(to_base(a)); s_ids.add(to_base(b))
+        import pandas as pd
+        con.register("_s_df", pd.DataFrame({"id": sorted(s_ids)}))
+        con.register("_b_df", pd.DataFrame({"id": sorted(base_ids)}))
+        con.execute("CREATE TABLE _s AS SELECT * FROM _s_df")
+        con.execute("CREATE TABLE _b AS SELECT * FROM _b_df")
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet({view_src(sf, t)}) "
+                    f"WHERE {idc} IN (SELECT id FROM _s)")
+        odf = con.execute(oracle[q]).df()
+        # a reported id maps to its base EXACTLY the way the planting
+        # does: subtract the offset only when the id is not a base id
+        # (never misclassify a base id that happens to sit offset-above
+        # a sampled one)
+        def baseof(c):
+            return (f"(CASE WHEN {c} IN (SELECT id FROM _b) THEN {c} "
+                    f"ELSE {c} - {planted} END)") if planted else c
+        sdf = con.execute(
+            f"SELECT * FROM {sp_src} s WHERE "
+            f"{baseof('s.id_a')} IN (SELECT id FROM _s) AND "
+            f"{baseof('s.id_b')} IN (SELECT id FROM _s)").df()
+        note = f"slice |S|={len(s_ids)}, {len(sdf)} pairs in slice, " \
+               f"{len(picked)} sampled from {len(pairs)} reported"
+        if not compare(q, sdf, odf, note):
+            fails.append(q)
+        con.close()
+
+    # ---- q95: full-corpus Lloyd replay, restricted pair join ------
+    q = "q95_semantic_dedup"
+    if q in oracle:
+        con = connect(sf)
+        base_ids = [r[0] for r in
+                    con.execute("SELECT vec_id FROM embeddings").fetchall()]
+        sp_src = spark_result(out, q)
+        pairs = con.execute(f"SELECT id_a, id_b FROM {sp_src}").fetchall()
+        sample_pairs = set(sample(pairs, out_pairs_n, salt=0xC3))
+        # planted partners (mostly positive) + mix64-adjacent id pairs
+        # (mostly negative) round out both sides of the decision
+        for i in sample(base_ids, 400, salt=0xD7):
+            sample_pairs.add((i, i + 200000))
+        arb = sample(base_ids, 500, salt=0xE1)
+        for x, y in zip(arb[0::2], arb[1::2]):
+            sample_pairs.add((min(x, y), max(x, y)))
+        con.execute("CREATE TABLE sample_pairs(id_a BIGINT, id_b BIGINT)")
+        con.executemany("INSERT INTO sample_pairs VALUES (?, ?)",
+                        sorted(sample_pairs))
+        anchor = ("FROM a1 a JOIN a1 b ON a.cluster = b.cluster "
+                  "AND a.vec_id < b.vec_id")
+        sql = oracle[q]
+        assert anchor in sql, "q95 oracle pairs-CTE anchor moved"
+        sql = sql.replace(anchor, anchor +
+                          " JOIN sample_pairs sp ON sp.id_a = a.vec_id "
+                          "AND sp.id_b = b.vec_id")
+        odf = con.execute(sql).df()
+        sdf = con.execute(
+            f"SELECT s.* FROM {sp_src} s JOIN sample_pairs sp "
+            f"ON sp.id_a = s.id_a AND sp.id_b = s.id_b").df()
+        note = f"{len(sample_pairs)} sampled pairs " \
+               f"({len(sdf)} reported among them), full-corpus Lloyd"
+        if not compare(q, sdf, odf, note):
+            fails.append(q)
+        con.close()
+
+    # ---- closure queries: full run over Spark's verified edges ----
+    for q in ["q64_dup_clusters", "q168_leakage_split"]:
+        if q not in oracle:
+            continue
+        con = connect(sf)
+        e_src = spark_result(out, "q36_ngram_jaccard")
+        con.execute("CREATE TABLE spark_pairs AS "
+                    f"SELECT id_a, id_b FROM {e_src}")
+        n_edges = con.execute("SELECT count(*) FROM spark_pairs").fetchone()[0]
+        sql, n = re.subn(r"WITH RECURSIVE.*?\), e AS \(",
+                         "WITH RECURSIVE pairs AS "
+                         "(SELECT id_a, id_b FROM spark_pairs), e AS (",
+                         oracle[q], flags=re.S)
+        assert n == 1, f"{q} oracle pair-derivation prefix moved"
+        odf = con.execute(sql).df()
+        sdf = con.execute(f"SELECT * FROM {spark_result(out, q)}").df()
+        if not compare(q, sdf, odf,
+                       f"FULL closure over {n_edges} Spark edges"):
+            fails.append(q)
+        con.close()
+
+    print(f"\n{len(fails)} failures" +
+          (": " + ", ".join(fails) if fails else ""))
+    sys.exit(1 if fails else 0)
+
+
+def view_src(sf, t):
+    p = f"{sf}/{t}.parquet"
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+
+
+main()
