@@ -69,6 +69,9 @@ class GraphSpec extends SparkSpec {
   }
 
   test("triangle degree gate trips on a hub wider than maxDegree, with the split recipe") {
+    // suites sharing this session may hold contract-kept caches (q14
+    // rank structures); clear first so isEmpty reads OUR leftovers
+    spark.catalog.clearCache()
     val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
       Graph.triangleParticipation(star, "a", "b", maxDegree = 10)
@@ -90,6 +93,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("triangleParticipationSplit matches the in-row operator on a hub graph that trips the gate") {
+    spark.catalog.clearCache()
     // K4 low clique (0..3), two hubs (100, 101) each wired to the
     // clique plus 20 private leaves, and a hub-hub edge: hub degree 25
     // vs low degree <= 5. Expected triangles: C(4,3)=4 all-low, one

@@ -159,6 +159,7 @@ class StatsSpec extends SparkSpec {
   }
 
   test("groupedMedianAbsDeviation: bit-identical to the two-pass percentile formulation") {
+    spark.catalog.clearCache() // isEmpty below must read OUR leftovers only
     val rnd = new scala.util.Random(31)
     val rows = (1 to 3000).map { i =>
       val g = s"g${i % 4}"
