@@ -5330,7 +5330,67 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_triangles
              |FROM (SELECT unnest([x, y, z]) AS p_partkey FROM tri)
              |GROUP BY p_partkey""".stripMargin),
-      "triangle counting via the high-degree split (hub wedge-joins + low-degree in-row merge; the split-blind oracle proves path equivalence)")
+      "triangle counting via the high-degree split (hub wedge-joins + low-degree in-row merge; the split-blind oracle proves path equivalence)"),
+
+    Q("q177_dup_spans",
+      (s, d) => Dedup.dupSpanStats(documents(s, d), "text", "doc_id",
+          L = 8, maxGramDf = 1000000L)
+        .withColumnRenamed("id", "doc_id"),
+      // full re-derivation: stride-1 8-token-gram rolling hashes
+      // (q169's arithmetic without the window-min), cross-document hot
+      // grams (count(DISTINCT doc) >= 2), then the per-doc island
+      // merge replayed with list comprehensions: gaps > L start a new
+      // span, coverage = L + sum(min(gap, L))
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |           t -> t <> '') AS tk
+             |  FROM documents
+             |), nt AS (
+             |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+             |), kg AS (
+             |  SELECT doc_id,
+             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(tk[i:i+7],
+             |          x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
+             |      (a, b) -> (a * 31 + b) % 1000000007)
+             |     FOR i IN range(1, len(tk) - 8 + 2)] AS hs
+             |  FROM toks WHERE len(tk) >= 8
+             |), ex AS (
+             |  SELECT doc_id,
+             |    unnest([{'p': i, 'h': hs[i]}
+             |            FOR i IN range(1, len(hs) + 1)]) AS u
+             |  FROM kg
+             |), ex2 AS (
+             |  SELECT doc_id, u.p AS pos, u.h AS h FROM ex
+             |), hot AS (
+             |  SELECT h FROM ex2 GROUP BY h
+             |  HAVING count(DISTINCT doc_id) >= 2
+             |), dp AS (
+             |  SELECT e.doc_id, list_sort(list(e.pos)) AS ps
+             |  FROM ex2 e JOIN hot USING (h)
+             |  GROUP BY e.doc_id
+             |), st AS (
+             |  SELECT doc_id,
+             |    CAST(len(ps) AS BIGINT) AS n_dup_grams,
+             |    CAST(1 + len(list_filter(
+             |      [ps[i+1] - ps[i] FOR i IN range(1, len(ps))],
+             |      d -> d > 8)) AS BIGINT) AS n_spans,
+             |    CAST(8 + coalesce(list_sum(list_transform(
+             |      [ps[i+1] - ps[i] FOR i IN range(1, len(ps))],
+             |      d -> least(d, 8))), 0) AS BIGINT) AS dup_tokens
+             |  FROM dp
+             |)
+             |SELECT nt.doc_id, nt.n_tokens,
+             |  CAST(coalesce(st.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+             |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(st.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  CASE WHEN nt.n_tokens > 0
+             |    THEN round(CAST(coalesce(st.dup_tokens, 0) AS DOUBLE)
+             |               / nt.n_tokens, 6)
+             |    ELSE 0.0 END AS dup_frac
+             |FROM nt LEFT JOIN st USING (doc_id)""".stripMargin),
+      "exact duplicated-substring stats (Lee et al. 2022): stride-1 L-gram inverted index + in-row maximal-span island merge; per-doc duplicated-token fraction")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

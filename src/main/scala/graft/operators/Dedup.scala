@@ -358,6 +358,92 @@ object Dedup {
     out
   }
 
+  /** Exact duplicated-substring statistics (the "dedup by exact
+    * substring" pass of Lee et al. 2022, *Deduplicating Training Data
+    * Makes Language Models Better*): for every document, how many of
+    * its tokens sit inside a token run of length ≥ `L` that also
+    * appears verbatim in at least one OTHER document. The reference
+    * implementation builds a suffix array; the Spark-native equivalent
+    * below is a stride-1 L-gram inverted index — the same leaf set a
+    * distributed suffix array would materialize — which keeps every
+    * stage a linear scan or a skinny hash shuffle:
+    *
+    *   1. per-position L-token-gram rolling hashes (q42/q169's exact
+    *      arithmetic, so the derivation replays in the DuckDB oracle);
+    *   2. inverted index of (id, pos, hash) — 8-byte hash + int pos,
+    *      the text itself never shuffles;
+    *   3. "hot" grams = hashes seen in ≥2 DISTINCT documents (capped
+    *      at `maxGramDf` to shed degenerate boilerplate grams, the
+    *      same guard as [[winnowingPairs]]);
+    *   4. per-document island merge of the surviving positions —
+    *      IN-ROW over the sorted position array (bounded by document
+    *      length, the bound tokenization already imposes): consecutive
+    *      starts ≤ L apart fuse into one maximal span; coverage is the
+    *      closed form Σ min(gapᵢ, L) + L per island chain.
+    *
+    * Output is one row per input document (id, n_tokens, n_dup_grams,
+    * n_spans, dup_tokens, dup_frac) — the per-document duplication
+    * profile a pipeline thresholds on before dropping/trimming.
+    *
+    * 100 TB shape: the index is O(total_tokens) skinny rows, the hot
+    * filter is a partial-agg groupBy on the 8-byte hash, and the final
+    * groupBy(id) collects positions bounded by one document's length.
+    * No all-pairs stage exists anywhere.
+    */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
+                   L: Int = 8, maxGramDf: Long = 1000000L): DataFrame = {
+    require(L >= 2, s"span length L must be >= 2, got $L")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      (x: org.apache.spark.sql.Column) => x =!= "")
+    val base = df.select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
+    // per-position L-gram rolling hashes; persisted for the same
+    // CollapseProject-into-Generate reason as winnowingPairs (the HOF
+    // chain must not be re-evaluated per exploded element)
+    val kg = base.filter(size(col("tk")) >= L).select(col("id"),
+        transform(sequence(lit(0), size(col("tk")) - L), i =>
+          aggregate(
+            transform(slice(col("tk"), i + 1, lit(L)),
+              x => length(x).cast("long") * 7 + ascii(x).cast("long")),
+            lit(0L),
+            (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = kg.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val hot = inv.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxGramDf)
+      .select(col("h"))
+    val ps = inv.join(hot, "h")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    // in-row maximal-span merge: gaps between consecutive duplicated
+    // start positions; a gap > L starts a new island. slice-based zip
+    // keeps the m=1 case an empty diff array (sequence(1,0) would not).
+    val diffs = zip_with(
+      slice(col("ps"), lit(2), size(col("ps")) - 1),
+      slice(col("ps"), lit(1), size(col("ps")) - 1),
+      (a, b) => a - b)
+    val stats = ps.select(col("id"),
+      size(col("ps")).cast("long").as("n_dup_grams"),
+      (lit(1) + size(filter(diffs,
+        (d: org.apache.spark.sql.Column) => d > L))).cast("long").as("n_spans"),
+      (lit(L) + aggregate(transform(diffs,
+          d => least(d, lit(L)).cast("long")),
+        lit(0L), (acc, v) => acc + v)).as("dup_tokens"))
+    val out = base.select(col("id"), col("n_tokens"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6)).otherwise(lit(0.0))
+          .as("dup_frac"))
+    kg.unpersist(blocking = false)
+    out
+  }
+
   /** Cross-SOURCE n-gram overlap matrix — "how much of source A's
     * shingle vocabulary also appears in source B" — the corpus-health
     * audit run before mixing crawls/dumps (a high-containment pair

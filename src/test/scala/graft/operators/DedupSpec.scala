@@ -85,6 +85,59 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 5L)) && got.contains((0L, 10L)) && got.contains((5L, 10L)))
   }
 
+  test("dupSpanStats matches a sequential brute-force span merger; planted run measured exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll", "mm", "nn")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val planted = (1 to 12).map(i => s"p$i").mkString(" ") // 12-token run
+    val docs = Seq(
+      (0L, s"${doc(15)} $planted ${doc(15)}"),  // planted once
+      (1L, s"$planted ${doc(25)}"),             // planted at the start
+      (2L, doc(40)),                            // random
+      (3L, doc(40)),                            // random
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"), // WITHIN-doc repeat only
+      (5L, "tiny doc"))                         // shorter than L
+    val df = docs.toDF("doc_id", "text")
+    val L = 8
+
+    // brute force: every stride-1 L-token-gram, hot = in >= 2 distinct
+    // docs, per-doc sorted positions, island merge with gap > L split
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val occ = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.length >= L)
+        tk.sliding(L).zipWithIndex.map { case (g, p) => (g.mkString(" "), id, p) }.toSeq
+      else Seq.empty }
+    val hot = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = docs.map { case (id, _) =>
+      val ps = occ.filter(o => o._2 == id && hot(o._1)).map(_._3).sorted
+      val nTok = toks(id).length.toLong
+      if (ps.isEmpty) id -> ((nTok, 0L, 0L, 0L, 0.0))
+      else {
+        val diffs = ps.zip(ps.tail).map { case (a, b) => b - a }
+        val spans = 1L + diffs.count(_ > L)
+        val cov = L.toLong + diffs.map(d => math.min(d, L).toLong).sum
+        id -> ((nTok, ps.length.toLong, spans, cov,
+          math.rint(cov.toDouble / nTok * 1e6) / 1e6))
+      }
+    }.toMap
+
+    val got = Dedup.dupSpanStats(df, "text", "doc_id", L = L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    // the planted 12-token run: exactly one span of 12 duplicated
+    // tokens in docs 0 and 1 (5 grams of length 8 starting there)
+    assert(got(0L)._3 === 1L && got(0L)._4 === 12L)
+    assert(got(1L)._3 === 1L && got(1L)._4 === 12L)
+    // within-doc-only repetition is NOT cross-document duplication
+    assert(got(4L)._4 === 0L)
+    // sub-L docs and random docs report zero with their true n_tokens
+    assert(got(5L) === ((2L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("sourceOverlapMatrix: hand-computed shared/containment, disjoint sources absent") {
     import spark.implicits._
     val df = Seq(
