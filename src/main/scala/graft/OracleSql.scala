@@ -123,6 +123,76 @@ object OracleSql {
        |  FROM toks t LEFT JOIN zs z ON z.doc_id = t.doc_id
        |)""".stripMargin
 
+  /** The full [[graft.operators.Trainer]] gradient-descent loop as
+    * DuckDB CTEs — expects a prior CTE `ldocs(doc_id, y, text)`; emits
+    * `gtr` (per-term bucket stream), `gcnt`, `gw0 … gw$iters` (the
+    * weight vectors, one per iteration) and `gsc(doc_id, y, score)`,
+    * the final 6-dp scores of ALL ldocs rows (term-less docs at the
+    * kernel's 0.5). Replays the operator exactly: pinned-order folds
+    * for every per-document z, the true rational-sigmoid squared-loss
+    * gradient, and the cross-document gradient sum rounded to 6 dp
+    * the moment it folds into the next weight vector (the kmeansCtes
+    * discipline, so the one order-unspecified float reduction can
+    * never accumulate cross-engine drift).
+    */
+  def gdTrainerCtes(m: Int, iters: Int, lr: Double): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""gtoks AS (
+         |  SELECT doc_id, y, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> t <> '') AS tk
+         |  FROM ldocs
+         |), gterms AS (
+         |  SELECT doc_id, y, tk || [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS ts
+         |  FROM gtoks
+         |), gtr0 AS (
+         |  SELECT doc_id, y, generate_subscripts(ts, 1) AS ord, unnest(ts) AS t FROM gterms
+         |), gh1 AS (
+         |  SELECT doc_id, y, ord, ${poly31("t")} AS pt FROM gtr0
+         |), gtr AS (
+         |  SELECT doc_id, y, ord, CAST(${mix64("pt")} % $m AS INT) AS bu FROM gh1
+         |), gcnt AS (
+         |  SELECT doc_id, max(y) AS y, CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM gtr GROUP BY doc_id
+         |), gn AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM gcnt
+         |), gw0 AS (
+         |  SELECT CAST(unnest(range(0, $m)) AS INT) AS b, 0.0 AS w
+         |)""".stripMargin)
+    (0 until iters).foreach { i =>
+      sb.append(
+        s""", gz$i AS (
+           |  SELECT g.doc_id, c.y, c.cnt,
+           |    (${foldSum("list(w.w ORDER BY g.ord)")} / c.cnt) AS z
+           |  FROM gtr g JOIN gw$i w ON w.b = g.bu
+           |  JOIN gcnt c ON c.doc_id = g.doc_id
+           |  GROUP BY g.doc_id, c.y, c.cnt
+           |), gg$i AS (
+           |  SELECT g.bu AS b,
+           |    sum((((0.5 + 0.5 * (z.z / (1.0 + abs(z.z)))) - z.y) * 0.5
+           |         / ((1.0 + abs(z.z)) * (1.0 + abs(z.z)))) / z.cnt) AS gs
+           |  FROM gtr g JOIN gz$i z ON z.doc_id = g.doc_id
+           |  GROUP BY g.bu
+           |), gw${i + 1} AS (
+           |  SELECT w.b, round(w.w - $lr * coalesce(g.gs, 0.0) / (SELECT n FROM gn), 6) AS w
+           |  FROM gw$i w LEFT JOIN gg$i g ON g.b = w.b
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", gzf AS (
+         |  SELECT g.doc_id, (${foldSum("list(w.w ORDER BY g.ord)")} / c.cnt) AS z
+         |  FROM gtr g JOIN gw$iters w ON w.b = g.bu
+         |  JOIN gcnt c ON c.doc_id = g.doc_id
+         |  GROUP BY g.doc_id, c.cnt
+         |), gsc AS (
+         |  SELECT d.doc_id, d.y,
+         |    round(CASE WHEN z.z IS NULL THEN 0.5
+         |          ELSE 0.5 + 0.5 * (z.z / (1.0 + abs(z.z))) END, 6) AS score
+         |  FROM ldocs d LEFT JOIN gzf z ON z.doc_id = d.doc_id
+         |)""".stripMargin)
+    sb.toString
+  }
+
   /** The full [[graft.operators.KMeans]] Lloyd's loop as DuckDB CTEs —
     * expects a prior CTE `base(vec_id, embedding FLOAT[])`; emits
     * `vnn` (double-normalized vectors) through `a$iters`, the final

@@ -5390,7 +5390,27 @@ object Queries {
              |               / nt.n_tokens, 6)
              |    ELSE 0.0 END AS dup_frac
              |FROM nt LEFT JOIN st USING (doc_id)""".stripMargin),
-      "exact duplicated-substring stats (Lee et al. 2022): stride-1 L-gram inverted index + in-row maximal-span island merge; per-doc duplicated-token fraction")
+      "exact duplicated-substring stats (Lee et al. 2022): stride-1 L-gram inverted index + in-row maximal-span island merge; per-doc duplicated-token fraction"),
+
+    Q("q178_gd_classifier",
+      // train the q96 hashed-feature linear model IN the engine
+      // (full-batch GD, 3 iterations, rational sigmoid, squared loss,
+      // is-English label) and apply the trained vector back through
+      // the scan-speed codegen kernel — the whole label→train→gate
+      // loop; the oracle replays every iteration's weights to 6 dp
+      (s, d) => Trainer.trainAndScore(
+        documents(s, d).withColumn("y",
+          when(col("lang") === "en", 1.0).otherwise(0.0)),
+        "text", "y", keepCols = Seq("doc_id"),
+        m = 1024, iters = 6, lr = 16.0),
+      Some(s"""WITH ldocs AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+             |    text
+             |  FROM documents
+             |), ${OracleSql.gdTrainerCtes(1024, 6, 16.0)}
+             |SELECT doc_id, y, score FROM gsc""".stripMargin),
+      "distributed classifier training (full-batch GD over hashed bag-of-terms, exact-IEEE rational sigmoid) + scan-speed apply of the trained weights")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

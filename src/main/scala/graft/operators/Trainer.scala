@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.plans.Exprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed trainer for the [[QualityClassifier]] hashed-feature
+  * linear model — the missing half of the fastText-style quality-gate
+  * story: [[QualityClassifier.score]] applies a weight vector at scan
+  * speed; this trains that vector IN SPARK by full-batch gradient
+  * descent, so the whole wiki-vs-crawl loop (label → train → gate)
+  * runs inside the engine.
+  *
+  * Model: z = (Σ_t w[bucket(t)]) / cnt over the score kernel's exact
+  * term stream ([[graft.plans.Kernels.termBuckets]] — unigrams then
+  * bigrams, pinned order), p = 0.5 + 0.5·z/(1+|z|) (the rational
+  * sigmoid — exact IEEE, no libm), squared loss. The true gradient
+  * dL/dw[b] = Σ_d (p−y) · ½/(1+|z|)² · cnt_db/cnt_d is one narrow
+  * aggregation per iteration.
+  *
+  * Determinism contract (the kmeansCtes discipline): every per-document
+  * quantity is a pinned-order fold of IEEE doubles — bit-exact in any
+  * engine — and the only order-unspecified float reduction (the
+  * cross-document gradient sum) is immediately rounded to 6 dp when
+  * folded into the next weight vector, so an independent engine
+  * replaying the loop (DuckDB CTEs in the oracle) reproduces every
+  * iteration's weights digit-for-digit. Zero-init keeps iteration 0
+  * deterministic without an RNG.
+  *
+  * 100 TB shape: the feature frame (y, bucket-array, cnt) is computed
+  * once by a codegen kernel and persisted; each iteration is one scan
+  * of it (map-side partial aggregation) plus an m-key shuffle and an
+  * m-row driver collect — the k-means pattern. No per-row UDF, no
+  * global window, nothing quadratic. `m` is capped so the in-plan
+  * weight literal can never become a multi-MB codegen blob (the
+  * round-10 typedLit lesson).
+  */
+object Trainer {
+
+  /** Train and return the bucketed weight vector (length `m`) ready
+    * for [[QualityClassifier.score]] / `Exprs.linearTextScore`.
+    */
+  def trainHashedLinear(df: DataFrame, textCol: String, labelCol: String,
+                        m: Int = 256, iters: Int = 3,
+                        lr: Double = 4.0): Array[Double] = {
+    require(m >= 2 && m <= 4096,
+      s"bucket count m must be in [2, 4096] (in-plan literal bound), got $m")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val feat = df.select(col(labelCol).cast("double").as("y"),
+        Exprs.termBuckets(col(textCol), m).as("bl"))
+      .filter(size(col("bl")) > 0)
+      .select(col("y"), col("bl"), size(col("bl")).cast("double").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feat.count().toDouble   // also materializes the cache
+    var w = new Array[Double](m)
+    var t = 0
+    while (t < iters && n > 0) {
+      val wlit = typedLit(w.toSeq)
+      // z in the score kernel's fold order, then the exact dp/dz chain;
+      // expression shapes are mirrored 1:1 by OracleSql.gdTrainerCtes
+      val z = aggregate(col("bl"), lit(0.0),
+        (acc: Column, b: Column) => acc + element_at(wlit, b + 1)) / col("cnt")
+      val g = (((lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))) - col("y"))
+        * lit(0.5) / ((lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))) / col("cnt")
+      val upd = feat.select(explode(col("bl")).as("b"), g.as("g"))
+        .groupBy(col("b")).agg(sum(col("g")).as("gs"))
+        .select(col("b"),
+          round(element_at(wlit, col("b") + 1)
+            - lit(lr) * col("gs") / lit(n), 6).as("wn"))
+        .collect()                  // ≤ m rows — summary-bounded
+      val next = w.clone()
+      upd.foreach(r => next(r.getInt(0)) = r.getDouble(1))
+      w = next
+      t += 1
+    }
+    feat.unpersist(blocking = false)
+    w
+  }
+
+  /** Train, then score every row with the scan-speed kernel: the
+    * end-to-end quality-gate pipeline as one call. Output keeps
+    * `keepCols`, adds `y` (the double label) and `score` (6 dp).
+    */
+  def trainAndScore(df: DataFrame, textCol: String, labelCol: String,
+                    keepCols: Seq[String],
+                    m: Int = 256, iters: Int = 3,
+                    lr: Double = 4.0): DataFrame = {
+    val w = trainHashedLinear(df, textCol, labelCol, m, iters, lr)
+    df.select(keepCols.map(col) ++ Seq(
+      col(labelCol).cast("double").as("y"),
+      round(Exprs.linearTextScore(col(textCol), w), 6).as("score")): _*)
+  }
+}

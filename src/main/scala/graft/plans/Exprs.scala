@@ -482,6 +482,23 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** The classifier feature map as data ([[Kernels.termBuckets]]):
+    * hashed unigram+bigram bucket ids in [[LinearTextScore]]'s exact
+    * fold order — the training-side counterpart of the score kernel.
+    */
+  case class TermBuckets(child: Expression, m: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "term_buckets"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.termBuckets(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], m)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.termBuckets($c, $m)")
+    override protected def withNewChildInternal(newChild: Expression): TermBuckets =
+      copy(child = newChild)
+  }
+
   case class HyperplaneSig(child: Expression, bits: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -567,6 +584,7 @@ object Exprs {
     col(NearestCentroidScoreD(ex(c), cents, dim))
   def linearTextScore(c: Column, weights: Array[Double]): Column =
     col(LinearTextScore(ex(c), weights))
+  def termBuckets(c: Column, m: Int): Column = col(TermBuckets(ex(c), m))
 
   /** Register SQL names for the kernels on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1049,6 +1049,59 @@ object Kernels {
     }
   }
 
+  /** The [[linearTextScore]] term enumeration as DATA: hashed feature
+    * buckets of every unigram then every bigram, in the kernel's exact
+    * fold order (same tokenizer, same poly31+mix64 family, same
+    * unsigned mod). This is the training-side view of the classifier's
+    * feature map — [[graft.operators.Trainer]] folds a weight vector
+    * over this array during gradient descent, and because the order
+    * matches the score kernel bit-for-bit, weights trained against
+    * these buckets reproduce [[linearTextScore]]'s z exactly when
+    * shipped back into the scan-speed kernel. Empty text → empty array.
+    */
+  def termBuckets(text: UTF8String, m: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var tokStarts = new Array[Int](16)
+    var tokEnds = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokStarts.length) {
+          tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
+          tokEnds = java.util.Arrays.copyOf(tokEnds, nTok * 2)
+        }
+        tokStarts(nTok) = start; tokEnds(nTok) = i; nTok += 1
+      }
+    }
+    val cnt = if (nTok == 0) 0 else nTok + (nTok - 1)
+    val out = new Array[Int](cnt)
+    var t = 0
+    while (t < nTok) {
+      var h = 1125899906842597L
+      var j = tokStarts(t)
+      while (j < tokEnds(t)) { h = 31L * h + s.charAt(j); j += 1 }
+      out(t) = java.lang.Long.remainderUnsigned(mix64(h), m).toInt
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      var h = 1125899906842597L
+      var j = tokStarts(t)
+      while (j < tokEnds(t)) { h = 31L * h + s.charAt(j); j += 1 }
+      h = 31L * h + ' '
+      j = tokStarts(t + 1)
+      while (j < tokEnds(t + 1)) { h = 31L * h + s.charAt(j); j += 1 }
+      out(nTok + t) = java.lang.Long.remainderUnsigned(mix64(h), m).toInt
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ------------------------------------------- blocklist (Aho–Corasick)
 
   /** Multi-pattern matcher for [[blocklistHits]]: classic Aho–Corasick
