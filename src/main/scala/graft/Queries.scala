@@ -5410,7 +5410,58 @@ object Queries {
              |  FROM documents
              |), ${OracleSql.gdTrainerCtes(1024, 6, 16.0)}
              |SELECT doc_id, y, score FROM gsc""".stripMargin),
-      "distributed classifier training (full-batch GD over hashed bag-of-terms, exact-IEEE rational sigmoid) + scan-speed apply of the trained weights")
+      "distributed classifier training (full-batch GD over hashed bag-of-terms, exact-IEEE rational sigmoid) + scan-speed apply of the trained weights"),
+
+    Q("q179_dup_span_trim",
+      (s, d) => Dedup.dupSpanTrim(documents(s, d), "text", "doc_id",
+          L = 8, maxGramDf = 1000000L)
+        .withColumnRenamed("id", "doc_id"),
+      // q177's gram index, plus: owner = min(doc_id) per hot gram,
+      // occurrences with owner < doc_id expand to their L covered
+      // positions, and the kept tokens are rejoined — the oracle
+      // rebuilds the trimmed TEXT itself, not just the counts
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |           t -> t <> '') AS tk
+             |  FROM documents
+             |), nt AS (
+             |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+             |), kg AS (
+             |  SELECT doc_id,
+             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(tk[i:i+7],
+             |          x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
+             |      (a, b) -> (a * 31 + b) % 1000000007)
+             |     FOR i IN range(1, len(tk) - 8 + 2)] AS hs
+             |  FROM toks WHERE len(tk) >= 8
+             |), ex AS (
+             |  SELECT doc_id,
+             |    unnest([{'p': i, 'h': hs[i]}
+             |            FOR i IN range(1, len(hs) + 1)]) AS u
+             |  FROM kg
+             |), ex2 AS (
+             |  SELECT doc_id, u.p AS pos, u.h AS h FROM ex
+             |), own AS (
+             |  SELECT h, min(doc_id) AS owner FROM ex2 GROUP BY h
+             |  HAVING count(DISTINCT doc_id) >= 2
+             |), rem AS (
+             |  SELECT DISTINCT doc_id, rp FROM (
+             |    SELECT e.doc_id, unnest(range(e.pos, e.pos + 8)) AS rp
+             |    FROM ex2 e JOIN own o USING (h)
+             |    WHERE o.owner < e.doc_id)
+             |), rps AS (
+             |  SELECT doc_id, list_sort(list(rp)) AS rps FROM rem GROUP BY doc_id
+             |)
+             |SELECT n.doc_id, n.n_tokens,
+             |  CAST(coalesce(len(r.rps), 0) AS BIGINT) AS n_removed,
+             |  CASE WHEN n.n_tokens = 0 THEN ''
+             |    ELSE coalesce(array_to_string(list_transform(
+             |      list_filter(range(1, len(n.tk) + 1),
+             |        i -> NOT list_contains(coalesce(r.rps, []), i)),
+             |      i -> n.tk[i]), ' '), '') END AS trimmed_text
+             |FROM nt n LEFT JOIN rps r USING (doc_id)""".stripMargin),
+      "duplicated-span removal (Lee et al. ExactSubstr keep-one policy): min-id gram ownership, coverage expansion, in-row token-stream rebuild of the trimmed text")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

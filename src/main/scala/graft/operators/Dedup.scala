@@ -444,6 +444,66 @@ object Dedup {
     out
   }
 
+  /** The dedup ACTION to [[dupSpanStats]]'s report: remove duplicated
+    * spans, keeping exactly ONE copy corpus-wide (Lee et al. 2022's
+    * ExactSubstr policy). Ownership is deterministic — every hot gram
+    * is owned by the LOWEST document id containing it, and a token is
+    * dropped from doc d iff it is covered by a hot-gram occurrence
+    * whose owner < d — so the surviving copy is always the one in the
+    * smallest id, and re-running the pass is idempotent-by-policy.
+    *
+    * Output: (id, n_tokens, n_removed, trimmed_text) — trimmed_text is
+    * the kept tokens rejoined with single spaces (the pass is defined
+    * on the token stream, so original whitespace is normalized; that
+    * is the contract every substring-dedup pipeline accepts).
+    *
+    * Scale shape is [[dupSpanStats]]'s: skinny (id, pos, hash)
+    * inverted index, an 8-byte-key groupBy for ownership, coverage
+    * expansion bounded by L per occurrence, and a per-document in-row
+    * rebuild bounded by document length. The text column itself never
+    * shuffles — it is re-read only in the final rebuild projection.
+    */
+  def dupSpanTrim(df: DataFrame, textCol: String, idCol: String,
+                  L: Int = 8, maxGramDf: Long = 1000000L): DataFrame = {
+    require(L >= 2, s"span length L must be >= 2, got $L")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      (x: org.apache.spark.sql.Column) => x =!= "")
+    val base = df.select(col(idCol).as("id"), toks.as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
+    val kg = base.filter(size(col("tk")) >= L).select(col("id"),
+        transform(sequence(lit(0), size(col("tk")) - L), i =>
+          aggregate(
+            transform(slice(col("tk"), i + 1, lit(L)),
+              x => length(x).cast("long") * 7 + ascii(x).cast("long")),
+            lit(0L),
+            (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = kg.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val own = inv.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("_df"), min(col("id")).as("owner"))
+      .filter(col("_df") >= 2 && col("_df") <= maxGramDf)
+      .select(col("h"), col("owner"))
+    val rem = inv.join(own, "h")
+      .filter(col("owner") < col("id"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("rp"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rp"))).as("rps"))
+    val rpsSafe = coalesce(col("rps"), array().cast("array<int>"))
+    val kept = transform(
+      array_except(
+        sequence(lit(0), col("n_tokens").cast("int") - 1), rpsSafe),
+      i => element_at(col("tk"), i + 1))
+    val out = base.join(rem, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        size(rpsSafe).cast("long").as("n_removed"),
+        when(col("n_tokens") === 0, lit(""))
+          .otherwise(array_join(kept, " ")).as("trimmed_text"))
+    kg.unpersist(blocking = false)
+    out
+  }
+
   /** Cross-SOURCE n-gram overlap matrix — "how much of source A's
     * shingle vocabulary also appears in source B" — the corpus-health
     * audit run before mixing crawls/dumps (a high-containment pair

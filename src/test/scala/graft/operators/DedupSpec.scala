@@ -138,6 +138,59 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === ((2L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("dupSpanTrim keeps exactly one copy (lowest id owns); brute-force parity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll", "mm", "nn")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val planted = (1 to 10).map(i => s"p$i").mkString(" ")
+    val pre2 = doc(12)
+    // sentinels fence the planted run so boundary-crossing grams are
+    // per-doc unique (a 1-in-14 boundary token coincidence would
+    // otherwise legitimately extend the duplicated span)
+    val docs = Seq(
+      (0L, s"${doc(12)} s0a $planted s0b ${doc(12)}"), // owner: keeps everything
+      (1L, s"$planted s1 ${doc(20)}"),         // loses the planted run
+      (2L, s"$pre2 s2 $planted"),              // loses the planted run
+      (3L, doc(30)),                           // untouched random doc
+      (4L, "  spaced   out\ttokens  "))        // whitespace-normalized only
+    val df = docs.toDF("doc_id", "text")
+    val L = 8
+
+    // brute force with the same ownership policy
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val occ = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.length >= L)
+        tk.sliding(L).zipWithIndex.map { case (g, p) => (g.mkString(" "), id, p) }.toSeq
+      else Seq.empty }
+    val byGram = occ.groupBy(_._1)
+    val hotOwner = byGram.collect { case (g, os) if os.map(_._2).distinct.size >= 2 =>
+      g -> os.map(_._2).min }
+    val expected = docs.map { case (id, _) =>
+      val tk = toks(id)
+      val removed = occ.filter(o => o._2 == id &&
+          hotOwner.get(o._1).exists(_ < id))
+        .flatMap(o => o._3 until (o._3 + L)).toSet
+      val kept = tk.indices.filterNot(removed).map(tk)
+      id -> ((tk.length.toLong, removed.size.toLong, kept.mkString(" ")))
+    }.toMap
+
+    val got = Dedup.dupSpanTrim(df, "text", "doc_id", L = L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === expected)
+    // ownership: doc 0 (lowest id) keeps its copy intact
+    assert(got(0L)._2 === 0L)
+    assert(got(0L)._3.contains(planted))
+    // docs 1 and 2 lose exactly the 10 planted tokens
+    assert(got(1L)._2 === 10L && !got(1L)._3.contains("p1"))
+    assert(got(2L)._2 === 10L && !got(2L)._3.contains("p1"))
+    // whitespace-only doc is token-normalized, nothing removed
+    assert(got(4L) === ((3L, 0L, "spaced out tokens")))
+  }
+
   test("sourceOverlapMatrix: hand-computed shared/containment, disjoint sources absent") {
     import spark.implicits._
     val df = Seq(
