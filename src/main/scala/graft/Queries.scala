@@ -5461,7 +5461,55 @@ object Queries {
              |        i -> NOT list_contains(coalesce(r.rps, []), i)),
              |      i -> n.tk[i]), ' '), '') END AS trimmed_text
              |FROM nt n LEFT JOIN rps r USING (doc_id)""".stripMargin),
-      "duplicated-span removal (Lee et al. ExactSubstr keep-one policy): min-id gram ownership, coverage expansion, in-row token-stream rebuild of the trimmed text")
+      "duplicated-span removal (Lee et al. ExactSubstr keep-one policy): min-id gram ownership, coverage expansion, in-row token-stream rebuild of the trimmed text"),
+
+    Q("q180_ccnet_buckets",
+      // CCNet head/middle/tail stratification: q108's bigram LM scores
+      // + per-language terciles as an ASSIGNMENT (q165 is the filter)
+      (s, d) => LanguageModel.perplexityBuckets(documents(s, d),
+          "doc_id", "text", "lang")
+        .withColumnRenamed("grp", "lang"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM documents
+             |), pt AS (
+             |  SELECT doc_id, pair, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+             |                           FOR i IN range(1, len(tk))]) AS pair
+             |    FROM toks) GROUP BY doc_id, pair
+             |), bc AS (SELECT pair, sum(tf) AS bc FROM pt GROUP BY pair
+             |), ut AS (
+             |  SELECT doc_id, term, count(*) AS utf FROM (
+             |    SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+             |), uc AS (SELECT term, sum(utf) AS uc FROM ut GROUP BY term
+             |), v AS (SELECT count(*) AS v FROM uc
+             |), lp AS (
+             |  SELECT pt.doc_id, pt.tf,
+             |    CAST(round(ln(CAST(bc.bc + 1 AS DOUBLE) / CAST(uc.uc + v.v AS DOUBLE)) * 1e6, 0)
+             |      AS BIGINT) AS lp_micro
+             |  FROM pt JOIN bc USING (pair)
+             |  JOIN uc ON uc.term = string_split(pt.pair, ' ')[1]
+             |  CROSS JOIN v
+             |), score AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(tf * lp_micro) AS DOUBLE) /
+             |      CAST(sum(tf) * 1000000 AS DOUBLE) AS avg_logprob
+             |  FROM lp GROUP BY doc_id
+             |), sl AS (
+             |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
+             |  FROM score s JOIN documents d USING (doc_id)
+             |), thr AS (
+             |  SELECT lang, quantile_cont(avg_logprob, 1.0/3) AS c1,
+             |         quantile_cont(avg_logprob, 2.0/3) AS c2
+             |  FROM sl GROUP BY lang
+             |)
+             |SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.avg_logprob,
+             |  CASE WHEN sl.avg_logprob >= thr.c2 THEN 'head'
+             |       WHEN sl.avg_logprob >= thr.c1 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM sl JOIN thr USING (lang)""".stripMargin),
+      "CCNet perplexity stratification (Wenzek et al. 2020): per-language LM terciles as head/middle/tail assignment, rank-based exact percentiles, broadcast cutoffs")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -74,6 +74,39 @@ object LanguageModel {
     out
   }
 
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): every
+    * document is assigned a per-language perplexity tercile — "head" is
+    * the best-modeled third (highest avg log-prob), "tail" the worst —
+    * the standard pre-mixing quality stratification (CCNet trains on
+    * head+middle and drops or down-samples tail). Same machinery as
+    * [[perplexityGate]] — corpus-trained bigram LM, rank-based exact
+    * per-group percentiles, broadcast cutoff join — but producing an
+    * ASSIGNMENT instead of a filter, so downstream samplers (q160/q173)
+    * can weight buckets rather than lose the tail outright.
+    *
+    * Determinism: scores are exact integer micro-nat sums divided once;
+    * both tercile cutoffs interpolate with the quantile_cont arithmetic
+    * pinned cross-engine by q53/q104, so the `>=` bucket boundaries
+    * land identically in any engine.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String): DataFrame = {
+    val scored = bigramScore(df, idCol, textCol)
+      .join(df.select(col(idCol).as("doc_id"), col(groupCol).as("grp")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cutoffs = Stats.groupedExactPercentiles(
+        scored, "grp", "avg_logprob", Seq(1.0 / 3, 2.0 / 3))
+      .select(col("g").as("grp"), col("p_0").as("c1"), col("p_1").as("c2"))
+    val out = Ckpt.truncate(scored
+      .join(broadcast(cutoffs), Seq("grp"))
+      .select(col("doc_id"), col("grp"), col("n_bigrams"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("c2"), "head")
+          .when(col("avg_logprob") >= col("c1"), "middle")
+          .otherwise("tail").as("bucket")))
+    scored.unpersist(blocking = false)
+    out
+  }
+
   def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pairTf = df.select(col(idCol).as("doc_id"),
         explode(Exprs.pairCounts(col(textCol))).as(Seq("pair", "tf_i")))

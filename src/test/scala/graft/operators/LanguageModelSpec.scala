@@ -50,6 +50,32 @@ class LanguageModelSpec extends SparkSpec {
       "perplexityGate must release its scored/binned caches")
   }
 
+  test("perplexityBuckets: terciles order strictly (head ≥ middle ≥ tail per group), caches released") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val va = Vector("aa", "bb", "cc", "dd")
+    val docs = (0 until 36).map { i =>
+      val grp = if (i % 2 == 0) "g1" else "g2"
+      // varying length and composition spreads the LM scores
+      (i.toLong, Seq.fill(4 + rnd.nextInt(12))(va(rnd.nextInt(va.size))).mkString(" "), grp)
+    }
+    val out = LanguageModel.perplexityBuckets(
+        docs.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(1), r.getDouble(3), r.getString(4)))
+    assert(out.nonEmpty)
+    for (g <- Seq("g1", "g2")) {
+      val by = out.filter(_._1 == g).groupBy(_._3)
+      assert(by.keySet === Set("head", "middle", "tail"),
+        s"group $g must populate all three buckets")
+      assert(by("head").map(_._2).min >= by("middle").map(_._2).max,
+        s"group $g: every head score >= every middle score")
+      assert(by("middle").map(_._2).min >= by("tail").map(_._2).max,
+        s"group $g: every middle score >= every tail score")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "perplexityBuckets must release its scored/binned caches")
+  }
+
   test("pairCounts kernel: multiplicity, ordering, single/empty input") {
     import spark.implicits._
     val df = Seq((0L, "x y x y x"), (1L, "one"), (2L, " ")).toDF("id", "text")
