@@ -5509,7 +5509,74 @@ object Queries {
              |       WHEN sl.avg_logprob >= thr.c1 THEN 'middle'
              |       ELSE 'tail' END AS bucket
              |FROM sl JOIN thr USING (lang)""".stripMargin),
-      "CCNet perplexity stratification (Wenzek et al. 2020): per-language LM terciles as head/middle/tail assignment, rank-based exact percentiles, broadcast cutoffs")
+      "CCNet perplexity stratification (Wenzek et al. 2020): per-language LM terciles as head/middle/tail assignment, rank-based exact percentiles, broadcast cutoffs"),
+
+    Q("q181_gopher_rules",
+      // the Gopher curation rule set (Rae et al. 2021 Table A1, the
+      // document-level rules a single-line corpus can express): word
+      // count bounds, mean-word-length band, symbol-to-word ratio,
+      // alpha-bearing-word fraction, distinct-stopword minimum —
+      // per-rule flags plus the conjunction, so a pipeline can both
+      // gate and audit WHY a doc fell
+      (s, d) => {
+        val tk = filter(split(trim(col("text")), "\\s+"),
+          (x: Column) => x =!= "")
+        val n = size(tk)
+        val meanLen = aggregate(transform(tk, t => length(t).cast("long")),
+          lit(0L), (a, v) => a + v).cast("double") / greatest(n, lit(1)).cast("double")
+        val alphaFrac = size(filter(tk,
+          (t: Column) => t.rlike("[A-Za-z]"))).cast("double") /
+          greatest(n, lit(1)).cast("double")
+        val symbols = (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+        val symbolFrac = symbols.cast("double") / greatest(n, lit(1)).cast("double")
+        val stops = typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+        val stopCount = size(array_intersect(array_distinct(transform(tk,
+          t => lower(t))), stops))
+        val f1 = n >= 50 && n <= 100000
+        val f2 = meanLen >= 3.0 && meanLen <= 10.0
+        val f3 = symbolFrac <= 0.1
+        val f4 = alphaFrac >= 0.8
+        val f5 = stopCount >= 2
+        documents(s, d).select(col("doc_id"),
+          n.cast("long").as("n_tokens"),
+          f1.as("wc_ok"), f2.as("mwl_ok"), f3.as("sym_ok"),
+          f4.as("alpha_ok"), f5.as("stop_ok"),
+          (f1 && f2 && f3 && f4 && f5).as("keep"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS tk,
+             |    (length(text) - length(regexp_replace(text, '#', '', 'g'))) +
+             |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+             |      AS symbols
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(len(tk) AS BIGINT) AS n_tokens,
+             |    CAST(coalesce(list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))), 0)
+             |      AS DOUBLE) / greatest(len(tk), 1) AS mean_len,
+             |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+             |      AS DOUBLE) / greatest(len(tk), 1) AS alpha_frac,
+             |    CAST(symbols AS DOUBLE) / greatest(len(tk), 1) AS symbol_frac,
+             |    len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+             |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stops
+             |  FROM t
+             |)
+             |SELECT doc_id, n_tokens,
+             |  (n_tokens >= 50 AND n_tokens <= 100000) AS wc_ok,
+             |  (mean_len >= 3.0 AND mean_len <= 10.0) AS mwl_ok,
+             |  (symbol_frac <= 0.1) AS sym_ok,
+             |  (alpha_frac >= 0.8) AS alpha_ok,
+             |  (n_stops >= 2) AS stop_ok,
+             |  (n_tokens >= 50 AND n_tokens <= 100000 AND mean_len >= 3.0
+             |   AND mean_len <= 10.0 AND symbol_frac <= 0.1
+             |   AND alpha_frac >= 0.8 AND n_stops >= 2) AS keep
+             |FROM m""".stripMargin),
+      "Gopher document-quality rules (Rae et al. 2021): per-rule audit flags + conjunction gate, one codegen-friendly scan, no UDF")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
