@@ -5336,11 +5336,12 @@ object Queries {
       (s, d) => Dedup.dupSpanStats(documents(s, d), "text", "doc_id",
           L = 8, maxGramDf = 1000000L)
         .withColumnRenamed("id", "doc_id"),
-      // full re-derivation: stride-1 8-token-gram rolling hashes
-      // (q169's arithmetic without the window-min), cross-document hot
-      // grams (count(DISTINCT doc) >= 2), then the per-doc island
-      // merge replayed with list comprehensions: gaps > L start a new
-      // span, coverage = L + sum(min(gap, L))
+      // string-side re-derivation (the q36/q166 equivalence: the
+      // engine's 64-bit gram-hash grouping equals gram-STRING grouping
+      // collision-free): stride-1 8-token grams with positions,
+      // cross-document hot grams (count(DISTINCT doc) >= 2), then the
+      // per-doc island merge replayed with list comprehensions: gaps
+      // > L start a new span, coverage = L + sum(min(gap, L))
       Some("""WITH toks AS (
              |  SELECT doc_id,
              |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -5348,27 +5349,18 @@ object Queries {
              |  FROM documents
              |), nt AS (
              |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
-             |), kg AS (
-             |  SELECT doc_id,
-             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(tk[i:i+7],
-             |          x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
-             |      (a, b) -> (a * 31 + b) % 1000000007)
-             |     FOR i IN range(1, len(tk) - 8 + 2)] AS hs
-             |  FROM toks WHERE len(tk) >= 8
-             |), ex AS (
-             |  SELECT doc_id,
-             |    unnest([{'p': i, 'h': hs[i]}
-             |            FOR i IN range(1, len(hs) + 1)]) AS u
-             |  FROM kg
              |), ex2 AS (
-             |  SELECT doc_id, u.p AS pos, u.h AS h FROM ex
+             |  SELECT doc_id, u.p AS pos, u.g AS g FROM (
+             |    SELECT doc_id,
+             |      unnest([{'p': i, 'g': array_to_string(tk[i:i+7], ' ')}
+             |              FOR i IN range(1, len(tk) - 8 + 2)]) AS u
+             |    FROM toks WHERE len(tk) >= 8)
              |), hot AS (
-             |  SELECT h FROM ex2 GROUP BY h
+             |  SELECT g FROM ex2 GROUP BY g
              |  HAVING count(DISTINCT doc_id) >= 2
              |), dp AS (
              |  SELECT e.doc_id, list_sort(list(e.pos)) AS ps
-             |  FROM ex2 e JOIN hot USING (h)
+             |  FROM ex2 e JOIN hot USING (g)
              |  GROUP BY e.doc_id
              |), st AS (
              |  SELECT doc_id,
@@ -5416,10 +5408,10 @@ object Queries {
       (s, d) => Dedup.dupSpanTrim(documents(s, d), "text", "doc_id",
           L = 8, maxGramDf = 1000000L)
         .withColumnRenamed("id", "doc_id"),
-      // q177's gram index, plus: owner = min(doc_id) per hot gram,
-      // occurrences with owner < doc_id expand to their L covered
-      // positions, and the kept tokens are rejoined — the oracle
-      // rebuilds the trimmed TEXT itself, not just the counts
+      // q177's string-side gram index, plus: owner = min(doc_id) per
+      // hot gram, occurrences with owner < doc_id expand to their L
+      // covered positions, and the kept tokens are rejoined — the
+      // oracle rebuilds the trimmed TEXT itself, not just the counts
       Some("""WITH toks AS (
              |  SELECT doc_id,
              |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -5427,28 +5419,19 @@ object Queries {
              |  FROM documents
              |), nt AS (
              |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
-             |), kg AS (
-             |  SELECT doc_id,
-             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(tk[i:i+7],
-             |          x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
-             |      (a, b) -> (a * 31 + b) % 1000000007)
-             |     FOR i IN range(1, len(tk) - 8 + 2)] AS hs
-             |  FROM toks WHERE len(tk) >= 8
-             |), ex AS (
-             |  SELECT doc_id,
-             |    unnest([{'p': i, 'h': hs[i]}
-             |            FOR i IN range(1, len(hs) + 1)]) AS u
-             |  FROM kg
              |), ex2 AS (
-             |  SELECT doc_id, u.p AS pos, u.h AS h FROM ex
+             |  SELECT doc_id, u.p AS pos, u.g AS g FROM (
+             |    SELECT doc_id,
+             |      unnest([{'p': i, 'g': array_to_string(tk[i:i+7], ' ')}
+             |              FOR i IN range(1, len(tk) - 8 + 2)]) AS u
+             |    FROM toks WHERE len(tk) >= 8)
              |), own AS (
-             |  SELECT h, min(doc_id) AS owner FROM ex2 GROUP BY h
+             |  SELECT g, min(doc_id) AS owner FROM ex2 GROUP BY g
              |  HAVING count(DISTINCT doc_id) >= 2
              |), rem AS (
              |  SELECT DISTINCT doc_id, rp FROM (
              |    SELECT e.doc_id, unnest(range(e.pos, e.pos + 8)) AS rp
-             |    FROM ex2 e JOIN own o USING (h)
+             |    FROM ex2 e JOIN own o USING (g)
              |    WHERE o.owner < e.doc_id)
              |), rps AS (
              |  SELECT doc_id, list_sort(list(rp)) AS rps FROM rem GROUP BY doc_id

@@ -368,8 +368,11 @@ object Dedup {
     * distributed suffix array would materialize — which keeps every
     * stage a linear scan or a skinny hash shuffle:
     *
-    *   1. per-position L-token-gram rolling hashes (q42/q169's exact
-    *      arithmetic, so the derivation replays in the DuckDB oracle);
+    *   1. per-position L-token-gram 64-bit hashes, one codegen kernel
+    *      pass per document ([[graft.plans.Exprs.shingleHashesPos]];
+    *      the oracle re-derives the grouping STRING-side — hash
+    *      grouping equals string grouping collision-free at 64 bits,
+    *      the q36/q166 argument);
     *   2. inverted index of (id, pos, hash) — 8-byte hash + int pos,
     *      the text itself never shuffles;
     *   3. "hot" grams = hashes seen in ≥2 DISTINCT documents (capped
@@ -393,22 +396,20 @@ object Dedup {
   def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
                    L: Int = 8, maxGramDf: Long = 1000000L): DataFrame = {
     require(L >= 2, s"span length L must be >= 2, got $L")
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      (x: org.apache.spark.sql.Column) => x =!= "")
-    val base = df.select(col(idCol).as("id"), toks.as("tk"))
-      .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
-    // per-position L-gram rolling hashes; persisted for the same
-    // CollapseProject-into-Generate reason as winnowingPairs (the HOF
-    // chain must not be re-evaluated per exploded element)
-    val kg = base.filter(size(col("tk")) >= L).select(col("id"),
-        transform(sequence(lit(0), size(col("tk")) - L), i =>
-          aggregate(
-            transform(slice(col("tk"), i + 1, lit(L)),
-              x => length(x).cast("long") * 7 + ascii(x).cast("long")),
-            lit(0L),
-            (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = kg.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    // single-pass codegen kernel per document: 64-bit L-token-gram
+    // hashes at stride 1 (grouping by the 64-bit hash equals grouping
+    // by the gram string collision-free at corpus scale — the q36/q166
+    // argument, which is also how the oracle re-derives this
+    // string-side). n_tokens from the SAME kernel at k=1 so the two
+    // counts can never desync on a tokenizer edge case.
+    val nTok = size(Exprs.shingleHashesPos(col(textCol), 1))
+    val base = df.select(col(idCol).as("id"),
+      nTok.cast("long").as("n_tokens"))
+    val inv = df
+      .select(col(idCol).as("id"), nTok.as("nt"),
+        posexplode(Exprs.shingleHashesPos(col(textCol), L)).as(Seq("pos", "h")))
+      .filter(col("nt") >= L)
+      .select(col("id"), col("pos"), col("h"))
     val hot = inv.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxGramDf)
@@ -440,7 +441,6 @@ object Dedup {
           round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
             col("n_tokens").cast("double"), 6)).otherwise(lit(0.0))
           .as("dup_frac"))
-    kg.unpersist(blocking = false)
     out
   }
 
@@ -466,19 +466,19 @@ object Dedup {
   def dupSpanTrim(df: DataFrame, textCol: String, idCol: String,
                   L: Int = 8, maxGramDf: Long = 1000000L): DataFrame = {
     require(L >= 2, s"span length L must be >= 2, got $L")
+    // same single-pass kernel index as [[dupSpanStats]]; the token
+    // array (Column-side split, identical tokenization on ASCII
+    // whitespace) is only materialized for the final rebuild
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       (x: org.apache.spark.sql.Column) => x =!= "")
     val base = df.select(col(idCol).as("id"), toks.as("tk"))
       .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
-    val kg = base.filter(size(col("tk")) >= L).select(col("id"),
-        transform(sequence(lit(0), size(col("tk")) - L), i =>
-          aggregate(
-            transform(slice(col("tk"), i + 1, lit(L)),
-              x => length(x).cast("long") * 7 + ascii(x).cast("long")),
-            lit(0L),
-            (acc, v) => pmod(acc * 31 + v, lit(1000000007L)))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = kg.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val nTok = size(Exprs.shingleHashesPos(col(textCol), 1))
+    val inv = df
+      .select(col(idCol).as("id"), nTok.as("nt"),
+        posexplode(Exprs.shingleHashesPos(col(textCol), L)).as(Seq("pos", "h")))
+      .filter(col("nt") >= L)
+      .select(col("id"), col("pos"), col("h"))
     val own = inv.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("_df"), min(col("id")).as("owner"))
       .filter(col("_df") >= 2 && col("_df") <= maxGramDf)
@@ -500,7 +500,6 @@ object Dedup {
         size(rpsSafe).cast("long").as("n_removed"),
         when(col("n_tokens") === 0, lit(""))
           .otherwise(array_join(kept, " ")).as("trimmed_text"))
-    kg.unpersist(blocking = false)
     out
   }
 

@@ -56,10 +56,11 @@ object Trainer {
     var t = 0
     while (t < iters && n > 0) {
       val wlit = typedLit(w.toSeq)
-      // z in the score kernel's fold order, then the exact dp/dz chain;
+      // z in the score kernel's fold order (compiled dotBuckets loop —
+      // same left-to-right association the interpreted HOF fold and the
+      // oracle's ordered list_reduce use), then the exact dp/dz chain;
       // expression shapes are mirrored 1:1 by OracleSql.gdTrainerCtes
-      val z = aggregate(col("bl"), lit(0.0),
-        (acc: Column, b: Column) => acc + element_at(wlit, b + 1)) / col("cnt")
+      val z = Exprs.dotBuckets(col("bl"), w) / col("cnt")
       val g = (((lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))) - col("y"))
         * lit(0.5) / ((lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))) / col("cnt")
       val upd = feat.select(explode(col("bl")).as("b"), g.as("g"))

@@ -499,6 +499,25 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Weight-vector fold over a bucket array ([[Kernels.dotBuckets]]) —
+    * the GD training loop's z, compiled; weights ride as a codegen
+    * reference object like [[LinearTextScore]]'s.
+    */
+  case class DotBuckets(child: Expression, weights: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_buckets"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.dotBuckets(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], weights)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gdWeights", weights, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.dotBuckets($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): DotBuckets =
+      copy(child = newChild)
+  }
+
   case class HyperplaneSig(child: Expression, bits: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -585,6 +604,8 @@ object Exprs {
   def linearTextScore(c: Column, weights: Array[Double]): Column =
     col(LinearTextScore(ex(c), weights))
   def termBuckets(c: Column, m: Int): Column = col(TermBuckets(ex(c), m))
+  def dotBuckets(c: Column, weights: Array[Double]): Column =
+    col(DotBuckets(ex(c), weights))
 
   /** Register SQL names for the kernels on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1102,6 +1102,21 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Σ weights(b) over a bucket-id array — the training-loop inner
+    * product against the current weight vector ([[termBuckets]]'s
+    * companion). A compiled loop instead of an interpreted HOF fold:
+    * identical association (left-to-right over the array), so the
+    * result is bit-for-bit the fold the oracle replays.
+    */
+  def dotBuckets(buckets: org.apache.spark.sql.catalyst.util.ArrayData,
+                 weights: Array[Double]): Double = {
+    val n = buckets.numElements()
+    var z = 0.0
+    var i = 0
+    while (i < n) { z += weights(buckets.getInt(i)); i += 1 }
+    z
+  }
+
   // ------------------------------------------- blocklist (Aho–Corasick)
 
   /** Multi-pattern matcher for [[blocklistHits]]: classic Aho–Corasick
