@@ -5590,7 +5590,55 @@ object Queries {
              |)
              |SELECT vec_id, CAST(i AS BIGINT) AS dim, round(y, 6) AS v
              |FROM y""".stripMargin),
-      "Johnson-Lindenstrauss Rademacher projection 64->16: derived sign matrix, one map-only codegen scan, distance-preserving embedding reduction")
+      "Johnson-Lindenstrauss Rademacher projection 64->16: derived sign matrix, one map-only codegen scan, distance-preserving embedding reduction"),
+
+    Q("q183_int8_quantize",
+      // per-vector symmetric int8 quantization audit: scale, ordered-
+      // fold reconstruction MSE (micro-scaled onto the 6-dp compare
+      // grid), and two integer code checksums that pin every code
+      // value and position without shipping the codes
+      (s, d) => {
+        val st = Exprs.quantizeInt8Stats(col("embedding"))
+        embeddings(s, d).select(col("vec_id"), st.as("st"))
+          .select(col("vec_id"),
+            round(element_at(col("st"), 1), 6).as("scale"),
+            round(element_at(col("st"), 2) * lit(1e6), 4).as("mse_micro"),
+            element_at(col("st"), 3).cast("long").as("code_l2"),
+            element_at(col("st"), 4).cast("long").as("code_chk"))
+      },
+      Some(s"""WITH xd AS (
+             |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+             |  FROM embeddings
+             |), sc AS (
+             |  SELECT vec_id, v,
+             |    list_max([abs(x) FOR x IN v]) / 127.0 AS scale
+             |  FROM xd
+             |), cd AS (
+             |  SELECT vec_id, v, scale,
+             |    CASE WHEN scale > 0
+             |      THEN [floor(x / scale + 0.5) FOR x IN v]
+             |      ELSE [CAST(0.0 AS DOUBLE) FOR x IN v] END AS c
+             |  FROM sc
+             |), st AS (
+             |  SELECT vec_id,
+             |    CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale,
+             |    CASE WHEN scale > 0 THEN
+             |      ${OracleSql.foldSum("[(v[j] - c[j] * scale) * (v[j] - c[j] * scale) FOR j IN range(1, len(v) + 1)]")}
+             |        / len(v) ELSE 0.0 END AS mse,
+             |    CASE WHEN scale > 0 THEN
+             |      ${OracleSql.foldSum("[c[j] * c[j] FOR j IN range(1, len(v) + 1)]")}
+             |      ELSE 0.0 END AS l2,
+             |    CASE WHEN scale > 0 THEN
+             |      ${OracleSql.foldSum("[c[j] * j FOR j IN range(1, len(v) + 1)]")}
+             |      ELSE 0.0 END AS chk
+             |  FROM cd
+             |)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  round(mse * 1e6, 4) AS mse_micro,
+             |  CAST(l2 AS BIGINT) AS code_l2,
+             |  CAST(chk AS BIGINT) AS code_chk
+             |FROM st""".stripMargin),
+      "symmetric int8 embedding quantization audit: exact integer codes via floor-half-up, ordered-fold reconstruction MSE, positional code checksums, map-only scan")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

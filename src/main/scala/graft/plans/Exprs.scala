@@ -535,6 +535,22 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Int8 quantization audit ([[Kernels.quantizeInt8Stats]]):
+    * [scale, mse, Σcode², Σcode·(j+1)] per vector, one compiled pass.
+    */
+  case class QuantizeInt8Stats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "quantize_int8_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.quantizeInt8Stats(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.quantizeInt8Stats($c)")
+    override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Stats =
+      copy(child = newChild)
+  }
+
   case class HyperplaneSig(child: Expression, bits: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -625,6 +641,7 @@ object Exprs {
     col(DotBuckets(ex(c), weights))
   def projectRademacher(c: Column, seed: Long, outDim: Int): Column =
     col(ProjectRademacher(ex(c), seed, outDim))
+  def quantizeInt8Stats(c: Column): Column = col(QuantizeInt8Stats(ex(c)))
 
   /** Register SQL names for the kernels on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1147,6 +1147,45 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Symmetric per-vector int8 quantization audit: scale = max|x|/127,
+    * code_j = floor(x_j/scale + 0.5) (round-half-up via floor — the
+    * one rounding rule every engine computes identically; the
+    * magnitude bound makes |code| ≤ 127 by construction, no clamp).
+    * Returns [scale, mse, Σcode², Σcode·(j+1)] — the ordered-fold MSE
+    * pins reconstruction error, the two integer sums pin the code
+    * VALUES and their positions without shipping the codes. All-zero
+    * or empty input → zero stats.
+    */
+  def quantizeInt8Stats(vec: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var j = 0
+    while (j < n) {
+      val a = math.abs(vec.getFloat(j).toDouble)
+      if (a > maxAbs) maxAbs = a
+      j += 1
+    }
+    val out = new Array[Double](4)
+    if (n > 0 && maxAbs > 0.0) {
+      val scale = maxAbs / 127.0
+      var mse = 0.0
+      var l2 = 0.0
+      var chk = 0.0
+      j = 0
+      while (j < n) {
+        val x = vec.getFloat(j).toDouble
+        val c = math.floor(x / scale + 0.5)
+        val e = x - c * scale
+        mse += e * e
+        l2 += c * c
+        chk += c * (j + 1)
+        j += 1
+      }
+      out(0) = scale; out(1) = mse / n; out(2) = l2; out(3) = chk
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------- blocklist (Aho–Corasick)
 
   /** Multi-pattern matcher for [[blocklistHits]]: classic Aho–Corasick
