@@ -5561,38 +5561,7 @@ object Queries {
              |FROM m""".stripMargin),
       "Gopher document-quality rules (Rae et al. 2021): per-rule audit flags + conjunction gate, one codegen-friendly scan, no UDF"),
 
-    Q("q182_jl_projection",
-      // Johnson–Lindenstrauss 64→16 reduction with a DERIVED Rademacher
-      // matrix (±1 from the mix64 stream — no matrix ships anywhere);
-      // map-only kernel scan, no shuffle; the oracle re-derives every
-      // sign from the same splitmix64 fragments and replays the
-      // ordered fold
-      (s, d) => embeddings(s, d).select(col("vec_id"),
-          posexplode(Exprs.projectRademacher(col("embedding"), 777L, 16))
-            .as(Seq("dim", "v")))
-        .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          round(col("v"), 6).as("v")),
-      Some(s"""WITH rj AS (
-             |  SELECT i.i AS i, j.j AS j,
-             |    ${OracleSql.mix64("CAST(777 + i.i * 64 + j.j AS UBIGINT)")} % 2 = 0 AS sgn
-             |  FROM (SELECT unnest(range(0, 16)) AS i) i
-             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
-             |), ev AS (
-             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
-             |         CAST(unnest(embedding) AS DOUBLE) AS x
-             |  FROM embeddings
-             |), y AS (
-             |  SELECT e.vec_id, r.i,
-             |    ${OracleSql.foldSum("list(CASE WHEN r.sgn THEN e.x ELSE -e.x END ORDER BY e.j)")}
-             |      / sqrt(16.0) AS y
-             |  FROM ev e JOIN rj r ON r.j = e.j
-             |  GROUP BY e.vec_id, r.i
-             |)
-             |SELECT vec_id, CAST(i AS BIGINT) AS dim, round(y, 6) AS v
-             |FROM y""".stripMargin),
-      "Johnson-Lindenstrauss Rademacher projection 64->16: derived sign matrix, one map-only codegen scan, distance-preserving embedding reduction"),
-
-    Q("q183_int8_quantize",
+    Q("q182_int8_quantize",
       // per-vector symmetric int8 quantization audit: scale, ordered-
       // fold reconstruction MSE (micro-scaled onto the 6-dp compare
       // grid), and two integer code checksums that pin every code

@@ -518,26 +518,6 @@ object Exprs {
       copy(child = newChild)
   }
 
-  /** JL Rademacher projection ([[Kernels.projectRademacher]]): derived
-    * ±1 matrix from the mix64 stream, ordered fold, /√outDim.
-    */
-  case class ProjectRademacher(child: Expression, seed: Long, outDim: Int)
-      extends UnaryExpression {
-    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-    override def prettyName: String = "project_rademacher"
-    override protected def nullSafeEval(input: Any): Any =
-      Kernels.projectRademacher(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seed, outDim)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        c => s"graft.plans.Kernels.projectRademacher($c, ${seed}L, $outDim)")
-    override protected def withNewChildInternal(newChild: Expression): ProjectRademacher =
-      copy(child = newChild)
-  }
-
-  /** Int8 quantization audit ([[Kernels.quantizeInt8Stats]]):
-    * [scale, mse, Σcode², Σcode·(j+1)] per vector, one compiled pass.
-    */
   case class QuantizeInt8Stats(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -639,8 +619,6 @@ object Exprs {
   def termBuckets(c: Column, m: Int): Column = col(TermBuckets(ex(c), m))
   def dotBuckets(c: Column, weights: Array[Double]): Column =
     col(DotBuckets(ex(c), weights))
-  def projectRademacher(c: Column, seed: Long, outDim: Int): Column =
-    col(ProjectRademacher(ex(c), seed, outDim))
   def quantizeInt8Stats(c: Column): Column = col(QuantizeInt8Stats(ex(c)))
 
   /** Register SQL names for the kernels on a session. */

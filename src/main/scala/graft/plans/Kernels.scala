@@ -1117,36 +1117,6 @@ object Kernels {
     z
   }
 
-  /** Johnson–Lindenstrauss random projection with a DERIVED Rademacher
-    * matrix: R[i][j] = ±1 from the parity of mix64(seed + i·dim + j),
-    * y_i = (Σ_j R[i][j]·x_j) / √outDim, fold in j order. No matrix is
-    * shipped — every engine (and the DuckDB oracle) re-derives the
-    * same signs from the same splitmix64 stream, and the ordered fold
-    * plus IEEE sqrt make the output bit-exact across engines. Input
-    * floats are widened once; null/empty input → empty output.
-    */
-  def projectRademacher(vec: org.apache.spark.sql.catalyst.util.ArrayData,
-                        seed: Long, outDim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val n = vec.numElements()
-    val out = new Array[Double](if (n == 0) 0 else outDim)
-    if (n > 0) {
-      val scale = 1.0 / math.sqrt(outDim.toDouble)
-      var i = 0
-      while (i < outDim) {
-        var z = 0.0
-        var j = 0
-        while (j < n) {
-          val s = if ((mix64(seed + i.toLong * n + j) & 1L) == 0L) 1.0 else -1.0
-          z += s * vec.getFloat(j).toDouble
-          j += 1
-        }
-        out(i) = z * scale
-        i += 1
-      }
-    }
-    new GenericArrayData(out)
-  }
-
   /** Symmetric per-vector int8 quantization audit: scale = max|x|/127,
     * code_j = floor(x_j/scale + 0.5) (round-half-up via floor — the
     * one rounding rule every engine computes identically; the
