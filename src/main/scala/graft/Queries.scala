@@ -5607,7 +5607,48 @@ object Queries {
              |  CAST(l2 AS BIGINT) AS code_l2,
              |  CAST(chk AS BIGINT) AS code_chk
              |FROM st""".stripMargin),
-      "symmetric int8 embedding quantization audit: exact integer codes via floor-half-up, ordered-fold reconstruction MSE, positional code checksums, map-only scan")
+      "symmetric int8 embedding quantization audit: exact integer codes via floor-half-up, ordered-fold reconstruction MSE, positional code checksums, map-only scan"),
+
+    Q("q183_kneser_ney",
+      // the real perplexity-filter smoothing (KenLM's default):
+      // interpolated Kneser-Ney with d=0.75 — exact in binary, so the
+      // whole probability is a pinned-order rational of integer counts
+      (s, d) => LanguageModel.kneserNeyScore(documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM documents
+             |), pt AS (
+             |  SELECT doc_id, pair, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+             |                           FOR i IN range(1, len(tk))]) AS pair
+             |    FROM toks) GROUP BY doc_id, pair
+             |), bw AS (
+             |  SELECT pair, c, string_split(pair, ' ')[1] AS w1,
+             |         string_split(pair, ' ')[2] AS w2
+             |  FROM (SELECT pair, sum(tf) AS c FROM pt GROUP BY pair)
+             |), ctx AS (
+             |  SELECT w1, sum(c) AS cw1, count(*) AS n1fw FROM bw GROUP BY w1
+             |), cont AS (
+             |  SELECT w2, count(*) AS n1pw FROM bw GROUP BY w2
+             |), tt AS (SELECT count(*) AS tt FROM bw
+             |), lp AS (
+             |  SELECT pt.doc_id, pt.tf,
+             |    CAST(round(ln(
+             |      (CAST(bw.c AS DOUBLE) - 0.75) / CAST(ctx.cw1 AS DOUBLE) +
+             |      (0.75 * CAST(ctx.n1fw AS DOUBLE) / CAST(ctx.cw1 AS DOUBLE)) *
+             |      (CAST(cont.n1pw AS DOUBLE) / CAST(tt.tt AS DOUBLE))
+             |    ) * 1e6, 0) AS BIGINT) AS lp_micro
+             |  FROM pt JOIN bw USING (pair)
+             |  JOIN ctx ON ctx.w1 = bw.w1
+             |  JOIN cont ON cont.w2 = bw.w2
+             |  CROSS JOIN tt
+             |)
+             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(tf * lp_micro) AS DOUBLE) /
+             |    CAST(sum(tf) * 1000000 AS DOUBLE) AS avg_logprob_kn
+             |FROM lp GROUP BY doc_id""".stripMargin),
+      "interpolated Kneser-Ney bigram LM scoring (d=0.75): distinct-continuation statistics as three vocabulary-keyed hash aggs, integer micro-nat determinism")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -107,6 +107,61 @@ object LanguageModel {
     out
   }
 
+  /** Interpolated Kneser–Ney bigram log-likelihood per document — the
+    * smoothing the real perplexity filters use (KenLM's default;
+    * add-one over-penalizes frequent-context bigrams). Absolute
+    * discount d = 0.75 (EXACT in binary, so the discounted numerator
+    * is bit-portable):
+    *
+    *   p(w2|w1) = (c(w1w2) − d)/c(w1•)
+    *            + (d · N1+(w1•)/c(w1•)) · (N1+(•w2)/N1+(••))
+    *
+    * with c(w1•) the bigram-table context marginal and the N1+ terms
+    * the distinct-continuation counts of Kneser & Ney 1995. All five
+    * statistics are plain aggregations of the distinct-bigram table —
+    * at 100 TB that is one (doc,gram) shuffle to build the table and
+    * three vocabulary-keyed hash aggs over it, every one map-side
+    * combinable; scoring re-joins on the gram key. Corpus-trained on
+    * the scored documents themselves, every scored bigram has c ≥ 1 >
+    * d, so no zero-probability branch exists.
+    *
+    * Same cross-engine contract as [[bigramScore]]: p is an exact
+    * rational of integer counts evaluated in a pinned operation order,
+    * snapped to integer micro-nats per distinct bigram; per-doc totals
+    * are exact integer sums divided once.
+    */
+  def kneserNeyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = 0.75
+    val pairTf = df.select(col(idCol).as("doc_id"),
+        explode(Exprs.pairCounts(col(textCol))).as(Seq("pair", "tf_i")))
+      .select(col("doc_id"), col("pair"), col("tf_i").cast("long").as("tf"))
+    val bc = pairTf.groupBy(col("pair")).agg(sum(col("tf")).as("c"))
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bc.groupBy(col("w1")).agg(
+      sum(col("c")).as("cw1"), count(lit(1)).as("n1fw"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1pw"))
+    val types = bc.select(count(lit(1)).as("tt"))
+    val scored = pairTf
+      .join(bc.select(col("pair"), col("c"), col("w1"), col("w2")), "pair")
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("p",
+        (col("c").cast("double") - lit(d)) / col("cw1").cast("double") +
+          (lit(d) * col("n1fw").cast("double") / col("cw1").cast("double")) *
+            (col("n1pw").cast("double") / col("tt").cast("double")))
+      .withColumn("lp_micro", round(log(col("p")) * lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        (sum(col("tf") * col("lp_micro")).cast("double") /
+          (sum(col("tf")) * lit(1000000L)).cast("double")).as("avg_logprob_kn"))
+    val out = Ckpt.truncate(scored)
+    bc.unpersist(blocking = false)
+    out
+  }
+
   def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pairTf = df.select(col(idCol).as("doc_id"),
         explode(Exprs.pairCounts(col(textCol))).as(Seq("pair", "tf_i")))

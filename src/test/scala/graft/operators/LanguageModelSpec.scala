@@ -76,6 +76,29 @@ class LanguageModelSpec extends SparkSpec {
       "perplexityBuckets must release its scored/binned caches")
   }
 
+  test("kneserNeyScore: hand-computed interpolated KN probabilities on a tiny corpus") {
+    import spark.implicits._
+    // bigrams: doc0 = {a b ×2, b a ×1}, doc1 = {b c ×1}
+    // bc: (a b)=2, (b a)=1, (b c)=1; T=3
+    // ctx: a→(cw1=2, n1fw=1), b→(cw1=2, n1fw=2)
+    // cont: a→1, b→1, c→1
+    // p(b|a) = (2−.75)/2 + (.75·1/2)·(1/3) = 0.75
+    // p(a|b) = (1−.75)/2 + (.75·2/2)·(1/3) = 0.375 = p(c|b)
+    val df = Seq((0L, "a b a b"), (1L, "b c"), (2L, "solo")).toDF("doc_id", "text")
+    def micro(p: Double) = math.rint(math.log(p) * 1e6).toLong
+    val exp0 = (2 * micro(0.75) + 1 * micro(0.375)).toDouble / (3L * 1000000L)
+    val exp1 = micro(0.375).toDouble / 1000000L
+    val got = LanguageModel.kneserNeyScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L) === ((3L, exp0)))
+    assert(got(1L) === ((1L, exp1)))
+    assert(!got.contains(2L), "single-token docs carry no bigrams")
+    // KN orders quality sensibly: the frequent-context bigram scores higher
+    assert(got(0L)._2 > got(1L)._2)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "kneserNeyScore must release its bigram-table cache")
+  }
+
   test("pairCounts kernel: multiplicity, ordering, single/empty input") {
     import spark.implicits._
     val df = Seq((0L, "x y x y x"), (1L, "one"), (2L, " ")).toDF("id", "text")
