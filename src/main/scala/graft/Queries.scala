@@ -5648,7 +5648,48 @@ object Queries {
              |  CAST(sum(tf * lp_micro) AS DOUBLE) /
              |    CAST(sum(tf) * 1000000 AS DOUBLE) AS avg_logprob_kn
              |FROM lp GROUP BY doc_id""".stripMargin),
-      "interpolated Kneser-Ney bigram LM scoring (d=0.75): distinct-continuation statistics as three vocabulary-keyed hash aggs, integer micro-nat determinism")
+      "interpolated Kneser-Ney bigram LM scoring (d=0.75): distinct-continuation statistics as three vocabulary-keyed hash aggs, integer micro-nat determinism"),
+
+    Q("q184_blocklist_redact",
+      // the ACTION to q174's report: union of all pattern-occurrence
+      // spans masked, each maximal covered run collapsing to ONE
+      // <blocked> token — same cached Aho-Corasick automaton, one
+      // codegen pass; the oracle rebuilds the redacted STRING itself
+      (s, d) => {
+        val pats = Seq("slow", "big query", "scan sort", "a a")
+        documents(s, d).select(col("doc_id"),
+          element_at(TextFunctions.blocklistHits(col("text"), pats), 1)
+            .as("n_hits"),
+          TextFunctions.blocklistRedact(col("text"), pats).as("redacted"))
+      },
+      Some("""WITH pats AS (
+             |  SELECT unnest(['slow', 'big query', 'scan sort', 'a a']) AS p
+             |), t AS (
+             |  SELECT doc_id, lower(text) AS t FROM documents
+             |), hits AS (
+             |  SELECT doc_id,
+             |    CAST(coalesce(sum(len([i FOR i IN range(1, len(t) - len(p) + 2)
+             |                           IF t[i:i+len(p)-1] = p])), 0) AS BIGINT) AS n_hits
+             |  FROM t CROSS JOIN pats GROUP BY doc_id
+             |), cv AS (
+             |  SELECT DISTINCT doc_id, pos FROM (
+             |    SELECT doc_id, unnest(flatten(
+             |      [range(i, i + len(p)) FOR i IN range(1, len(t) - len(p) + 2)
+             |       IF t[i:i+len(p)-1] = p])) AS pos
+             |    FROM t CROSS JOIN pats)
+             |), cl AS (
+             |  SELECT doc_id, list_sort(list(pos)) AS cvl FROM cv GROUP BY doc_id
+             |)
+             |SELECT t.doc_id, h.n_hits,
+             |  CASE WHEN cl.cvl IS NULL THEN t.t
+             |  ELSE coalesce(array_to_string([
+             |    CASE WHEN NOT list_contains(cl.cvl, i) THEN t.t[i:i]
+             |         WHEN i = 1 OR NOT list_contains(cl.cvl, i - 1) THEN '<blocked>'
+             |         ELSE '' END
+             |    FOR i IN range(1, len(t.t) + 1)], ''), '') END AS redacted
+             |FROM t LEFT JOIN cl USING (doc_id)
+             |JOIN hits h USING (doc_id)""".stripMargin),
+      "blocklist span redaction (q174's action): overlap-union coverage, maximal runs to one mask token, same cached Aho-Corasick automaton, oracle rebuilds the string")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

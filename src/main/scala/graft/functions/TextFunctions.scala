@@ -165,6 +165,20 @@ object TextFunctions {
     Exprs.blocklistHits(text, lit(norm.mkString("\u0001")))
   }
 
+  /** Blocklist redaction — the action to [[blocklistHits]]'s report:
+    * the union of all pattern-occurrence spans is masked, each maximal
+    * covered run collapsing to one `<blocked>` token over the
+    * lowercased text (the match normalization; see the kernel doc).
+    */
+  def blocklistRedact(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "empty blocklist")
+    val norm = patterns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(norm.distinct.size == norm.size, s"duplicate blocklist patterns")
+    require(norm.forall(p => p.nonEmpty && !p.contains('\u0001')),
+      "patterns must be non-empty and free of the \\u0001 joiner")
+    Exprs.blocklistRedact(text, lit(norm.mkString("\u0001")))
+  }
+
   // ------------------------------------------------------ PII scrubbing
   // Deterministic regex-class PII detection and redaction — the
   // pre-release scrub every training corpus needs. Patterns stick to

@@ -563,6 +563,23 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Blocklist redaction ([[Kernels.blocklistRedact]]): the action to
+    * [[BlocklistHits]]'s report — maximal covered runs → `<blocked>`.
+    */
+  case class BlocklistRedact(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "blocklist_redact"
+    override protected def nullSafeEval(t: Any, p: Any): Any =
+      Kernels.blocklistRedact(
+        t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, p) => s"graft.plans.Kernels.blocklistRedact($t, $p)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BlocklistRedact =
+      copy(left = l, right = r)
+  }
+
   // Column-level API ---------------------------------------------------
 
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -592,6 +609,8 @@ object Exprs {
   def tokenCount(c: Column): Column = col(TokenCount(ex(c)))
   def blocklistHits(text: Column, patternsLit: Column): Column =
     col(BlocklistHits(ex(text), ex(patternsLit)))
+  def blocklistRedact(text: Column, patternsLit: Column): Column =
+    col(BlocklistRedact(ex(text), ex(patternsLit)))
   def meanTokenLen(c: Column): Column = col(MeanTokenLen(ex(c)))
   def stopwordRatio(c: Column): Column = col(StopwordRatio(ex(c)))
   def punctRatio(c: Column): Column = col(PunctRatio(ex(c)))

@@ -1238,4 +1238,39 @@ object Kernels {
     while (j < seen.length) { if (seen(j)) np += 1; j += 1 }
     new GenericArrayData(Array(hits, np))
   }
+
+  /** Blocklist REDACTION — the action to [[blocklistHits]]'s report:
+    * every character covered by ANY pattern occurrence (overlaps
+    * union) is masked, and each MAXIMAL covered run collapses to one
+    * `<blocked>` token. Output is over the lowercased text (the same
+    * normalization the match itself uses — ASCII-safe, and what lets
+    * an independent engine rebuild the string byte-for-byte). Same
+    * cached automaton, one O(chars + matches·patlen) pass.
+    */
+  def blocklistRedact(text: UTF8String, patterns: UTF8String): UTF8String = {
+    val ac = acCache.computeIfAbsent(patterns.toString,
+      k => new AcAutomaton(k.split('\u0001').filter(_.nonEmpty)))
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    val covered = new Array[Boolean](n)
+    var state = 0
+    var i = 0
+    while (i < n) {
+      state = ac.step(state, s.charAt(i))
+      var o = ac.outputs(state)
+      while (o.nonEmpty) {
+        var j = i - ac.patterns(o.head).length + 1
+        while (j <= i) { covered(j) = true; j += 1 }
+        o = o.tail
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      if (!covered(i)) { sb.append(s.charAt(i)); i += 1 }
+      else { sb.append("<blocked>"); while (i < n && covered(i)) i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

@@ -516,6 +516,40 @@ class FunctionsSpec extends SparkSpec {
     assert(got(5L) === Seq(5L, 4L))
   }
 
+  test("blocklistRedact: overlap-union coverage, maximal runs collapse, brute-force parity") {
+    import spark.implicits._
+    val pats = Seq("aa", "ab", "abc", "b c", "zz")
+    val texts = Seq(
+      (0L, "aaa"),                 // whole string covered → one mask
+      (1L, "x abcabc y"),          // adjacent overlapping matches fuse
+      (2L, "xb cx AB"),            // phrase + case (output is lowercased)
+      (3L, ""),                    // empty text stays empty
+      (4L, "clean text only"),     // untouched
+      (5L, "zzz aabc tail"))       // leading zz-run + aabc block
+    def brute(t0: String): String = {
+      val t = t0.toLowerCase
+      val cov = Array.fill(t.length)(false)
+      for (p <- pats; i <- 0 to t.length - p.length
+           if t.regionMatches(i, p, 0, p.length); j <- i until i + p.length)
+        cov(j) = true
+      val sb = new StringBuilder
+      var i = 0
+      while (i < t.length) {
+        if (!cov(i)) { sb.append(t.charAt(i)); i += 1 }
+        else { sb.append("<blocked>"); while (i < t.length && cov(i)) i += 1 }
+      }
+      sb.toString
+    }
+    val got = texts.toDF("id", "t")
+      .select(col("id"), TextFunctions.blocklistRedact(col("t"), pats).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) => assert(got(id) === brute(t), s"id $id") }
+    assert(got(0L) === "<blocked>")
+    assert(got(1L) === "x <blocked> y")
+    assert(got(2L) === "x<blocked>x <blocked>")
+    assert(got(4L) === "clean text only")
+  }
+
   test("blocklistHits is codegen'd and rejects malformed pattern sets") {
     import spark.implicits._
     val plan = Seq((1L, "x")).toDF("id", "t")
