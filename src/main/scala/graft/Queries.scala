@@ -5689,7 +5689,65 @@ object Queries {
              |    FOR i IN range(1, len(t.t) + 1)], ''), '') END AS redacted
              |FROM t LEFT JOIN cl USING (doc_id)
              |JOIN hits h USING (doc_id)""".stripMargin),
-      "blocklist span redaction (q174's action): overlap-union coverage, maximal runs to one mask token, same cached Aho-Corasick automaton, oracle rebuilds the string")
+      "blocklist span redaction (q174's action): overlap-union coverage, maximal runs to one mask token, same cached Aho-Corasick automaton, oracle rebuilds the string"),
+
+    Q("q185_intra_dup_spans",
+      // the WITHIN-doc half of the ExactSubstr family: q177 mines
+      // cross-doc duplication (needs the gram shuffle); this one is a
+      // pure map-side kernel — a position is a repeat if its 8-gram
+      // occurred earlier in the SAME doc, islands fuse exactly like
+      // q177's. The self-repetition profile trimming/repetition gates
+      // threshold on, at scan speed.
+      (s, d) => {
+        val st = Exprs.intraDupSpanStats(col("text"), 8)
+        documents(s, d).select(col("doc_id"),
+            element_at(st, 1).as("n_tokens"),
+            element_at(st, 2).as("n_rep_grams"),
+            element_at(st, 3).as("n_spans"),
+            element_at(st, 4).as("rep_tokens"))
+          .withColumn("rep_frac",
+            when(col("n_tokens") > 0,
+              round(col("rep_tokens").cast("double") /
+                col("n_tokens").cast("double"), 6)).otherwise(lit(0.0)))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |           t -> t <> '') AS tk
+             |  FROM documents
+             |), gs AS (
+             |  SELECT doc_id,
+             |    [array_to_string(tk[i:i+7], ' ')
+             |     FOR i IN range(1, len(tk) - 8 + 2)] AS gs
+             |  FROM toks WHERE len(tk) >= 8
+             |), rp AS (
+             |  SELECT doc_id,
+             |    [i FOR i IN range(1, len(gs) + 1)
+             |     IF list_contains(gs[1:i-1], gs[i])] AS ps
+             |  FROM gs
+             |), st AS (
+             |  SELECT doc_id,
+             |    CAST(len(ps) AS BIGINT) AS n_rep_grams,
+             |    CAST(CASE WHEN len(ps) = 0 THEN 0
+             |      ELSE 1 + len(list_filter(
+             |        [ps[i+1] - ps[i] FOR i IN range(1, len(ps))],
+             |        d -> d > 8)) END AS BIGINT) AS n_spans,
+             |    CAST(CASE WHEN len(ps) = 0 THEN 0
+             |      ELSE 8 + coalesce(list_sum(list_transform(
+             |        [ps[i+1] - ps[i] FOR i IN range(1, len(ps))],
+             |        d -> least(d, 8))), 0) END AS BIGINT) AS rep_tokens
+             |  FROM rp
+             |)
+             |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(st.n_rep_grams, 0) AS BIGINT) AS n_rep_grams,
+             |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(st.rep_tokens, 0) AS BIGINT) AS rep_tokens,
+             |  CASE WHEN len(t.tk) > 0
+             |    THEN round(CAST(coalesce(st.rep_tokens, 0) AS DOUBLE)
+             |               / len(t.tk), 6)
+             |    ELSE 0.0 END AS rep_frac
+             |FROM toks t LEFT JOIN st USING (doc_id)""".stripMargin),
+      "within-doc repetition spans (intra-doc ExactSubstr): map-only kernel, zero shuffle, island-merged self-repetition profile for trimming gates")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -375,9 +375,11 @@ object Dedup {
     *      the q36/q166 argument);
     *   2. inverted index of (id, pos, hash) — 8-byte hash + int pos,
     *      the text itself never shuffles;
-    *   3. "hot" grams = hashes seen in ≥2 DISTINCT documents (capped
-    *      at `maxGramDf` to shed degenerate boilerplate grams, the
-    *      same guard as [[winnowingPairs]]);
+    *   3. "hot" grams = hashes seen in ≥2 DISTINCT documents (the
+    *      min(id) ≠ max(id) test — partial-aggregable, no distinct
+    *      machinery), with total OCCURRENCES capped at `maxGramDf` to
+    *      shed degenerate boilerplate grams (occurrences ≥ distinct
+    *      docs, so the cap is at least as protective as a df cap);
     *   4. per-document island merge of the surviving positions —
     *      IN-ROW over the sorted position array (bounded by document
     *      length, the bound tokenization already imposes): consecutive
@@ -410,9 +412,14 @@ object Dedup {
         posexplode(Exprs.shingleHashesPos(col(textCol), L)).as(Seq("pos", "h")))
       .filter(col("nt") >= L)
       .select(col("id"), col("pos"), col("h"))
+    // cross-doc = min(id) != max(id): a cheap partial-aggregable test,
+    // exactly count(DISTINCT doc) >= 2 without the distinct machinery;
+    // the boilerplate cap bounds OCCURRENCES (>= distinct docs, so at
+    // least as protective)
     val hot = inv.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("_df"))
-      .filter(col("_df") >= 2 && col("_df") <= maxGramDf)
+      .agg(min(col("id")).as("_mn"), max(col("id")).as("_mx"),
+        count(lit(1)).as("_occ"))
+      .filter(col("_mn") =!= col("_mx") && col("_occ") <= maxGramDf)
       .select(col("h"))
     val ps = inv.join(hot, "h")
       .groupBy(col("id"))
@@ -479,9 +486,11 @@ object Dedup {
         posexplode(Exprs.shingleHashesPos(col(textCol), L)).as(Seq("pos", "h")))
       .filter(col("nt") >= L)
       .select(col("id"), col("pos"), col("h"))
+    // same min!=max cross-doc test as dupSpanStats; min doubles as owner
     val own = inv.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("_df"), min(col("id")).as("owner"))
-      .filter(col("_df") >= 2 && col("_df") <= maxGramDf)
+      .agg(min(col("id")).as("owner"), max(col("id")).as("_mx"),
+        count(lit(1)).as("_occ"))
+      .filter(col("owner") =!= col("_mx") && col("_occ") <= maxGramDf)
       .select(col("h"), col("owner"))
     val rem = inv.join(own, "h")
       .filter(col("owner") < col("id"))

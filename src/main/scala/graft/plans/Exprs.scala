@@ -580,6 +580,22 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Within-doc repetition spans ([[Kernels.intraDupSpanStats]]):
+    * `[n_tokens, n_rep_grams, n_spans, rep_tokens]`, one compiled pass.
+    */
+  case class IntraDupSpanStats(child: Expression, shingleK: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "intra_dup_span_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.intraDupSpanStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.intraDupSpanStats($c, $shingleK)")
+    override protected def withNewChildInternal(newChild: Expression): IntraDupSpanStats =
+      copy(child = newChild)
+  }
+
   // Column-level API ---------------------------------------------------
 
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -639,6 +655,8 @@ object Exprs {
   def dotBuckets(c: Column, weights: Array[Double]): Column =
     col(DotBuckets(ex(c), weights))
   def quantizeInt8Stats(c: Column): Column = col(QuantizeInt8Stats(ex(c)))
+  def intraDupSpanStats(c: Column, shingleK: Int): Column =
+    col(IntraDupSpanStats(ex(c), shingleK))
 
   /** Register SQL names for the kernels on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1239,6 +1239,42 @@ object Kernels {
     new GenericArrayData(Array(hits, np))
   }
 
+  /** WITHIN-document repetition-span statistics — the intra-doc half
+    * of the ExactSubstr family ([[graft.operators.Dedup.dupSpanStats]]
+    * is the cross-doc half, and needs a shuffle; this one is pure
+    * map-side): a position is a REPEAT if its L-token gram already
+    * occurred earlier in the same document; consecutive repeats ≤ L
+    * apart fuse into maximal spans with the same island closed form.
+    * Returns `[n_tokens, n_rep_grams, n_spans, rep_tokens]` (longs as
+    * doubles are avoided — ArrayData of longs).
+    */
+  def intraDupSpanStats(text: UTF8String, shingleK: Int): ArrayData = {
+    val hs = shingleHashesPos(text, shingleK).toLongArray()
+    val nTokArr = shingleHashesPos(text, 1)
+    val nTok = nTokArr.numElements().toLong
+    val out = new Array[Long](4)
+    out(0) = nTok
+    if (nTok >= shingleK && hs.length > 1) {
+      val seen = new java.util.HashSet[java.lang.Long](hs.length * 2)
+      var nRep = 0L
+      var nSpans = 0L
+      var covered = 0L
+      var prev = -1
+      var i = 0
+      while (i < hs.length) {
+        if (!seen.add(hs(i))) {
+          nRep += 1
+          if (prev < 0 || i - prev > shingleK) { nSpans += 1; covered += shingleK }
+          else covered += math.min(i - prev, shingleK)
+          prev = i
+        }
+        i += 1
+      }
+      out(1) = nRep; out(2) = nSpans; out(3) = covered
+    }
+    new GenericArrayData(out)
+  }
+
   /** Blocklist REDACTION — the action to [[blocklistHits]]'s report:
     * every character covered by ANY pattern occurrence (overlaps
     * union) is masked, and each MAXIMAL covered run collapses to one

@@ -138,6 +138,42 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === ((2L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("intraDupSpanStats: within-doc repeats match a sequential scanner") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val L = 4
+    val cases = Seq(
+      "a b c d a b c d a b c d",        // 3x repeat of a 4-token block
+      "x1 x2 x3 x4 y1 y2 x1 x2 x3 x4",  // one repeated 4-gram at the end
+      "all unique tokens here none repeat at this length",
+      "t t t t t t t t",                // degenerate: every gram identical
+      "a b c",                          // shorter than L
+      "")
+    def brute(t: String): Seq[Long] = {
+      val tk = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.length < L) return Seq(tk.length.toLong, 0L, 0L, 0L)
+      val gs = tk.sliding(L).map(_.mkString(" ")).toVector
+      val ps = gs.indices.filter(i => gs.take(i).contains(gs(i)))
+      if (ps.isEmpty) Seq(tk.length.toLong, 0L, 0L, 0L)
+      else {
+        val diffs = ps.zip(ps.tail).map { case (a, b) => b - a }
+        Seq(tk.length.toLong, ps.length.toLong,
+          1L + diffs.count(_ > L),
+          L.toLong + diffs.map(d => math.min(d, L).toLong).sum)
+      }
+    }
+    cases.foreach { t =>
+      val got = graft.plans.Kernels.intraDupSpanStats(
+        UTF8String.fromString(t), L).toLongArray().toSeq
+      assert(got === brute(t), s"text: '$t'")
+    }
+    // the 3x block repeat: every gram from position 4 on re-occurs
+    // (the cycle makes all 5 later grams repeats), one fused span
+    // covering the trailing 8 tokens
+    assert(graft.plans.Kernels.intraDupSpanStats(
+      UTF8String.fromString(cases.head), L).toLongArray().toSeq ===
+      Seq(12L, 5L, 1L, 8L))
+  }
+
   test("dupSpanTrim keeps exactly one copy (lowest id owns); brute-force parity") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
