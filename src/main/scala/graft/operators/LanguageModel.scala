@@ -94,17 +94,17 @@ object LanguageModel {
     val scored = bigramScore(df, idCol, textCol)
       .join(df.select(col(idCol).as("doc_id"), col(groupCol).as("grp")), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cutoffs = Stats.groupedExactPercentiles(
-        scored, "grp", "avg_logprob", Seq(1.0 / 3, 2.0 / 3))
-      .select(col("g").as("grp"), col("p_0").as("c1"), col("p_1").as("c2"))
-    val out = Ckpt.truncate(scored
-      .join(broadcast(cutoffs), Seq("grp"))
-      .select(col("doc_id"), col("grp"), col("n_bigrams"), col("avg_logprob"),
-        when(col("avg_logprob") >= col("c2"), "head")
-          .when(col("avg_logprob") >= col("c1"), "middle")
-          .otherwise("tail").as("bucket")))
-    scored.unpersist(blocking = false)
-    out
+    try {
+      val cutoffs = Stats.groupedExactPercentiles(
+          scored, "grp", "avg_logprob", Seq(1.0 / 3, 2.0 / 3))
+        .select(col("g").as("grp"), col("p_0").as("c1"), col("p_1").as("c2"))
+      Ckpt.truncate(scored
+        .join(broadcast(cutoffs), Seq("grp"))
+        .select(col("doc_id"), col("grp"), col("n_bigrams"), col("avg_logprob"),
+          when(col("avg_logprob") >= col("c2"), "head")
+            .when(col("avg_logprob") >= col("c1"), "middle")
+            .otherwise("tail").as("bucket")))
+    } finally scored.unpersist(blocking = false)
   }
 
   /** Interpolated Kneser–Ney bigram log-likelihood per document — the
@@ -143,23 +143,25 @@ object LanguageModel {
       sum(col("c")).as("cw1"), count(lit(1)).as("n1fw"))
     val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1pw"))
     val types = bc.select(count(lit(1)).as("tt"))
-    val scored = pairTf
-      .join(bc.select(col("pair"), col("c"), col("w1"), col("w2")), "pair")
-      .join(ctx, "w1")
-      .join(cont, "w2")
-      .crossJoin(broadcast(types))
-      .withColumn("p",
-        (col("c").cast("double") - lit(d)) / col("cw1").cast("double") +
-          (lit(d) * col("n1fw").cast("double") / col("cw1").cast("double")) *
-            (col("n1pw").cast("double") / col("tt").cast("double")))
-      .withColumn("lp_micro", round(log(col("p")) * lit(1e6)).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-        (sum(col("tf") * col("lp_micro")).cast("double") /
-          (sum(col("tf")) * lit(1000000L)).cast("double")).as("avg_logprob_kn"))
-    val out = Ckpt.truncate(scored)
-    bc.unpersist(blocking = false)
-    out
+    try {
+      val scored = pairTf
+        .join(bc.select(col("pair"), col("c"), col("w1"), col("w2")), "pair")
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(broadcast(types))
+        .withColumn("p",
+          (col("c").cast("double") - lit(d)) / col("cw1").cast("double") +
+            (lit(d) * col("n1fw").cast("double") / col("cw1").cast("double")) *
+              (col("n1pw").cast("double") / col("tt").cast("double")))
+        .withColumn("lp_micro", round(log(col("p")) * lit(1e6)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+          (sum(col("tf") * col("lp_micro")).cast("double") /
+            (sum(col("tf")) * lit(1000000L)).cast("double")).as("avg_logprob_kn"))
+      // truncation is the action that reads the cache; a failure here
+      // must not strand the bigram table for the session's lifetime
+      Ckpt.truncate(scored)
+    } finally bc.unpersist(blocking = false)
   }
 
   def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -51,6 +51,7 @@ object Trainer {
       .filter(size(col("bl")) > 0)
       .select(col("y"), col("bl"), size(col("bl")).cast("double").as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val n = feat.count().toDouble   // also materializes the cache
     var w = new Array[Double](m)
     var t = 0
@@ -74,8 +75,10 @@ object Trainer {
       w = next
       t += 1
     }
-    feat.unpersist(blocking = false)
     w
+    // finally (not tail): a failed iteration must not strand the
+    // corpus-scale feature cache for the life of the session
+    } finally feat.unpersist(blocking = false)
   }
 
   /** Train, then score every row with the scan-speed kernel: the
