@@ -5747,7 +5747,119 @@ object Queries {
              |               / len(t.tk), 6)
              |    ELSE 0.0 END AS rep_frac
              |FROM toks t LEFT JOIN st USING (doc_id)""".stripMargin),
-      "within-doc repetition spans (intra-doc ExactSubstr): map-only kernel, zero shuffle, island-merged self-repetition profile for trimming gates")
+      "within-doc repetition spans (intra-doc ExactSubstr): map-only kernel, zero shuffle, island-merged self-repetition profile for trimming gates"),
+
+    Q("q186_curation_funnel",
+      // the END-TO-END curation pipeline (rule gate → exact dedup →
+      // ExactSubstr trim → per-language LM decile gate), each stage
+      // trained/derived from the previous stage's survivors, reported
+      // as the per-source survival funnel — one call, four proven
+      // operators composed; the oracle chains all four stages' proven
+      // CTE fragments over the same survivor sets
+      (s, d) => Curation.funnel(documents(s, d)),
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, text, lang, source FROM documents
+             |), tok1 AS (
+             |  SELECT doc_id, text, lang, source,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS tk
+             |  FROM t0
+             |), s1 AS (
+             |  SELECT doc_id, text, lang, source FROM tok1
+             |  WHERE len(tk) >= 50 AND len(tk) <= 100000
+             |    AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+             |        AS DOUBLE) / greatest(len(tk), 1) >= 0.8
+             |), s2 AS (
+             |  SELECT s1.* FROM s1
+             |  JOIN (SELECT text, min(doc_id) AS keep FROM s1 GROUP BY text) k
+             |  ON s1.doc_id = k.keep
+             |), ftoks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS tk
+             |  FROM s2
+             |), fnt AS (
+             |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM ftoks
+             |), fex AS (
+             |  SELECT doc_id, u.p AS pos, u.g AS g FROM (
+             |    SELECT doc_id,
+             |      unnest([{'p': i, 'g': array_to_string(tk[i:i+7], ' ')}
+             |              FOR i IN range(1, len(tk) - 8 + 2)]) AS u
+             |    FROM ftoks WHERE len(tk) >= 8)
+             |), fown AS (
+             |  SELECT g, min(doc_id) AS owner FROM fex GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2
+             |), frem AS (
+             |  SELECT DISTINCT doc_id, rp FROM (
+             |    SELECT e.doc_id, unnest(range(e.pos, e.pos + 8)) AS rp
+             |    FROM fex e JOIN fown o USING (g)
+             |    WHERE o.owner < e.doc_id)
+             |), frps AS (
+             |  SELECT doc_id, list_sort(list(rp)) AS rps FROM frem GROUP BY doc_id
+             |), ftr AS (
+             |  SELECT n.doc_id, n.n_tokens,
+             |    CAST(coalesce(len(r.rps), 0) AS BIGINT) AS n_removed,
+             |    CASE WHEN n.n_tokens = 0 THEN ''
+             |      ELSE coalesce(array_to_string(list_transform(
+             |        list_filter(range(1, len(n.tk) + 1),
+             |          i -> NOT list_contains(coalesce(r.rps, []), i)),
+             |        i -> n.tk[i]), ' '), '') END AS trimmed
+             |  FROM fnt n LEFT JOIN frps r USING (doc_id)
+             |), s3 AS (
+             |  SELECT s2.doc_id, s2.lang, s2.source, ftr.trimmed
+             |  FROM s2 JOIN ftr USING (doc_id)
+             |  WHERE ftr.n_removed * 2 <= ftr.n_tokens
+             |), ltoks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trimmed), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM s3
+             |), lpt AS (
+             |  SELECT doc_id, pair, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+             |                           FOR i IN range(1, len(tk))]) AS pair
+             |    FROM ltoks) GROUP BY doc_id, pair
+             |), lbc AS (SELECT pair, sum(tf) AS bc FROM lpt GROUP BY pair
+             |), lut AS (
+             |  SELECT doc_id, term, count(*) AS utf FROM (
+             |    SELECT doc_id, unnest(tk) AS term FROM ltoks) GROUP BY doc_id, term
+             |), luc AS (SELECT term, sum(utf) AS uc FROM lut GROUP BY term
+             |), lv AS (SELECT count(*) AS v FROM luc
+             |), llp AS (
+             |  SELECT lpt.doc_id, lpt.tf,
+             |    CAST(round(ln(CAST(lbc.bc + 1 AS DOUBLE) / CAST(luc.uc + lv.v AS DOUBLE)) * 1e6, 0)
+             |      AS BIGINT) AS lp_micro
+             |  FROM lpt JOIN lbc USING (pair)
+             |  JOIN luc ON luc.term = string_split(lpt.pair, ' ')[1]
+             |  CROSS JOIN lv
+             |), lscore AS (
+             |  SELECT doc_id,
+             |    CAST(sum(tf * lp_micro) AS DOUBLE) /
+             |      CAST(sum(tf) * 1000000 AS DOUBLE) AS alp
+             |  FROM llp GROUP BY doc_id
+             |), lsl AS (
+             |  SELECT s.doc_id, d.lang, d.source, s.alp
+             |  FROM lscore s JOIN s3 d USING (doc_id)
+             |), lthr AS (
+             |  SELECT lang, quantile_cont(alp, 0.10) AS cutoff
+             |  FROM lsl GROUP BY lang
+             |), s4 AS (
+             |  SELECT lsl.doc_id, lsl.source FROM lsl JOIN lthr USING (lang)
+             |  WHERE lsl.alp >= lthr.cutoff
+             |), c0 AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM t0 GROUP BY source
+             |), c1 AS (SELECT source, count(*) AS n FROM s1 GROUP BY source
+             |), c2 AS (SELECT source, count(*) AS n FROM s2 GROUP BY source
+             |), c3 AS (SELECT source, count(*) AS n FROM s3 GROUP BY source
+             |), c4 AS (SELECT source, count(*) AS n FROM s4 GROUP BY source
+             |)
+             |SELECT c0.source, c0.n_docs,
+             |  CAST(coalesce(c1.n, 0) AS BIGINT) AS n_rules,
+             |  CAST(coalesce(c2.n, 0) AS BIGINT) AS n_exact,
+             |  CAST(coalesce(c3.n, 0) AS BIGINT) AS n_trim,
+             |  CAST(coalesce(c4.n, 0) AS BIGINT) AS n_lm
+             |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+             |LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)""".stripMargin),
+      "end-to-end curation funnel (Gopher rules -> exact dedup -> ExactSubstr trim -> per-lang LM decile gate), each stage derived from the previous stage's survivors; per-source survival report")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

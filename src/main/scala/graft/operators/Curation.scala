@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation FUNNEL — the composition every
+  * web-scale training pipeline actually runs (the FineWeb/CCNet/Gopher
+  * recipe), wired from this engine's own proven operators:
+  *
+  *   stage 1  rule gate        — Gopher word-count + alpha-fraction
+  *   stage 2  exact dedup      — keep-lowest-id per identical text
+  *   stage 3  ExactSubstr trim — [[Dedup.dupSpanTrim]], then keep
+  *                               documents retaining ≥ half their
+  *                               tokens (an exact integer comparison)
+  *   stage 4  LM quality gate  — corpus-trained bigram LM over the
+  *                               TRIMMED text, worst decile dropped
+  *                               per language ([[LanguageModel
+  *                               .perplexityGate]])
+  *
+  * Output is the per-source survival funnel (one row per source,
+  * counts after each stage) — the report a data-engineering review
+  * reads before a mix is approved. Each stage trains/derives only from
+  * the previous stage's survivors, exactly like the production
+  * pipelines it mirrors.
+  *
+  * Scale shape: every stage is one of the already-audited operators
+  * (scan-speed rule projection; hash-shuffle dedup; skinny gram
+  * shuffle + in-row rebuild; one (doc,gram) shuffle + broadcast
+  * cutoffs), and the funnel aggregation itself is four source-keyed
+  * hash aggs joined on a CATALOG-scale key (tens to hundreds of
+  * sources).
+  */
+object Curation {
+
+  def funnel(df: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", langCol: String = "lang",
+             srcCol: String = "source",
+             minTokens: Int = 50, maxTokens: Int = 100000,
+             minAlphaFrac: Double = 0.8, spanL: Int = 8,
+             lmDropFrac: Double = 0.10): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(langCol).as("lang"), col(srcCol).as("source"))
+    // stage 1: rule gate (q181's non-degenerate document rules)
+    val tk = filter(split(trim(col("text")), "\\s+"), (x: Column) => x =!= "")
+    val n = size(tk)
+    val alphaFrac = size(filter(tk, (t: Column) => t.rlike("[A-Za-z]")))
+      .cast("double") / greatest(n, lit(1)).cast("double")
+    val s1 = base.filter(n >= minTokens && n <= maxTokens &&
+      alphaFrac >= minAlphaFrac)
+    // stage 2: exact dedup, keep-lowest-id
+    val s2 = Dedup.exactDedup(s1, "text", "doc_id")
+    // stage 3: duplicated-span trim + ≥50% retention (integer-exact)
+    val s3 = Dedup.dupSpanTrim(s2, "text", "doc_id", L = spanL)
+      .withColumnRenamed("id", "doc_id")
+      .join(s2.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .filter(col("n_removed") * 2 <= col("n_tokens"))
+      .select(col("doc_id"), col("trimmed_text"), col("lang"), col("source"))
+    // stage 4: per-language LM decile gate over the TRIMMED text
+    val s4 = LanguageModel.perplexityGate(s3, "doc_id", "trimmed_text",
+        "lang", dropFrac = lmDropFrac)
+      .join(s3.select(col("doc_id"), col("source")), "doc_id")
+    def cnt(x: DataFrame, name: String) =
+      x.groupBy(col("source")).agg(count(lit(1)).cast("long").as(name))
+    cnt(base, "n_docs")
+      .join(cnt(s1, "n1"), Seq("source"), "left")
+      .join(cnt(s2, "n2"), Seq("source"), "left")
+      .join(cnt(s3, "n3"), Seq("source"), "left")
+      .join(cnt(s4, "n4"), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n1"), lit(0L)).as("n_rules"),
+        coalesce(col("n2"), lit(0L)).as("n_exact"),
+        coalesce(col("n3"), lit(0L)).as("n_trim"),
+        coalesce(col("n4"), lit(0L)).as("n_lm"))
+  }
+}
