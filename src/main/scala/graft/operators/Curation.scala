@@ -47,29 +47,38 @@ object Curation {
       .cast("double") / greatest(n, lit(1)).cast("double")
     val s1 = base.filter(n >= minTokens && n <= maxTokens &&
       alphaFrac >= minAlphaFrac)
-    // stage 2: exact dedup, keep-lowest-id
+    // stage 2: exact dedup, keep-lowest-id. PERSISTED: consumed by the
+    // trim, the metadata join back, AND its funnel count — without the
+    // cache each of those re-runs the rule scan + dedup shuffle.
     val s2 = Dedup.exactDedup(s1, "text", "doc_id")
-    // stage 3: duplicated-span trim + ≥50% retention (integer-exact)
-    val s3 = Dedup.dupSpanTrim(s2, "text", "doc_id", L = spanL)
-      .withColumnRenamed("id", "doc_id")
-      .join(s2.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-      .filter(col("n_removed") * 2 <= col("n_tokens"))
-      .select(col("doc_id"), col("trimmed_text"), col("lang"), col("source"))
-    // stage 4: per-language LM decile gate over the TRIMMED text
-    val s4 = LanguageModel.perplexityGate(s3, "doc_id", "trimmed_text",
-        "lang", dropFrac = lmDropFrac)
-      .join(s3.select(col("doc_id"), col("source")), "doc_id")
-    def cnt(x: DataFrame, name: String) =
-      x.groupBy(col("source")).agg(count(lit(1)).cast("long").as(name))
-    cnt(base, "n_docs")
-      .join(cnt(s1, "n1"), Seq("source"), "left")
-      .join(cnt(s2, "n2"), Seq("source"), "left")
-      .join(cnt(s3, "n3"), Seq("source"), "left")
-      .join(cnt(s4, "n4"), Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n1"), lit(0L)).as("n_rules"),
-        coalesce(col("n2"), lit(0L)).as("n_exact"),
-        coalesce(col("n3"), lit(0L)).as("n_trim"),
-        coalesce(col("n4"), lit(0L)).as("n_lm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stage 3: duplicated-span trim + ≥50% retention (integer-exact);
+      // persisted for the same reason (LM gate + join + count)
+      val s3 = Dedup.dupSpanTrim(s2, "text", "doc_id", L = spanL)
+        .withColumnRenamed("id", "doc_id")
+        .join(s2.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .filter(col("n_removed") * 2 <= col("n_tokens"))
+        .select(col("doc_id"), col("trimmed_text"), col("lang"), col("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // stage 4: per-language LM decile gate over the TRIMMED text
+        val s4 = LanguageModel.perplexityGate(s3, "doc_id", "trimmed_text",
+            "lang", dropFrac = lmDropFrac)
+          .join(s3.select(col("doc_id"), col("source")), "doc_id")
+        def cnt(x: DataFrame, name: String) =
+          x.groupBy(col("source")).agg(count(lit(1)).cast("long").as(name))
+        Ckpt.toLocal(cnt(base, "n_docs")
+          .join(cnt(s1, "n1"), Seq("source"), "left")
+          .join(cnt(s2, "n2"), Seq("source"), "left")
+          .join(cnt(s3, "n3"), Seq("source"), "left")
+          .join(cnt(s4, "n4"), Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n1"), lit(0L)).as("n_rules"),
+            coalesce(col("n2"), lit(0L)).as("n_exact"),
+            coalesce(col("n3"), lit(0L)).as("n_trim"),
+            coalesce(col("n4"), lit(0L)).as("n_lm")))
+      } finally s3.unpersist(blocking = false)
+    } finally s2.unpersist(blocking = false)
   }
 }
