@@ -5859,7 +5859,37 @@ object Queries {
              |  CAST(coalesce(c4.n, 0) AS BIGINT) AS n_lm
              |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
              |LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)""".stripMargin),
-      "end-to-end curation funnel (Gopher rules -> exact dedup -> ExactSubstr trim -> per-lang LM decile gate), each stage derived from the previous stage's survivors; per-source survival report")
+      "end-to-end curation funnel (Gopher rules -> exact dedup -> ExactSubstr trim -> per-lang LM decile gate), each stage derived from the previous stage's survivors; per-source survival report"),
+
+    Q("q187_vocab_growth",
+      // Heaps'-law vocabulary growth over 10 id-ordered corpus
+      // prefixes: term -> min(doc_id) is one vocab-keyed agg, the
+      // grid is exact Long arithmetic (no percentile interpolation,
+      // no global window), each term joins the broadcast grid once
+      (s, d) => Profile.vocabGrowth(documents(s, d), "doc_id", "text",
+        points = 10),
+      Some("""WITH mm AS (
+             |  SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+             |         CAST(max(doc_id) AS BIGINT) AS mx
+             |  FROM documents
+             |), bounds AS (
+             |  SELECT CAST(t.k AS BIGINT) AS k,
+             |         mn + ((mx - mn) * t.k) // 10 AS b
+             |  FROM mm, (SELECT unnest(range(1, 11)) AS k) t
+             |), toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |    t -> t <> '') AS tk
+             |  FROM documents
+             |), tmin AS (
+             |  SELECT term, min(doc_id) AS md FROM (
+             |    SELECT DISTINCT doc_id, unnest(tk) AS term FROM toks)
+             |  GROUP BY term
+             |)
+             |SELECT b.k, CAST(b.b AS BIGINT) AS b,
+             |  CAST(count(*) AS BIGINT) AS n_terms
+             |FROM tmin t JOIN bounds b ON t.md <= b.b
+             |GROUP BY b.k, b.b""".stripMargin),
+      "Heaps'-law vocabulary-growth curve: distinct terms per id-ordered corpus prefix, one vocab-keyed agg + broadcast grid join (crawl-saturation health check)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -15,6 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Heaps'-law vocabulary-growth curve — "how fast does the corpus
+    * stop teaching the tokenizer new words": distinct-term count after
+    * each of `points` id-ordered corpus prefixes. A flattening curve
+    * means additional data is re-treading vocabulary (crawl saturation,
+    * or a near-dup-heavy source); a straight line means the corpus is
+    * still novel — the health check run before buying more of a feed.
+    *
+    * Prefix boundaries are an integer grid over the id RANGE
+    * (`mn + (mx−mn)·k/points`, exact Long arithmetic — no percentile
+    * interpolation, no global window, no order-by). The curve is
+    * exactly reproducible: term → min(doc_id) is one vocabulary-keyed
+    * hash agg, and each term then joins the broadcast grid once.
+    *
+    * 100 TB shape: one (doc,term) distinct projection (in-row term
+    * maps, multiplicity never shuffles), one vocab-keyed agg, one
+    * broadcast join against `points` rows, one `points`-keyed count.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  points: Int = 10): DataFrame = {
+    require(points >= 1 && points <= 1000, s"points in [1,1000], got $points")
+    val mm = df.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).head()
+    if (mm.isNullAt(0)) return df.sparkSession.emptyDataFrame
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val bounds = (1 to points).map(k => (k.toLong, mn + (mx - mn) * k / points))
+    val boundsDf = {
+      import df.sparkSession.implicits._
+      bounds.toDF("k", "b")
+    }
+    val tmin = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.plans.Exprs.termCounts(col(textCol))).as(Seq("term", "_tf")))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("md"))
+    tmin.join(broadcast(boundsDf), col("md") <= col("b"))
+      .groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).as("n_terms"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap(c => Seq(

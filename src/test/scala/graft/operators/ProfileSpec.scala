@@ -24,4 +24,25 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Union"), "must not scan once per column")
     assert(!plan.contains("Join"))
   }
+
+  test("vocabGrowth: exact curve on a corpus with known per-prefix novelty") {
+    import spark.implicits._
+    // ids 0..9; doc i introduces exactly one new term w{i} plus the
+    // shared term "base" — so the prefix ending at id b has seen
+    // 1 + (b+1) distinct terms
+    val docs = (0 until 10).map(i => (i.toLong, s"base w$i"))
+    val got = Profile.vocabGrowth(docs.toDF("doc_id", "text"),
+        "doc_id", "text", points = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // grid over the id range [0, 9]: b1 = 3, b2 = 6, b3 = 9
+    assert(got(1L) === ((3L, 5L)))   // docs 0..3 → base + w0..w3
+    assert(got(2L) === ((6L, 8L)))
+    assert(got(3L) === ((9L, 11L)))
+    // saturated corpus: curve goes flat
+    val sat = (0 until 9).map(i => (i.toLong, "same words every time"))
+    val flat = Profile.vocabGrowth(sat.toDF("doc_id", "text"),
+        "doc_id", "text", points = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flat === Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
+  }
 }
