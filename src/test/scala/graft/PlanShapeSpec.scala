@@ -456,6 +456,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q182/q184/q185: the map-only kernels plan NO exchange and no UDF") {
+    for (q <- Seq("q182_int8_quantize", "q184_blocklist_redact",
+                  "q185_intra_dup_spans")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be a pure scan, got an exchange")
+      assert(!p.contains("ScalaUDF"), s"$q must stay inside codegen")
+    }
+  }
+
+  test("q177: the gram index shuffles only skinny hash rows; hot-gram agg is partial") {
+    val p = plan("q177_dup_spans")
+    // the only exchanges are on the 8-byte gram hash and the doc id —
+    // never on a text column
+    assert(!p.contains("Exchange hashpartitioning(text"),
+      "document payload must never be a partitioning key")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      "hot-gram detection must partially aggregate map-side (min/max, no distinct)")
+    assert(!p.toLowerCase.contains("distinct"),
+      "the min!=max rewrite must leave no distinct aggregation in the plan")
+  }
+
+  test("q178: training feature frame is cached; gradient agg keys on the bucket") {
+    val w = operators.Trainer.trainHashedLinear(
+      Tables.documents(spark, d).withColumn("y",
+        when(col("lang") === "en", 1.0).otherwise(0.0)),
+      "text", "y", m = 64, iters = 1, lr = 4.0)
+    assert(w.length === 64)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "trainer must release its feature cache on return")
+  }
+
+  test("q186: the funnel releases every stage cache on return") {
+    operators.Curation.funnel(Tables.documents(spark, d)).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "funnel must unpersist s2/s3 (and the gate its scored frame)")
+  }
+
   test("q134: the public operator cleans up its own caches and both gate branches agree") {
     val bc = operators.Graph.triangleParticipation(k8, "a", "b").collect()
     assert(spark.sharedState.cacheManager.isEmpty,
