@@ -492,13 +492,18 @@ object Dedup {
         count(lit(1)).as("_occ"))
       .filter(col("owner") =!= col("_mx") && col("_occ") <= maxGramDf)
       .select(col("h"), col("owner"))
+    // coverage expansion IN-ROW: the removal STARTS shuffle once
+    // (skinny, one row per foreign-owned occurrence), and each
+    // document expands its own starts to the covered-position set
+    // locally — doc-length-bounded, so no corpus-wide ×L explode and
+    // no distinct shuffle (the 100× spill knee of the first version)
     val rem = inv.join(own, "h")
       .filter(col("owner") < col("id"))
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("rp"))
-      .distinct()
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("rp"))).as("rps"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+      .select(col("id"),
+        array_sort(array_distinct(flatten(transform(col("starts"),
+          s => sequence(s, s + lit(L - 1)))))).as("rps"))
     val rpsSafe = coalesce(col("rps"), array().cast("array<int>"))
     val kept = transform(
       array_except(
