@@ -123,6 +123,47 @@ object OracleSql {
        |  FROM toks t LEFT JOIN zs z ON z.doc_id = t.doc_id
        |)""".stripMargin
 
+  /** Per-group interpolated percentile cutoffs replaying Spark's
+    * `Percentile.getPercentile` ARITHMETIC op-for-op — `position =
+    * p·(n−1)`, `(higher−position)·lo + (position−lower)·hi`, equal
+    * brackets returned exactly — instead of DuckDB's `quantile_cont`,
+    * whose `lo + (hi−lo)·frac` association can differ in the last ulp
+    * on non-terminating fractions (observed at 30×: a replica-aligned
+    * tercile bracket with frac = 1/3 flipped one boundary document's
+    * `>=` bucket). `ps` carries the SQL literal for each probability
+    * so the double parsed by DuckDB is bit-identical to the Scala one.
+    *
+    * Expects `src(grp, v, …)`; emits `${prefix}n`, `${prefix}r`,
+    * `${prefix}thr(grp, <name>…)`.
+    */
+  def quantileContExactCtes(prefix: String, src: String, grp: String,
+                            v: String, ps: Seq[(String, String)]): String = {
+    val sel = ps.map { case (name, pLit) =>
+      val h = s"($pLit) * (n.n - 1)"
+      val lo = s"max(CASE WHEN r.rn = CAST(floor($h) AS BIGINT) + 1 THEN r.v END)"
+      val hi = s"max(CASE WHEN r.rn = CAST(ceil($h) AS BIGINT) + 1 THEN r.v END)"
+      // the engine's exact fold: equal bracketing VALUES short-circuit
+      // (positions may differ — a position-based interpolation of an
+      // equal bracket drifts, (w1+w2) != 1 in fp); otherwise
+      // (floor+1−idx)·lo + (idx−floor)·hi, the Percentile arithmetic
+      s"""    CASE WHEN $lo = $hi THEN $lo
+         |      ELSE (floor($h) + 1 - ($h)) * $lo + (($h) - floor($h)) * $hi
+         |    END AS $name""".stripMargin
+    }.mkString(",\n")
+    s"""${prefix}n AS (
+       |  SELECT $grp AS g, count(*) AS n FROM $src GROUP BY $grp
+       |), ${prefix}r AS (
+       |  SELECT $grp AS g, $v AS v,
+       |    row_number() OVER (PARTITION BY $grp ORDER BY $v) AS rn
+       |  FROM $src
+       |), ${prefix}thr AS (
+       |  SELECT n.g AS $grp,
+       |$sel
+       |  FROM ${prefix}n n JOIN ${prefix}r r ON r.g = n.g
+       |  GROUP BY n.g, n.n
+       |)""".stripMargin
+  }
+
   /** The full [[graft.operators.Trainer]] gradient-descent loop as
     * DuckDB CTEs — expects a prior CTE `ldocs(doc_id, y, text)`; emits
     * `gtr` (per-term bucket stream), `gcnt`, `gw0 … gw$iters` (the

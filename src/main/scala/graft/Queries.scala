@@ -4864,13 +4864,14 @@ object Queries {
              |), sl AS (
              |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
              |  FROM score s JOIN documents d USING (doc_id)
-             |), thr AS (
-             |  SELECT lang, quantile_cont(avg_logprob, 0.10) AS cutoff
-             |  FROM sl GROUP BY lang
-             |)
+             |), """.stripMargin +
+        // decile cutoff replays the engine's exact Percentile fold
+        // (see quantileContExactCtes — the q180 30× lesson)
+        OracleSql.quantileContExactCtes("qg", "sl", "lang", "avg_logprob",
+          Seq(("cutoff", "0.10"))) + """
              |SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.avg_logprob
-             |FROM sl JOIN thr USING (lang)
-             |WHERE sl.avg_logprob >= thr.cutoff""".stripMargin),
+             |FROM sl JOIN qgthr USING (lang)
+             |WHERE sl.avg_logprob >= qgthr.cutoff""".stripMargin),
       "perplexity-gate curation: corpus-trained bigram LM + per-language rank-percentile cutoff, worst decile dropped (no global window)"),
 
     Q("q166_source_overlap",
@@ -5482,16 +5483,16 @@ object Queries {
              |), sl AS (
              |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
              |  FROM score s JOIN documents d USING (doc_id)
-             |), thr AS (
-             |  SELECT lang, quantile_cont(avg_logprob, 1.0/3) AS c1,
-             |         quantile_cont(avg_logprob, 2.0/3) AS c2
-             |  FROM sl GROUP BY lang
-             |)
+             |), """.stripMargin +
+        // tercile cutoffs replay Spark's Percentile arithmetic exactly
+        // (quantile_cont's association flips a frac=1/3 bracket at 30×)
+        OracleSql.quantileContExactCtes("qt", "sl", "lang", "avg_logprob",
+          Seq(("c1", "1.0/3"), ("c2", "2.0/3"))) + """
              |SELECT sl.doc_id, sl.lang, sl.n_bigrams, sl.avg_logprob,
-             |  CASE WHEN sl.avg_logprob >= thr.c2 THEN 'head'
-             |       WHEN sl.avg_logprob >= thr.c1 THEN 'middle'
+             |  CASE WHEN sl.avg_logprob >= qtthr.c2 THEN 'head'
+             |       WHEN sl.avg_logprob >= qtthr.c1 THEN 'middle'
              |       ELSE 'tail' END AS bucket
-             |FROM sl JOIN thr USING (lang)""".stripMargin),
+             |FROM sl JOIN qtthr USING (lang)""".stripMargin),
       "CCNet perplexity stratification (Wenzek et al. 2020): per-language LM terciles as head/middle/tail assignment, rank-based exact percentiles, broadcast cutoffs"),
 
     Q("q181_gopher_rules",
@@ -5839,12 +5840,12 @@ object Queries {
              |), lsl AS (
              |  SELECT s.doc_id, d.lang, d.source, s.alp
              |  FROM lscore s JOIN s3 d USING (doc_id)
-             |), lthr AS (
-             |  SELECT lang, quantile_cont(alp, 0.10) AS cutoff
-             |  FROM lsl GROUP BY lang
-             |), s4 AS (
-             |  SELECT lsl.doc_id, lsl.source FROM lsl JOIN lthr USING (lang)
-             |  WHERE lsl.alp >= lthr.cutoff
+             |), """.stripMargin +
+        OracleSql.quantileContExactCtes("lq", "lsl", "lang", "alp",
+          Seq(("cutoff", "0.10"))) + """
+             |, s4 AS (
+             |  SELECT lsl.doc_id, lsl.source FROM lsl JOIN lqthr USING (lang)
+             |  WHERE lsl.alp >= lqthr.cutoff
              |), c0 AS (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM t0 GROUP BY source
              |), c1 AS (SELECT source, count(*) AS n FROM s1 GROUP BY source
