@@ -171,10 +171,10 @@ object OracleSql {
     * the final 6-dp scores of ALL ldocs rows (term-less docs at the
     * kernel's 0.5). Replays the operator exactly: pinned-order folds
     * for every per-document z, the true rational-sigmoid squared-loss
-    * gradient, and the cross-document gradient sum rounded to 6 dp
-    * the moment it folds into the next weight vector (the kmeansCtes
-    * discipline, so the one order-unspecified float reduction can
-    * never accumulate cross-engine drift).
+    * gradient, and the cross-document gradient sum replayed as an
+    * EXACT integer: per-occurrence gradients snapped to the 1e-12
+    * micro grid and summed as BIGINT→HUGEINT, matching the engine's
+    * decimal(38,0) sum bit-for-bit regardless of reduction order.
     */
   def gdTrainerCtes(m: Int, iters: Int, lr: Double): String = {
     val sb = new StringBuilder
@@ -210,12 +210,14 @@ object OracleSql {
            |  GROUP BY g.doc_id, c.y, c.cnt
            |), gg$i AS (
            |  SELECT g.bu AS b,
-           |    sum((((0.5 + 0.5 * (z.z / (1.0 + abs(z.z)))) - z.y) * 0.5
-           |         / ((1.0 + abs(z.z)) * (1.0 + abs(z.z)))) / z.cnt) AS gs
+           |    sum(CAST(round((((0.5 + 0.5 * (z.z / (1.0 + abs(z.z)))) - z.y) * 0.5
+           |         / ((1.0 + abs(z.z)) * (1.0 + abs(z.z)))) / z.cnt
+           |         * 1000000000000.0, 0) AS BIGINT)) AS gs
            |  FROM gtr g JOIN gz$i z ON z.doc_id = g.doc_id
            |  GROUP BY g.bu
            |), gw${i + 1} AS (
-           |  SELECT w.b, round(w.w - $lr * coalesce(g.gs, 0.0) / (SELECT n FROM gn), 6) AS w
+           |  SELECT w.b, round(w.w - $lr * (CAST(coalesce(g.gs, 0) AS DOUBLE)
+           |    / 1000000000000.0) / (SELECT n FROM gn), 6) AS w
            |  FROM gw$i w LEFT JOIN gg$i g ON g.b = w.b
            |)""".stripMargin)
     }

@@ -5358,7 +5358,7 @@ object Queries {
              |    FROM toks WHERE len(tk) >= 8)
              |), hot AS (
              |  SELECT g FROM ex2 GROUP BY g
-             |  HAVING count(DISTINCT doc_id) >= 2
+             |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1000000
              |), dp AS (
              |  SELECT e.doc_id, list_sort(list(e.pos)) AS ps
              |  FROM ex2 e JOIN hot USING (g)
@@ -5428,7 +5428,7 @@ object Queries {
              |    FROM toks WHERE len(tk) >= 8)
              |), own AS (
              |  SELECT g, min(doc_id) AS owner FROM ex2 GROUP BY g
-             |  HAVING count(DISTINCT doc_id) >= 2
+             |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1000000
              |), rem AS (
              |  SELECT DISTINCT doc_id, rp FROM (
              |    SELECT e.doc_id, unnest(range(e.pos, e.pos + 8)) AS rp
@@ -5789,7 +5789,7 @@ object Queries {
              |    FROM ftoks WHERE len(tk) >= 8)
              |), fown AS (
              |  SELECT g, min(doc_id) AS owner FROM fex GROUP BY g
-             |  HAVING count(DISTINCT doc_id) >= 2
+             |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1000000
              |), frem AS (
              |  SELECT DISTINCT doc_id, rp FROM (
              |    SELECT e.doc_id, unnest(range(e.pos, e.pos + 8)) AS rp

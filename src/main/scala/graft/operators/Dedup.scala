@@ -473,12 +473,12 @@ object Dedup {
   def dupSpanTrim(df: DataFrame, textCol: String, idCol: String,
                   L: Int = 8, maxGramDf: Long = 1000000L): DataFrame = {
     require(L >= 2, s"span length L must be >= 2, got $L")
-    // same single-pass kernel index as [[dupSpanStats]]; the token
-    // array (Column-side split, identical tokenization on ASCII
-    // whitespace) is only materialized for the final rebuild
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      (x: org.apache.spark.sql.Column) => x =!= "")
-    val base = df.select(col(idCol).as("id"), toks.as("tk"))
+    // same single-pass kernel index as [[dupSpanStats]]; the rebuild
+    // token array comes from [[Exprs.wsTokens]] — the SAME
+    // Locale.ROOT/isWhitespace scan the hash kernel runs — so removal
+    // positions index the rebuild array by construction (a regex-split
+    // rebuild desyncs on Unicode whitespace and removes wrong tokens)
+    val base = df.select(col(idCol).as("id"), Exprs.wsTokens(col(textCol)).as("tk"))
       .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
     val nTok = size(Exprs.shingleHashesPos(col(textCol), 1))
     val inv = df

@@ -37,9 +37,18 @@ object Profile {
     require(points >= 1 && points <= 1000, s"points in [1,1000], got $points")
     val mm = df.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).head()
-    if (mm.isNullAt(0)) return df.sparkSession.emptyDataFrame
+    if (mm.isNullAt(0)) {
+      // empty input keeps the (k, b, n_terms) contract so downstream
+      // schema-dependent consumers (joins, unions) still resolve
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("k", "b", "n_terms")
+    }
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-    val bounds = (1 to points).map(k => (k.toLong, mn + (mx - mn) * k / points))
+    // BigInt grid: (mx-mn)*k overflows Long for extreme id ranges
+    // (mx-mn > Long.MaxValue/points); both divisions truncate toward
+    // zero on a non-negative range, so values are unchanged in-range
+    val bounds = (1 to points).map(k =>
+      (k.toLong, (BigInt(mn) + (BigInt(mx) - BigInt(mn)) * k / points).toLong))
     val boundsDf = {
       import df.sparkSession.implicits._
       bounds.toDF("k", "b")

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (the kmeansCtes discipline): every per-document
   * quantity is a pinned-order fold of IEEE doubles — bit-exact in any
-  * engine — and the only order-unspecified float reduction (the
-  * cross-document gradient sum) is immediately rounded to 6 dp when
-  * folded into the next weight vector, so an independent engine
-  * replaying the loop (DuckDB CTEs in the oracle) reproduces every
-  * iteration's weights digit-for-digit. Zero-init keeps iteration 0
-  * deterministic without an RNG.
+  * engine — and the one cross-document reduction (the gradient sum) is
+  * ORDER-PINNED outright: per-occurrence gradients snap to an integer
+  * 1e-12 grid and sum exactly (decimal(38,0) / HUGEINT), so the sum is
+  * the same integer in every engine, partitioning and core count — no
+  * float reduction anywhere near the 0.5e-6 weight-rounding boundary.
+  * An independent engine replaying the loop (DuckDB CTEs in the
+  * oracle) reproduces every iteration's weights digit-for-digit.
+  * Zero-init keeps iteration 0 deterministic without an RNG.
   *
   * 100 TB shape: the feature frame (y, bucket-array, cnt) is computed
   * once by a codegen kernel and persisted; each iteration is one scan
@@ -64,11 +66,18 @@ object Trainer {
       val z = Exprs.dotBuckets(col("bl"), w) / col("cnt")
       val g = (((lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))) - col("y"))
         * lit(0.5) / ((lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))) / col("cnt")
-      val upd = feat.select(explode(col("bl")).as("b"), g.as("g"))
-        .groupBy(col("b")).agg(sum(col("g")).as("gs"))
+      // ORDER-PINNED cross-document reduction (the micro-nat
+      // discipline): snap each per-occurrence gradient to an integer
+      // 1e-12 grid and sum EXACTLY (decimal(38,0) here, HUGEINT in the
+      // oracle) — a float sum(g) is order-unspecified, and a per-bucket
+      // sum landing within an ulp of the 0.5e-6 rounding boundary
+      // would flip a weight by a grid step partition-count-dependently
+      val gm = round(g * lit(1e12), 0).cast("decimal(38,0)")
+      val upd = feat.select(explode(col("bl")).as("b"), gm.as("gm"))
+        .groupBy(col("b")).agg(sum(col("gm")).as("gs"))
         .select(col("b"),
           round(element_at(wlit, col("b") + 1)
-            - lit(lr) * col("gs") / lit(n), 6).as("wn"))
+            - lit(lr) * (col("gs").cast("double") / lit(1e12)) / lit(n), 6).as("wn"))
         .collect()                  // ≤ m rows — summary-bounded
       val next = w.clone()
       upd.foreach(r => next(r.getInt(0)) = r.getDouble(1))

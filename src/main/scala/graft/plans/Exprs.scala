@@ -86,6 +86,21 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Token array from the [[Kernels.wsTokens]] scan — the SAME
+    * tokenizer as [[ShingleHashesPos]], so span-removal positions and
+    * the rebuilt token array share one definition of "token i".
+    */
+  case class WsTokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "ws_tokens"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.wsTokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.wsTokens($c)")
+    override protected def withNewChildInternal(newChild: Expression): WsTokens =
+      copy(child = newChild)
+  }
+
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -607,6 +622,7 @@ object Exprs {
     col(MinHashSig(ex(c), shingleK, numPerms))
   def shingleHashes(c: Column, shingleK: Int): Column =
     col(ShingleHashes(ex(c), shingleK))
+  def wsTokens(c: Column): Column = col(WsTokens(ex(c)))
   def shingleHashesPos(c: Column, shingleK: Int): Column =
     col(ShingleHashesPos(ex(c), shingleK))
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))

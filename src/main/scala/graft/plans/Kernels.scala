@@ -216,6 +216,35 @@ object Kernels {
     new GenericArrayData(hashes)
   }
 
+  /** The token ARRAY behind [[shingleHashesPos]] — the identical
+    * `Locale.ROOT` lowercase + `Character.isWhitespace` scan, returned
+    * as the tokens themselves instead of shingle hashes. Span-dedup
+    * trimming needs both the hash stream (to find duplicated spans)
+    * and the token stream (to rebuild the trimmed text); deriving them
+    * from ONE tokenizer makes position desync impossible — a
+    * `split("\\s+")` rebuild (ASCII-only `\s`, UTF8String lowercase)
+    * silently removes the WRONG tokens on Unicode whitespace
+    * (U+2028, U+3000) or under a non-ROOT default locale.
+    */
+  def wsTokens(text: UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var toks = new Array[AnyRef](16)
+    var nTok = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2)
+        toks(nTok) = UTF8String.fromString(s.substring(start, i))
+        nTok += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(toks, nTok).asInstanceOf[Array[Any]])
+  }
+
   // ------------------------------------------------------- text metrics
   // Single-pass kernels behind graft.functions.TextFunctions. Each
   // reproduces the exact semantics of the Column chain it replaced —

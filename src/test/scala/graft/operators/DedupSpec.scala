@@ -227,6 +227,65 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((3L, 0L, "spaced out tokens")))
   }
 
+  test("dupSpanTrim: Unicode whitespace — positions and rebuild share one tokenizer") {
+    import spark.implicits._
+    val planted = (1 to 10).map(i => s"p$i").mkString(" ")
+    // U+3000 ideographic space and U+2028 line separator are whitespace
+    // to Character.isWhitespace (the hash kernel's tokenizer) but NOT
+    // to Java-regex \s — a regex-split rebuild desyncs its positions
+    // against the kernel's and silently removes the WRONG tokens
+    val docs = Seq(
+      (0L, s"alpha　beta $planted gamma"),
+      (1L, s"x1 x2　x3 $planted y1 y2"))
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.dupSpanTrim(df, "text", "doc_id", L = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L)._1 === 13L && got(1L)._1 === 15L)
+    // doc 0 (lowest id) owns the planted run; doc 1 loses exactly the
+    // 10 planted tokens and keeps every x/y token intact
+    assert(got(0L)._2 === 0L)
+    assert(got(0L)._3 === s"alpha beta $planted gamma")
+    assert(got(1L)._2 === 10L)
+    assert(got(1L)._3 === "x1 x2 x3 y1 y2")
+    // n_tokens agrees with dupSpanStats — same kernel on both sides
+    val st = Dedup.dupSpanStats(df, "text", "doc_id", L = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === got.view.mapValues(_._1).toMap)
+  }
+
+  test("dupSpanStats/dupSpanTrim: maxGramDf sheds over-cap boilerplate grams") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val rare = (1 to 8).map(i => s"r$i").mkString(" ")
+    // the boilerplate gram occurs 4 times corpus-wide, the rare one 2
+    val docs = Seq(
+      (0L, s"$boiler u01 u02 $rare"),
+      (1L, s"$boiler u11 u12 $rare"),
+      (2L, s"$boiler u21 u22"),
+      (3L, s"$boiler u31 u32"))
+    val df = docs.toDF("doc_id", "text")
+    // cap 3 < 4 occurrences: the boilerplate gram is shed from the hot
+    // set, the rare gram (2 occurrences) still counts
+    val st = Dedup.dupSpanStats(df, "text", "doc_id", L = 8, maxGramDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(st(0L) === ((1L, 1L, 8L)) && st(1L) === ((1L, 1L, 8L)))
+    assert(st(2L) === ((0L, 0L, 0L)) && st(3L) === ((0L, 0L, 0L)))
+    // uncapped: the boilerplate gram is hot too — two spans in doc 0
+    val un = Dedup.dupSpanStats(df, "text", "doc_id", L = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(un(0L) === 2L)
+    // trim under the cap: doc 1 loses only the rare run; docs 2/3
+    // keep their boilerplate copies (the gram is shed, not owned)
+    val tr = Dedup.dupSpanTrim(df, "text", "doc_id", L = 8, maxGramDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(tr(0L)._1 === 0L)
+    assert(tr(1L) === ((8L, s"$boiler u11 u12")))
+    assert(tr(2L)._1 === 0L && tr(3L)._1 === 0L)
+  }
+
   test("sourceOverlapMatrix: hand-computed shared/containment, disjoint sources absent") {
     import spark.implicits._
     val df = Seq(

@@ -45,4 +45,29 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(flat === Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
   }
+
+  test("vocabGrowth: empty input keeps the (k, b, n_terms) schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Profile.vocabGrowth(empty, "doc_id", "text", points = 3)
+    assert(got.columns.toSeq === Seq("k", "b", "n_terms"))
+    assert(got.count() === 0L)
+  }
+
+  test("vocabGrowth: extreme id range does not overflow the grid arithmetic") {
+    import spark.implicits._
+    // (mx - mn) * k overflows Long for this range; BigInt grid keeps
+    // the boundaries exact and monotone
+    val docs = Seq((0L, "alpha"), (Long.MaxValue - 1, "alpha beta"))
+    val got = Profile.vocabGrowth(docs.toDF("doc_id", "text"),
+        "doc_id", "text", points = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val range = BigInt(Long.MaxValue - 1)
+    (1 to 4).foreach { k =>
+      val b = (range * k / 4).toLong
+      assert(got(k.toLong)._1 === b, s"boundary k=$k")
+    }
+    // only the last prefix contains doc 2's novel term
+    assert(got(4L)._2 === 2L && got(1L)._2 === 1L)
+  }
 }
