@@ -245,6 +245,110 @@ object OracleSql {
     * the renormalize, empty clusters carrying the previous centroid,
     * ties to the lowest cluster.
     */
+  /** [[kmeansCtes]] with the IVF-PROBED assignment replayed
+    * ([[graft.operators.KMeans.Probe]] /
+    * [[graft.plans.Kernels.ivfAssignScoreD]]): per fit round, a coarse
+    * Lloyd over the fine-CENTROID table (seeds at indices j·(k/cc),
+    * means folded in ascending fine-index order and rounded to 6 dp
+    * before the renormalize, empty cells keeping the previous
+    * centroid), then each vector probes its `nProbe` best NON-EMPTY
+    * cells and takes the best fine centroid among their members. Every
+    * ordering is pinned by `row_number() OVER (ORDER BY d DESC,
+    * id ASC)` over 0.0-seeded index-order fold dots, so the replay is
+    * bit-exact even though the assignment itself is approximate. Emits
+    * the same `vnn` … `a$iters` interface as [[kmeansCtes]].
+    */
+  def ivfKmeansCtes(k: Int, iters: Int, cc: Int, cIters: Int,
+                    nProbe: Int): String = {
+    val ccEff = math.min(cc, k)
+    val step = k / ccEff
+    val dotFG = foldSum("[f.c[j] * g.c[j] FOR j IN range(1, len(f.c) + 1)]")
+    val dotVG = foldSum("[v.vn[j] * g.c[j] FOR j IN range(1, len(v.vn) + 1)]")
+    val dotVF = foldSum("[p.vn[j] * f.c[j] FOR j IN range(1, len(p.vn) + 1)]")
+    val sb = new StringBuilder
+    sb.append(
+      s"""vn0 AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS le FROM base
+         |), vnn AS (
+         |  SELECT vec_id, CASE WHEN nrm = 0 THEN le ELSE [x / nrm FOR x IN le] END AS vn
+         |  FROM (SELECT vec_id, le, sqrt(${foldSum("[x * x FOR x IN le]")}) AS nrm FROM vn0)
+         |), c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, vn AS c
+         |  FROM vnn ORDER BY vec_id LIMIT $k
+         |)""".stripMargin)
+    (0 to iters).foreach { i =>
+      sb.append(
+        s""", g${i}s0 AS (
+           |  SELECT CAST(cluster // $step AS INT) AS gc, c FROM c$i
+           |  WHERE cluster % $step = 0 AND cluster // $step < $ccEff
+           |)""".stripMargin)
+      (0 until cIters).foreach { t =>
+        sb.append(
+          s""", g${i}a$t AS (
+             |  SELECT cluster, c, gc FROM (
+             |    SELECT cluster, c, gc,
+             |           row_number() OVER (PARTITION BY cluster ORDER BY d DESC, gc ASC) AS rn
+             |    FROM (SELECT f.cluster, f.c, g.gc, $dotFG AS d
+             |          FROM c$i f CROSS JOIN g${i}s$t g))
+             |  WHERE rn = 1
+             |), g${i}m$t AS (
+             |  SELECT gc, gi, round(${foldSum("list(x ORDER BY cluster)")} / count(*), 6) AS m
+             |  FROM (SELECT gc, cluster, generate_subscripts(c, 1) AS gi, unnest(c) AS x
+             |        FROM g${i}a$t)
+             |  GROUP BY gc, gi
+             |), g${i}s${t + 1} AS (
+             |  SELECT p.gc, coalesce(n.c, p.c) AS c
+             |  FROM g${i}s$t p LEFT JOIN (
+             |    SELECT gc, CASE WHEN nrm = 0 THEN lm ELSE [x / nrm FOR x IN lm] END AS c
+             |    FROM (SELECT gc, lm, sqrt(${foldSum("[x * x FOR x IN lm]")}) AS nrm
+             |          FROM (SELECT gc, list(m ORDER BY gi) AS lm FROM g${i}m$t GROUP BY gc))) n
+             |  ON n.gc = p.gc
+             |)""".stripMargin)
+      }
+      sb.append(
+        s""", g${i}mem AS (
+           |  SELECT cluster, gc FROM (
+           |    SELECT cluster, gc,
+           |           row_number() OVER (PARTITION BY cluster ORDER BY d DESC, gc ASC) AS rn
+           |    FROM (SELECT f.cluster, g.gc, $dotFG AS d
+           |          FROM c$i f CROSS JOIN g${i}s$cIters g))
+           |  WHERE rn = 1
+           |), p$i AS (
+           |  SELECT vec_id, vn, gc FROM (
+           |    SELECT vec_id, vn, gc,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, gc ASC) AS rn
+           |    FROM (SELECT v.vec_id, v.vn, g.gc, $dotVG AS d
+           |          FROM vnn v CROSS JOIN (SELECT s.gc, s.c FROM g${i}s$cIters s
+           |            WHERE s.gc IN (SELECT DISTINCT gc FROM g${i}mem)) g))
+           |  WHERE rn <= $nProbe
+           |), a$i AS (
+           |  SELECT vec_id, vn, cluster, d FROM (
+           |    SELECT vec_id, vn, cluster, d,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster ASC) AS rn
+           |    FROM (SELECT p.vec_id, p.vn, f.cluster, $dotVF AS d
+           |          FROM p$i p JOIN g${i}mem mm ON mm.gc = p.gc
+           |          JOIN c$i f ON f.cluster = mm.cluster))
+           |  WHERE rn = 1
+           |)""".stripMargin)
+      if (i < iters) {
+        sb.append(
+          s""", m$i AS (
+             |  SELECT cluster, gi, round(avg(x), 6) AS m
+             |  FROM (SELECT cluster, generate_subscripts(vn, 1) AS gi, unnest(vn) AS x FROM a$i)
+             |  GROUP BY cluster, gi
+             |), mc$i AS (
+             |  SELECT cluster, CASE WHEN nrm = 0 THEN lm ELSE [x / nrm FOR x IN lm] END AS c
+             |  FROM (SELECT cluster, lm, sqrt(${foldSum("[x * x FOR x IN lm]")}) AS nrm
+             |        FROM (SELECT cluster, list(m ORDER BY gi) AS lm FROM m$i GROUP BY cluster))
+             |), c${i + 1} AS (
+             |  SELECT p.cluster, coalesce(n.c, p.c) AS c
+             |  FROM c$i p LEFT JOIN mc$i n ON n.cluster = p.cluster
+             |)""".stripMargin)
+      }
+    }
+    sb.toString
+  }
+
   def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(

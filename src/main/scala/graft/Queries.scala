@@ -5252,10 +5252,12 @@ object Queries {
             (x.cast("double") * (lit(1.0) +
               lit(0.015) * (pmod(i, lit(5)) - lit(2)).cast("double")))
               .cast("float")).as("embedding"))
+        // the DEFAULT overload: k = max(16, N/500), and past k=64 the
+        // assignment switches to the IVF probe (q188 pins that path at
+        // oracle scale; this row pins the dial itself at k=16/flat)
         val corpus = emb.unionByName(planted)
-        val k = math.max(16, (corpus.count() / 500L).toInt)
         KMeans.semanticNearDupPairs(corpus, "vec_id", "embedding",
-            k = k, iters = 1, minCosine = 0.9)
+            minCosine = 0.9)
           .select(col("cluster").cast("long").as("cluster"), col("id_a"),
             col("id_b"), round(col("cosine"), 6).as("cosine"))
       },
@@ -5890,7 +5892,63 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_terms
              |FROM tmin t JOIN bounds b ON t.md <= b.b
              |GROUP BY b.k, b.b""".stripMargin),
-      "Heaps'-law vocabulary-growth curve: distinct terms per id-ordered corpus prefix, one vocab-keyed agg + broadcast grid join (crawl-saturation health check)")
+      "Heaps'-law vocabulary-growth curve: distinct terms per id-ordered corpus prefix, one vocab-keyed agg + broadcast grid join (crawl-saturation health check)"),
+
+    Q("q188_semantic_dedup_ivf",
+      (s, d) => {
+        // SemDeDup through the IVF-PROBED assignment — the scale path
+        // the k∝N dial switches to past k=64, exercised HERE at oracle
+        // scale: k=64 over N=2000 forces cc=8 coarse cells, 2 coarse
+        // Lloyd rounds, 2 probes, so each vector scores ~8+2·8 centroid
+        // dots instead of 64 (at 100×: ~2·29 instead of 800 — the
+        // difference between N^1.5 and N²/500). The probing is
+        // APPROXIMATE by design; the oracle replays the exact same
+        // deterministic probe (row_number-pinned orderings over
+        // 0.0-seeded fold dots), so a green row proves the scale path
+        // computes precisely what it claims. Same planted near-dups as
+        // q95/q175.
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = emb.select(
+          (col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              lit(0.015) * (pmod(i, lit(5)) - lit(2)).cast("double")))
+              .cast("float")).as("embedding"))
+        KMeans.semanticNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+            k = 64, iters = 1, minCosine = 0.9,
+            probe = Some(KMeans.Probe(cc = 8, cIters = 2, nProbe = 2)))
+          .select(col("cluster").cast("long").as("cluster"), col("id_a"),
+            col("id_b"), round(col("cosine"), 6).as("cosine"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 200000,
+              |    [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + 0.015 * (((i-1) % 5) - 2)) AS FLOAT)
+              |     FOR i IN range(1, len(embedding) + 1)]
+              |  FROM embeddings
+              |),
+              |${OracleSql.ivfKmeansCtes(64, 1, 8, 2, 2)}
+              |, pv AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+              |), pairs AS (
+              |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              |), cosd AS (
+              |  SELECT p.cluster, p.id_a, p.id_b,
+              |    ${OracleSql.foldSum("[va.v[i] * vb.v[i] FOR i IN range(1, len(va.v)+1)]")} AS dot,
+              |    ${OracleSql.foldSum("[va.v[i] * va.v[i] FOR i IN range(1, len(va.v)+1)]")} AS na,
+              |    ${OracleSql.foldSum("[vb.v[i] * vb.v[i] FOR i IN range(1, len(vb.v)+1)]")} AS nb
+              |  FROM pairs p JOIN pv va ON va.vec_id = p.id_a JOIN pv vb ON vb.vec_id = p.id_b
+              |), cosv AS (
+              |  SELECT cluster, id_a, id_b,
+              |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cosine
+              |  FROM cosd
+              |)
+              |SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b,
+              |       round(cosine, 6) AS cosine
+              |FROM cosv WHERE cosine >= 0.9""".stripMargin),
+      "SemDeDup via IVF-probed assignment (coarse cells over the fine centroids, nProbe best cells per vector): the O(N·√k) scale path, bit-exactly replayed by the oracle")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

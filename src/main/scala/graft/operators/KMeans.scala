@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.Exprs
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -60,7 +60,122 @@ object KMeans {
     if (n == 0.0) v else v.map(_ / n)
   }
 
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Model = {
+  /** IVF probe configuration for the assignment scans: `cc` coarse
+    * cells (clamped to k), `cIters` driver-side Lloyd rounds over the
+    * FINE CENTROIDS (k×√k work on the driver — config-scale), probe
+    * the `nProbe` best cells per vector. With `nProbe >= cc` the
+    * candidate set is all k centroids and assignment equals the flat
+    * scan exactly (the KMeansSpec equivalence gate).
+    */
+  case class Probe(cc: Int, cIters: Int = 2, nProbe: Int = 2) {
+    require(cc >= 1 && cIters >= 0 && nProbe >= 1)
+  }
+
+  /** Coarse probe structure over a fine-centroid matrix (the
+    * [[graft.plans.Kernels.ivfAssignScoreD]] reference-object layout):
+    * only NON-EMPTY cells, ascending cell id; members ascending.
+    */
+  private[operators] case class Coarse(flat: Array[Double],
+      cellStart: Array[Int], members: Array[Int])
+
+  /** Deterministic coarse quantizer over the fine centroids, built on
+    * the driver (k·cc·dim flops — trivial next to one corpus scan).
+    * Every arithmetic step is SQL-replayable (the kmeansCtes
+    * discipline): seeds are the fine centroids at indices `j·(k/cc)`,
+    * assignment dots are 0.0-seeded index-order folds with ties to the
+    * lowest cell, per-cell means fold members in ascending fine-index
+    * order then round to 6 dp before the renormalize, and empty cells
+    * keep their previous centroid.
+    */
+  private[operators] def buildCoarse(cents: Array[Array[Double]],
+                                     probe: Probe): Coarse = {
+    val k = cents.length
+    val dim = if (k == 0) 0 else cents.head.length
+    val ccEff = math.min(probe.cc, k)
+    val step = k / ccEff
+    var coarse = Array.tabulate(ccEff)(j => cents(j * step).clone())
+    def assignAll(): Array[Int] = {
+      val out = new Array[Int](k)
+      var i = 0
+      while (i < k) {
+        var best = 0
+        var bestD = Double.NegativeInfinity
+        var j = 0
+        while (j < ccEff) {
+          var d = 0.0
+          var t = 0
+          while (t < dim) { d += cents(i)(t) * coarse(j)(t); t += 1 }
+          if (d > bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(i) = best
+        i += 1
+      }
+      out
+    }
+    var it = 0
+    while (it < probe.cIters) {
+      val a = assignAll()
+      val next = coarse.map(_.clone())
+      var j = 0
+      while (j < ccEff) {
+        var cnt = 0
+        val sum = new Array[Double](dim)
+        var i = 0
+        while (i < k) {
+          if (a(i) == j) {
+            cnt += 1
+            var t = 0
+            while (t < dim) { sum(t) += cents(i)(t); t += 1 }
+          }
+          i += 1
+        }
+        if (cnt > 0) {
+          var t = 0
+          while (t < dim) { sum(t) = round6(sum(t) / cnt); t += 1 }
+          next(j) = renorm(sum)
+        }
+        j += 1
+      }
+      coarse = next
+      it += 1
+    }
+    val fin = assignAll()
+    val byCell = Array.fill(ccEff)(Vector.newBuilder[Int])
+    fin.zipWithIndex.foreach { case (c, i) => byCell(c) += i }
+    val cells = (0 until ccEff).map(j => (j, byCell(j).result()))
+      .filter(_._2.nonEmpty)
+    val flatC = new Array[Double](cells.length * dim)
+    val cellStart = new Array[Int](cells.length + 1)
+    val members = new Array[Int](k)
+    var off = 0
+    cells.zipWithIndex.foreach { case ((j, ms), p) =>
+      System.arraycopy(coarse(j), 0, flatC, p * dim, dim)
+      cellStart(p) = off
+      ms.foreach { i => members(off) = i; off += 1 }
+    }
+    cellStart(cells.length) = off
+    Coarse(flatC, cellStart, members)
+  }
+
+  /** `[cluster, dot]` assignment column — flat scan, or IVF-probed
+    * when a [[Probe]] is given (coarse structure rebuilt from the
+    * current centroids, so each Lloyd round probes fresh cells).
+    */
+  private def assignScore(vn: Column, cents: Array[Array[Double]],
+                          probe: Option[Probe]): Column = {
+    val model = Model(cents)
+    probe match {
+      case None => Exprs.nearestCentroidScoreD(vn, model.flat, model.dim)
+      case Some(p) =>
+        val c = buildCoarse(cents, p)
+        Exprs.ivfAssignScoreD(vn, model.flat, model.dim,
+          c.flat, c.cellStart, c.members, p.nProbe)
+    }
+  }
+
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+          probe: Option[Probe] = None): Model = {
     require(k > 0 && iters >= 0)
     val vn = df.select(col(idCol).as("_id"), Exprs.normalizeD(col(vecCol)).as("_vn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -69,17 +184,16 @@ object KMeans {
         .map(_.getSeq[Double](1).toArray)
       require(seeds.nonEmpty, "empty input")
       var cents = seeds
-      val dim = cents.head.length
       var it = 0
       while (it < iters) {
-        val flat = Model(cents).flat
         val means = vn
-          .select(Exprs.nearestCentroidScoreD(col("_vn"), flat, dim)
+          .select(assignScore(col("_vn"), cents, probe)
               .getItem(0).cast("int").as("_c"),
             posexplode(col("_vn")).as(Seq("_d", "_x")))
           .groupBy(col("_c"), col("_d")).agg(avg(col("_x")).as("_m"))
           .collect()
         // empty clusters keep their previous centroid
+        val dim = cents.head.length
         val next = cents.map(_.clone())
         means.groupBy(_.getInt(0)).foreach { case (c, rows) =>
           val mv = new Array[Double](dim)
@@ -98,10 +212,10 @@ object KMeans {
     * (spherical centroids have unit norm, so this is cosine
     * similarity).
     */
-  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model,
+             probe: Option[Probe] = None): DataFrame =
     df.select(col(idCol),
-        Exprs.nearestCentroidScoreD(
-          Exprs.normalizeD(col(vecCol)), model.flat, model.dim).as("_a"))
+        assignScore(Exprs.normalizeD(col(vecCol)), model.centroids, probe).as("_a"))
       .select(col(idCol), col("_a").getItem(0).cast("int").as("cluster"),
         col("_a").getItem(1).as("cos"))
 
@@ -119,18 +233,50 @@ object KMeans {
     * vectors ride the cluster-keyed shuffle once per side, which is
     * unavoidable for an exact verify.
     */
+  /** EXPLICIT-k SemDeDup. WARNING — a fixed small k is a measured
+    * scale-killer: within-cluster candidate pairs densify as (n/k)²,
+    * and the k=8 dial costs 155.6 s at 30× where the k∝N dial costs
+    * 8.6 s (SCALE.md). Prefer the corpus-scaled overload below (the
+    * k = max(16, n/500) dial, IVF-probed assignment past the flat-scan
+    * crossover) unless oracle parity pins a specific k.
+    */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                           k: Int, iters: Int, minCosine: Double): DataFrame = {
-    val model = fit(df, idCol, vecCol, k, iters)
+                           k: Int, iters: Int, minCosine: Double,
+                           probe: Option[Probe] = None): DataFrame = {
+    val model = fit(df, idCol, vecCol, k, iters, probe)
     // cluster and vector in ONE narrow scan — no id re-join
     val withV = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Exprs.nearestCentroidScoreD(
-        Exprs.normalizeD(col(vecCol)), model.flat, model.dim)
+      assignScore(Exprs.normalizeD(col(vecCol)), model.centroids, probe)
         .getItem(0).cast("int").as("cluster"))
     withV.as("a").join(withV.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .select(col("a.cluster").as("cluster"), col("a.id").as("id_a"),
         col("b.id").as("id_b"), Exprs.cosineSim(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** Past this k the flat N·k assignment scan dominates the fit and
+    * the IVF probe takes over (measured: k=800 at 100× pays 50.2 s
+    * flat — 8.1× for 3.3× data — where probing is ~O(√k) per vector).
+    */
+  val IvfAssignThreshold = 64
+
+  /** SemDeDup with the SCALE-SAFE defaults — the API most callers
+    * want: k grows with the corpus (expected cluster size ≈ 500,
+    * floor 16) so within-cluster pair cost stays linear, and once
+    * k ≥ [[IvfAssignThreshold]] assignment switches to the IVF probe
+    * (coarse cells = ⌈√k⌉, 2 coarse Lloyd rounds, 2 probes) so the
+    * assignment scan stays ~O(N·√k) instead of O(N·k) = O(N²/500).
+    * One `count()` action sizes the dial.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double): DataFrame = {
+    val n = df.count()
+    val k = math.max(16, (n / 500L).toInt)
+    val probe =
+      if (k >= IvfAssignThreshold)
+        Some(Probe(cc = math.ceil(math.sqrt(k.toDouble)).toInt))
+      else None
+    semanticNearDupPairs(df, idCol, vecCol, k, iters = 1, minCosine, probe)
   }
 }

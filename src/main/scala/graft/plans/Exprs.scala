@@ -478,6 +478,34 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** IVF-probed spherical k-means assignment `[cluster, dot]` —
+    * [[NearestCentroidScoreD]]'s scale path: the fine-centroid matrix,
+    * coarse-cell matrix and membership lists all ride as codegen
+    * reference objects; per-row cost is O(√k) instead of O(k). See
+    * [[Kernels.ivfAssignScoreD]] for the determinism contract.
+    */
+  case class IvfAssignScoreD(child: Expression, cents: Array[Double], dim: Int,
+      coarse: Array[Double], cellStart: Array[Int], members: Array[Int],
+      nProbe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "ivf_assign_score_d"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.ivfAssignScoreD(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cents, dim, coarse, cellStart, members, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rc = ctx.addReferenceObj("ivfCentsD", cents, "double[]")
+      val rg = ctx.addReferenceObj("ivfCoarseD", coarse, "double[]")
+      val rs = ctx.addReferenceObj("ivfCellStart", cellStart, "int[]")
+      val rm = ctx.addReferenceObj("ivfMembers", members, "int[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.Kernels.ivfAssignScoreD($c, $rc, $dim, $rg, $rs, $rm, $nProbe)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): IvfAssignScoreD =
+      copy(child = newChild)
+  }
+
   /** Hashed-feature linear text score against a broadcast weight
     * vector ([[Kernels.linearTextScore]]) — apply-a-pretrained-model
     * at scan speed; the weights ride as a codegen reference object.
@@ -663,6 +691,10 @@ object Exprs {
   def pqAdc(table: Column, codes: Column, k: Int): Column =
     col(PqAdc(ex(table), ex(codes), k))
   def normalizeD(c: Column): Column = col(NormalizeD(ex(c)))
+  def ivfAssignScoreD(c: Column, cents: Array[Double], dim: Int,
+                      coarse: Array[Double], cellStart: Array[Int],
+                      members: Array[Int], nProbe: Int): Column =
+    col(IvfAssignScoreD(ex(c), cents, dim, coarse, cellStart, members, nProbe))
   def nearestCentroidScoreD(c: Column, cents: Array[Double], dim: Int): Column =
     col(NearestCentroidScoreD(ex(c), cents, dim))
   def linearTextScore(c: Column, weights: Array[Double]): Column =

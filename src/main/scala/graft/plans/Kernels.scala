@@ -1019,6 +1019,73 @@ object Kernels {
     new GenericArrayData(Array[Double](best.toDouble, bestD))
   }
 
+  /** IVF-probed k-means assignment `[bestCluster, bestDot]` — the
+    * scale path past [[nearestCentroidScoreD]]'s flat N·k scan: score
+    * the `coarse` cells first (≈√k dots), probe the `nProbe` best
+    * (ties to the lowest cell position), and scan only the fine
+    * centroids in those cells' `members` lists. Per-vector cost is
+    * O(√k + nProbe·k/√k) instead of O(k) — the difference between
+    * N^1.5 and N² when k grows ∝ N (the SemDeDup dial).
+    *
+    * Determinism contract: every dot is a 0.0-seeded index-order fold
+    * of IEEE doubles; probe order is (coarse dot DESC, cell position
+    * ASC) and the fine argmax breaks ties to the LOWEST fine index —
+    * each a `row_number() OVER (ORDER BY d DESC, id ASC)` in SQL, so
+    * an independent engine replays the assignment bit-for-bit. When
+    * `nProbe >= #cells` the candidate set is every fine centroid and
+    * the result equals the flat scan exactly.
+    *
+    * `cellStart(p)..cellStart(p+1)` brackets cell p's slice of
+    * `members` (fine indices, ascending); only NON-EMPTY cells are
+    * present, in ascending original-cell order, so position order IS
+    * cell-id order for tie-breaking.
+    */
+  def ivfAssignScoreD(vn: ArrayData, cents: Array[Double], dim: Int,
+                      coarse: Array[Double], cellStart: Array[Int],
+                      members: Array[Int], nProbe: Int): ArrayData = {
+    val n = vn.numElements()
+    val m = math.min(n, dim)
+    val nc = cellStart.length - 1
+    val sc = new Array[Double](nc)
+    var j = 0
+    while (j < nc) {
+      val off = j * dim
+      var d = 0.0
+      var t = 0
+      while (t < m) { d += vn.getDouble(t) * coarse(off + t); t += 1 }
+      sc(j) = d
+      j += 1
+    }
+    val used = new Array[Boolean](nc)
+    var best = Integer.MAX_VALUE
+    var bestD = Double.NegativeInfinity
+    val np = math.min(nProbe, nc)
+    var p = 0
+    while (p < np) {
+      var bj = -1
+      var bs = Double.NegativeInfinity
+      var q = 0
+      while (q < nc) {
+        if (!used(q) && (bj < 0 || sc(q) > bs)) { bs = sc(q); bj = q }
+        q += 1
+      }
+      used(bj) = true
+      var e = cellStart(bj)
+      val eEnd = cellStart(bj + 1)
+      while (e < eEnd) {
+        val fi = members(e)
+        val off = fi * dim
+        var d = 0.0
+        var t = 0
+        while (t < m) { d += vn.getDouble(t) * cents(off + t); t += 1 }
+        if (d > bestD || (d == bestD && fi < best)) { bestD = d; best = fi }
+        e += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(Array[Double](best.toDouble, bestD))
+  }
+
   /** Hashed-bag-of-features linear text score (the fastText-style
     * quality-classifier shape): unigram hashes then bigram hashes — the
     * [[minhash]] tokenizer and poly31+mix64 hash family — index a

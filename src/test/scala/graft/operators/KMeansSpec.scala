@@ -82,6 +82,60 @@ class KMeansSpec extends SparkSpec {
     m.centroids.foreach(c => assert(c.toSeq === m.centroids.head.toSeq))
   }
 
+  test("IVF probe with nProbe >= cells equals the flat scan exactly") {
+    import spark.implicits._
+    val df = vecs(240).toDF("id", "v")
+    // full-coverage probe: every cell probed → candidate set is all k
+    // fine centroids → fit AND assignment must be bit-identical
+    val full = Some(KMeans.Probe(cc = 4, cIters = 2, nProbe = 4))
+    val mFlat = KMeans.fit(df, "id", "v", k = 12, iters = 2)
+    val mIvf = KMeans.fit(df, "id", "v", k = 12, iters = 2, probe = full)
+    mFlat.centroids.zip(mIvf.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    val aFlat = KMeans.assign(df, "id", "v", mFlat)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val aIvf = KMeans.assign(df, "id", "v", mIvf, probe = full)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(aFlat === aIvf)
+  }
+
+  test("buildCoarse partitions the fine centroids; members ascend in-cell") {
+    import spark.implicits._
+    val df = vecs(200).toDF("id", "v")
+    val m = KMeans.fit(df, "id", "v", k = 10, iters = 1)
+    val c = KMeans.buildCoarse(m.centroids, KMeans.Probe(cc = 3, cIters = 2))
+    val nCells = c.cellStart.length - 1
+    assert(nCells >= 1 && nCells <= 3)
+    assert(c.cellStart.head === 0 && c.cellStart.last === 10)
+    // every fine index appears exactly once; ascending within a cell
+    val all = (0 until nCells).flatMap { p =>
+      val slice = c.members.slice(c.cellStart(p), c.cellStart(p + 1))
+      assert(slice.toSeq === slice.sorted.toSeq, s"cell $p not ascending")
+      assert(slice.nonEmpty, s"cell $p empty — only non-empty cells allowed")
+      slice
+    }
+    assert(all.sorted === (0 until 10))
+  }
+
+  test("partial IVF probe keeps planted near-dup recall (approximate path)") {
+    import spark.implicits._
+    val base = vecs(300)
+    val planted = base.map { case (id, v) =>
+      (id + 1000, v.zipWithIndex.map { case (x, j) => x * (1.0f + 0.001f * (j % 3)) })
+    }
+    val df = (base ++ planted).toDF("id", "v")
+    // genuinely partial probing (2 of up to 4 cells): near-identical
+    // vectors walk the same deterministic probe path, so planted pairs
+    // still meet inside one fine cluster
+    val pairs = KMeans.semanticNearDupPairs(df, "id", "v",
+        k = 12, iters = 1, minCosine = 0.99,
+        probe = Some(KMeans.Probe(cc = 4, cIters = 2, nProbe = 2)))
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val found = base.count { case (id, _) => pairs.contains((id, id + 1000)) }
+    assert(found >= 285, s"found only $found of 300 planted pairs")
+  }
+
   test("semanticNearDupPairs finds planted within-cluster duplicates") {
     import spark.implicits._
     val base = vecs(200)
