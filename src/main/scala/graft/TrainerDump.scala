@@ -56,11 +56,11 @@ object TrainerDump {
     val wjson = hist.map(_.map(x => "%.17g".format(x)).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     Files.write(Paths.get(s"$outDir/weights.json"), wjson.getBytes("UTF-8"))
-    val (prefix, step, score) = OracleSql.gdTrainerStepSql(m, lr)
+    val (prefix, stepPartial, update, score) = OracleSql.gdTrainerStepSql(m, lr)
     def js(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
     val sqlJson =
-      s"""{"prefix":${prefix.map(js).mkString("[", ",", "]")},"step":${js(step)},"score":${js(score)},"m":$m,"iters":$iters,"lr":$lr,"train_sec":$trainSec}"""
+      s"""{"prefix":${prefix.map(js).mkString("[", ",", "]")},"step_partial":${js(stepPartial)},"update":${js(update)},"score":${js(score)},"m":$m,"iters":$iters,"lr":$lr,"train_sec":$trainSec}"""
     Files.write(Paths.get(s"$outDir/sql.json"), sqlJson.getBytes("UTF-8"))
     println(s"[trainerdump] wrote $outDir (train ${"%.1f".format(trainSec)} s)")
     spark.stop()

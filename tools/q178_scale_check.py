@@ -22,9 +22,17 @@ sf, dump = sys.argv[1], sys.argv[2]
 meta = json.load(open(os.path.join(dump, "sql.json")))
 weights = json.load(open(os.path.join(dump, "weights.json")))
 
-con = duckdb.connect()
+# file-backed DB + explicit budget + spill dir: the in-memory default
+# (% of RAM at connect) is fragile right after a Spark JVM exits, and
+# the materialized gtr table (50M+ rows at 100x) must be able to page
+dbpath = os.path.join(dump, "check.duckdb")
+if os.path.exists(dbpath):
+    os.remove(dbpath)
+con = duckdb.connect(dbpath)
 if os.environ.get("CHECK_THREADS"):
     con.execute(f"SET threads TO {int(os.environ['CHECK_THREADS'])}")
+con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM', '48GB')}'")
+con.execute(f"SET temp_directory='{os.path.join(dump, 'duck_tmp')}'")
 p = f"{sf}/documents.parquet"
 src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
 con.execute(f"CREATE VIEW documents AS SELECT * FROM {src}")
@@ -34,16 +42,31 @@ for stmt in meta["prefix"]:
     con.execute(stmt)
 nterms, ndocs = con.execute(
     "SELECT (SELECT count(*) FROM gtr), (SELECT count(*) FROM gcnt)").fetchone()
+# the per-doc ordered-list fold (z) is the memory hot spot — DuckDB's
+# in-aggregate ORDER BY cannot spill — so the doc set is processed in
+# shards of <= ~8M term occurrences; the gradient is an exact integer
+# sum, so per-shard partials accumulate bit-identically (see
+# OracleSql.gdTrainerStepSql)
+nshards = int(os.environ.get("CHECK_SHARDS", 0)) or max(1, nterms // 8000000)
 print(f"[prefix] {nterms} term occurrences / {ndocs} docs "
-      f"materialized in {time.time() - t0:.1f} s", flush=True)
+      f"materialized in {time.time() - t0:.1f} s, {nshards} shards", flush=True)
+
+
+def load_gwin(w):
+    con.execute("CREATE OR REPLACE TABLE gwin(b INT, w DOUBLE)")
+    con.executemany("INSERT INTO gwin VALUES (?, ?)", list(enumerate(w)))
+
 
 fails = 0
 for t in range(meta["iters"]):
     it0 = time.time()
-    con.execute("CREATE OR REPLACE TABLE gwin(b INT, w DOUBLE)")
-    con.executemany("INSERT INTO gwin VALUES (?, ?)",
-                    list(enumerate(weights[t])))
-    got = [w for (_, w) in con.execute(meta["step"]).fetchall()]
+    load_gwin(weights[t])
+    con.execute("CREATE OR REPLACE TABLE ggacc(b INT, gs BIGINT)")
+    for s in range(nshards):
+        con.execute("INSERT INTO ggacc " + meta["step_partial"]
+                    .replace("{NSHARDS}", str(nshards))
+                    .replace("{SHARD}", str(s)))
+    got = [w for (_, w) in con.execute(meta["update"]).fetchall()]
     exp = weights[t + 1]
     bad = [b for b in range(len(exp)) if got[b] != exp[b]]
     status = "PASS" if not bad else f"FAIL ({len(bad)} weights, first b={bad[:5]})"
@@ -53,10 +76,13 @@ for t in range(meta["iters"]):
           f"{time.time() - it0:.1f} s)", flush=True)
 
 it0 = time.time()
-con.execute("CREATE OR REPLACE TABLE gwin(b INT, w DOUBLE)")
-con.executemany("INSERT INTO gwin VALUES (?, ?)",
-                list(enumerate(weights[meta["iters"]])))
-oracle = {r[0]: (r[1], r[2]) for r in con.execute(meta["score"]).fetchall()}
+load_gwin(weights[meta["iters"]])
+oracle = {}
+for s in range(nshards):
+    for r in con.execute(meta["score"]
+                         .replace("{NSHARDS}", str(nshards))
+                         .replace("{SHARD}", str(s))).fetchall():
+        oracle[r[0]] = (r[1], r[2])
 spark = {}
 for f in glob.glob(os.path.join(dump, "scores", "*.parquet")):
     for r in con.execute(f"SELECT doc_id, y, score FROM '{f}'").fetchall():

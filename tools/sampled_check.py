@@ -167,9 +167,15 @@ def main():
             fails.append(q)
         con.close()
 
-    # ---- q95: full-corpus Lloyd replay, restricted pair join ------
-    q = "q95_semantic_dedup"
-    if q in oracle:
+    # ---- q95/q188: full-corpus Lloyd replay, restricted pair join -
+    # Both oracles pin k explicitly (q95 flat k=8, q188 IVF-probed
+    # k=64/cc=8/nProbe=2), so the SAME SQL is valid at any scale; only
+    # the quadratic within-cluster pair join gets the surgical sample
+    # restriction. q188 at 10x+ is the IVF assignment machinery
+    # verified at its operating volume (ivfKmeansCtes replays the
+    # coarse Lloyd + probe + member-restricted argmax bit-for-bit).
+    for q in ["q95_semantic_dedup", "q188_semantic_dedup_ivf"]:
+      if q in oracle:
         con = connect(sf)
         base_ids = [r[0] for r in
                     con.execute("SELECT vec_id FROM embeddings").fetchall()]
@@ -189,7 +195,7 @@ def main():
         anchor = ("FROM a1 a JOIN a1 b ON a.cluster = b.cluster "
                   "AND a.vec_id < b.vec_id")
         sql = oracle[q]
-        assert anchor in sql, "q95 oracle pairs-CTE anchor moved"
+        assert anchor in sql, f"{q} oracle pairs-CTE anchor moved"
         sql = sql.replace(anchor, anchor +
                           " JOIN sample_pairs sp ON sp.id_a = a.vec_id "
                           "AND sp.id_b = b.vec_id")
