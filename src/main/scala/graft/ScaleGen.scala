@@ -36,8 +36,29 @@ object ScaleGen {
   private val lowerDigits = "abcdefghijklmnopqrstuvwxyz0123456789"
   private val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
-  private def rotated(s: String, k: Int): String =
-    s.drop(k % s.length) + s.take(k % s.length)
+  /** Per-replica SEEDED Fisher–Yates permutation of an alphabet — the
+    * round-12 fix for the rotation cipher's period: `rotated(s, i)`
+    * repeats at i ≡ j (mod |s|), so at factor > 36 replicas {i, i+36,
+    * i+72} shared one lowercase cipher and the corpus silently grew
+    * cross-replica near-dup CLIQUES — exactly the densified workload
+    * the cipher exists to avoid (measured: q36's reported pairs jumped
+    * 7.7k → 533k between 30× and 100×, all hash-verified real but an
+    * artifact of the harness, not of scale). A mix64-seeded
+    * permutation has effective period 36! — every replica pair gets
+    * distinct vocabularies at any realistic factor, while staying a
+    * bijection on token space (within-replica shingle relations still
+    * replicate exactly).
+    */
+  private def permuted(s: String, seed: Long): String = {
+    val a = s.toCharArray
+    var j = a.length - 1
+    while (j > 0) {
+      val r = ((graft.plans.Kernels.mix64(seed * 64007L + j) >>> 1) % (j + 1)).toInt
+      val t = a(j); a(j) = a(r); a(r) = t
+      j -= 1
+    }
+    new String(a)
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args
@@ -85,7 +106,11 @@ object ScaleGen {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     write(replicate(docs) { (d, i) =>
       val from = lowerDigits + upper
-      val to = rotated(lowerDigits, i) + rotated(upper, i)
+      // replica 0 is the base corpus verbatim; each other replica gets
+      // its own seeded permutation pair (distinct seeds per case class)
+      val to =
+        if (i == 0) from
+        else permuted(lowerDigits, i.toLong) + permuted(upper, i.toLong + 500000L)
       d.withColumn("doc_id", col("doc_id") + lit(i * offset))
         .withColumn("text", translate(col("text"), from, to))
     }, "documents")
