@@ -172,9 +172,9 @@ object OracleSql {
     * kernel's 0.5). Replays the operator exactly: pinned-order folds
     * for every per-document z, the true rational-sigmoid squared-loss
     * gradient, and the cross-document gradient sum replayed as an
-    * EXACT integer: per-occurrence gradients snapped to the 1e-12
+    * EXACT integer: per-occurrence gradients snapped to the 1e-9
     * micro grid and summed as BIGINT→HUGEINT, matching the engine's
-    * decimal(38,0) sum bit-for-bit regardless of reduction order.
+    * long sum bit-for-bit regardless of reduction order.
     */
   def gdTrainerCtes(m: Int, iters: Int, lr: Double): String = {
     val sb = new StringBuilder
@@ -209,15 +209,17 @@ object OracleSql {
            |  JOIN gcnt c ON c.doc_id = g.doc_id
            |  GROUP BY g.doc_id, c.y, c.cnt
            |), gg$i AS (
-           |  SELECT g.bu AS b,
-           |    sum(CAST(round((((0.5 + 0.5 * (z.z / (1.0 + abs(z.z)))) - z.y) * 0.5
-           |         / ((1.0 + abs(z.z)) * (1.0 + abs(z.z)))) / z.cnt
-           |         * 1000000000000.0, 0) AS BIGINT)) AS gs
-           |  FROM gtr g JOIN gz$i z ON z.doc_id = g.doc_id
-           |  GROUP BY g.bu
+           |  SELECT b, sum(CAST(CASE WHEN gv >= 0
+           |      THEN floor(abs(gv) * 1000000000.0 + 0.5)
+           |      ELSE -floor(abs(gv) * 1000000000.0 + 0.5) END AS BIGINT)) AS gs
+           |  FROM (SELECT g.bu AS b,
+           |          ((((0.5 + 0.5 * (z.z / (1.0 + abs(z.z)))) - z.y) * 0.5
+           |            / ((1.0 + abs(z.z)) * (1.0 + abs(z.z)))) / z.cnt) AS gv
+           |        FROM gtr g JOIN gz$i z ON z.doc_id = g.doc_id)
+           |  GROUP BY b
            |), gw${i + 1} AS (
            |  SELECT w.b, round(w.w - $lr * (CAST(coalesce(g.gs, 0) AS DOUBLE)
-           |    / 1000000000000.0) / (SELECT n FROM gn), 6) AS w
+           |    / 1000000000.0) / (SELECT n FROM gn), 6) AS w
            |  FROM gw$i w LEFT JOIN gg$i g ON g.b = w.b
            |)""".stripMargin)
     }
@@ -294,15 +296,17 @@ object OracleSql {
          |  WHERE g.doc_id % {NSHARDS} = {SHARD}
          |  GROUP BY g.doc_id, c.y, c.cnt
          |)
-         |SELECT g.bu AS b,
-         |  sum(CAST(round((((0.5 + 0.5 * (z.z / (1.0 + abs(z.z)))) - z.y) * 0.5
-         |       / ((1.0 + abs(z.z)) * (1.0 + abs(z.z)))) / z.cnt
-         |       * 1000000000000.0, 0) AS BIGINT)) AS gs
-         |FROM gtr g JOIN gz z ON z.doc_id = g.doc_id
-         |GROUP BY g.bu""".stripMargin
+         |SELECT b, sum(CAST(CASE WHEN gv >= 0
+         |    THEN floor(abs(gv) * 1000000000.0 + 0.5)
+         |    ELSE -floor(abs(gv) * 1000000000.0 + 0.5) END AS BIGINT)) AS gs
+         |FROM (SELECT g.bu AS b,
+         |        ((((0.5 + 0.5 * (z.z / (1.0 + abs(z.z)))) - z.y) * 0.5
+         |          / ((1.0 + abs(z.z)) * (1.0 + abs(z.z)))) / z.cnt) AS gv
+         |      FROM gtr g JOIN gz z ON z.doc_id = g.doc_id)
+         |GROUP BY b""".stripMargin
     val update =
       s"""SELECT w.b, round(w.w - $lr * (CAST(coalesce(g.gs, 0) AS DOUBLE)
-         |  / 1000000000000.0) / (SELECT n FROM gn), 6) AS w
+         |  / 1000000000.0) / (SELECT n FROM gn), 6) AS w
          |FROM gwin w LEFT JOIN (
          |  SELECT b, CAST(sum(gs) AS BIGINT) AS gs FROM ggacc GROUP BY b) g
          |ON g.b = w.b ORDER BY w.b""".stripMargin
