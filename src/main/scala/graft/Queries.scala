@@ -5948,7 +5948,93 @@ object Queries {
               |SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b,
               |       round(cosine, 6) AS cosine
               |FROM cosv WHERE cosine >= 0.9""".stripMargin),
-      "SemDeDup via IVF-probed assignment (coarse cells over the fine centroids, nProbe best cells per vector): the O(N·√k) scale path, bit-exactly replayed by the oracle")
+      "SemDeDup via IVF-probed assignment (coarse cells over the fine centroids, nProbe best cells per vector): the O(N·√k) scale path, bit-exactly replayed by the oracle"),
+
+    Q("q189_image_canonical",
+      // q162's LINEAR-OUTPUT twin: at 100× the fabricated corpus holds
+      // 2,500-copy image groups, so the all-pairs list is Θ(G²) ≈ 625M
+      // rows BY DEFINITION (SCALE.md round 12). This path never
+      // enumerates pairs: each banded bucket emits Hamming-verified
+      // STAR edges to its min id (O(members) per bucket) and min-label
+      // components collapse the star graph — one row per image
+      (s, d) => Multimodal.imageNearDupCanonical(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateNearDupImageCol(col("doc_id"), 200).as("content")),
+          "doc_id", "content", maxHamming = 4),
+      // full re-derivation: q162's pixel-level dHash rebuild, then the
+      // 35 block-combination band keys (7 blocks of the 64 bits, every
+      // 3-subset), per-bucket arg-min anchors, Hamming-verified star
+      // edges, and a recursive min-label closure; singletons coalesce
+      // to themselves and component sizes are re-counted
+      Some {
+        def pix(pos: String): String = {
+          val payload =
+            s"(${OracleSql.mix64(s"CAST(b * 1048576 + $pos AS UBIGINT)")} & 255)"
+          val perturb =
+            s"CASE WHEN (${OracleSql.mix64(s"CAST(doc_id * 8191 + $pos AS UBIGINT)")} & 63) = 0 THEN 32 ELSE 0 END"
+          s"CAST((($payload + $perturb) & 255) AS BIGINT)"
+        }
+        val nBlocks = 7 // maxHamming + 3
+        val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+        val keyStructs = (0 until nBlocks).combinations(3).toSeq.zipWithIndex
+          .map { case (blocks, tid) =>
+            val k = blocks.foldLeft("CAST(0 AS UBIGINT)") { (acc, bi) =>
+              val lo = bounds(bi); val width = bounds(bi + 1) - lo
+              val mask = (BigInt(1) << width) - 1
+              s"(($acc << $width) | ((sh >> $lo) & $mask))"
+            }
+            s"{'t': $tid, 'k': $k}"
+          }.mkString(",\n           |      ")
+        s"""WITH RECURSIVE dims AS (
+           |  SELECT doc_id, doc_id % 200 AS b,
+           |    16 + (doc_id % 200) % 48 AS w,
+           |    16 + ((doc_id % 200) * 7) % 48 AS h
+           |  FROM documents
+           |), bits AS (
+           |  SELECT doc_id, j,
+           |    ${pix("((j * (w*h - 1)) // 64)")} AS pa,
+           |    ${pix("(((j+1) * (w*h - 1)) // 64)")} AS pb
+           |  FROM dims CROSS JOIN (SELECT unnest(range(64)) AS j)
+           |), sh AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(sum(CASE WHEN pa < pb
+           |      THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END),
+           |      0) AS UBIGINT) AS sh
+           |  FROM bits GROUP BY doc_id
+           |), keyed AS (
+           |  SELECT doc_id, sh, u.t AS t, u.k AS k FROM (
+           |    SELECT doc_id, sh, unnest([
+           |      $keyStructs]) AS u
+           |    FROM sh)
+           |), mn AS (
+           |  SELECT t, k, min(doc_id) AS mid, arg_min(sh, doc_id) AS msh
+           |  FROM keyed GROUP BY t, k
+           |), star AS (
+           |  SELECT DISTINCT mn.mid AS id_a, ky.doc_id AS id_b
+           |  FROM keyed ky JOIN mn ON mn.t = ky.t AND mn.k = ky.k
+           |  WHERE ky.doc_id <> mn.mid AND bit_count(xor(mn.msh, ky.sh)) <= 4
+           |), e AS (
+           |  SELECT id_a AS s, id_b AS d FROM star
+           |  UNION
+           |  SELECT id_b, id_a FROM star
+           |), reach AS (
+           |  SELECT s AS id, s AS r FROM e
+           |  UNION
+           |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+           |), lab AS (
+           |  SELECT s.doc_id AS id,
+           |    CAST(coalesce(c.comp, s.doc_id) AS BIGINT) AS canonical_id
+           |  FROM sh s LEFT JOIN (
+           |    SELECT id, min(r) AS comp FROM reach GROUP BY id) c
+           |  ON c.id = s.doc_id
+           |)
+           |SELECT CAST(l.id AS BIGINT) AS id, l.canonical_id,
+           |  CAST(g.cnt AS BIGINT) AS n_members
+           |FROM lab l JOIN (
+           |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
+           |USING (canonical_id)""".stripMargin
+      },
+      "canonical-collapse image dedup (dHash star edges + min-label components): q162's linear-output twin for giant duplicate groups — never materializes the quadratic pair list")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

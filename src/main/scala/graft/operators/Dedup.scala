@@ -187,7 +187,14 @@ object Dedup {
     * `maxHamming` — exact, because every such pair shares ≥ 3 clean
     * blocks and is therefore guaranteed a bucket collision.
     */
-  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+  /** The shared block-combination banding of [[hammingPairs]] /
+    * [[hammingCanonical]]: one row per (signature, 3-block combo),
+    * key = the combo's concatenated block bits. Any two signatures
+    * within `maxHamming` share ≥ 3 clean blocks of the `maxHamming+3`,
+    * hence ≥ one (t, k) bucket — the guaranteed-recall property both
+    * consumers rely on.
+    */
+  private def blockKeyed(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 5,
       s"maxHamming must be in [1,5] (explode factor C(h+3,3)), got $maxHamming")
     val nBlocks = maxHamming + 3
@@ -198,7 +205,7 @@ object Dedup {
       (shiftrightunsigned(col("sh"), lo).bitwiseAND(lit((1L << width) - 1)), width)
     }
     val combos = (0 until nBlocks).combinations(3).toSeq.zipWithIndex
-    val keyed = sig.select(col("id"), col("sh"),
+    sig.select(col("id"), col("sh"),
       explode(array(combos.map { case (blocks, tid) =>
         val key = blocks.foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, bi) =>
           val (bv, width) = blockOf(bi)
@@ -207,6 +214,10 @@ object Dedup {
         struct(lit(tid).as("t"), key.as("k"))
       }: _*)).as("c"))
       .select(col("id"), col("sh"), col("c.t"), col("c.k"))
+  }
+
+  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val keyed = blockKeyed(sig, maxHamming)
     keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
           col("a.id") < col("b.id"))
@@ -214,6 +225,49 @@ object Dedup {
         HashFunctions.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** CANONICAL-COLLAPSE Hamming dedup — the linear-OUTPUT companion to
+    * [[hammingPairs]] for corpora with giant duplicate groups, where
+    * the all-pairs list is Θ(G²) per group by definition (measured:
+    * the fabricated image corpus at 100× holds 2,500-copy groups →
+    * ~625M pairs; see SCALE.md round 12). Instead of enumerating
+    * pairs, each block-combination bucket emits STAR EDGES — every
+    * member links to the bucket's MINIMUM id, Hamming-verified —
+    * O(members) per bucket, and min-label [[connectedComponents]]
+    * collapse the star graph; signatures with no verified edge are
+    * their own canonical.
+    *
+    * Semantics: the star graph is a SUBGRAPH of the pair graph, so
+    * components REFINE pairs+CC — identical whenever duplicate groups
+    * are Hamming-tight around their bucket minima (re-encodes of one
+    * source image, the workload this exists for); a member within
+    * `maxHamming` of some bucket peer but not of any bucket minimum
+    * keeps its own label. That recall trade is the price of linear
+    * output, and it is DETERMINISTIC (min-id anchoring), so the oracle
+    * replays it exactly.
+    *
+    * Output: (id, canonical_id, n_members) — one row per input
+    * signature, n_members = its component's size.
+    */
+  def hammingCanonical(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val keyed = blockKeyed(sig, maxHamming)
+    // per-bucket minimum WITH its signature: struct min is
+    // lexicographic and ids are unique, so this is arg-min by id
+    val mins = keyed.groupBy(col("t"), col("k"))
+      .agg(min(struct(col("id"), col("sh"))).as("m"))
+    val star = keyed.join(mins, Seq("t", "k"))
+      .filter(col("id") =!= col("m.id") &&
+        HashFunctions.hamming64(col("m.sh"), col("sh")) <= maxHamming)
+      .select(col("m.id").as("src"), col("id").as("dst"))
+    val cc = connectedComponents(star, "src", "dst")
+    val lab = sig.select(col("id"))
+      .join(cc.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("canonical_id"))
+    lab.join(
+      lab.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_members")),
+      Seq("canonical_id"))
+      .select(col("id"), col("canonical_id"), col("n_members"))
   }
 
   /** Exact n-gram Jaccard pairs via an inverted shingle index, with a

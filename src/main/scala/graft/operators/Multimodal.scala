@@ -293,13 +293,26 @@ object Multimodal {
     * quadratic blowup on non-duplicates.
     */
   def imageNearDup(df: DataFrame, idCol: String, binCol: String,
-                   maxHamming: Int = 4): DataFrame = {
+                   maxHamming: Int = 4): DataFrame =
+    Dedup.hammingPairs(dhashSig(df, idCol, binCol), maxHamming)
+
+  /** [[imageNearDup]]'s LINEAR-OUTPUT twin for corpora with giant
+    * duplicate groups — decode → dHash → [[Dedup.hammingCanonical]]
+    * (per-bucket star edges + min-label components instead of the
+    * Θ(G²)-per-group pair list). One row per image:
+    * (id, canonical_id, n_members). "Keep one copy" is
+    * `filter(id === canonical_id)`.
+    */
+  def imageNearDupCanonical(df: DataFrame, idCol: String, binCol: String,
+                            maxHamming: Int = 4): DataFrame =
+    Dedup.hammingCanonical(dhashSig(df, idCol, binCol), maxHamming)
+
+  private def dhashSig(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-    val sig = ds.mapPartitions { it =>
+    ds.mapPartitions { it =>
       it.map { case (id, bytes) => (id, dhash64(bytes)) }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .toDF("id", "sh")
-    Dedup.hammingPairs(sig, maxHamming)
   }
 }

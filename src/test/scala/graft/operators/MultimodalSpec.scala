@@ -123,4 +123,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want,
       "banded join must find EXACTLY the Hamming-ball pairs (guaranteed recall)")
   }
+
+  test("imageNearDupCanonical: star components refine pair components; " +
+      "tight groups collapse identically") {
+    import spark.implicits._
+    val n = 120
+    val df = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"),
+        Multimodal.fabricateNearDupImageCol(col("doc_id"), 20).as("content"))
+      .repartition(5)
+    val lab = Multimodal.imageNearDupCanonical(df, "doc_id", "content",
+        maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one row per image; canonical is a component member ≤ id-min rule
+    assert(lab.size === n)
+    lab.foreach { case (id, (canon, _)) => assert(canon <= id) }
+    // n_members is consistent: every member of a canonical reports the
+    // same size, and sizes sum to n
+    val byCanon = lab.values.groupBy(_._1)
+    byCanon.foreach { case (_, ms) =>
+      assert(ms.map(_._2).toSet.size === 1)
+      assert(ms.head._2 === ms.size.toLong)
+    }
+    assert(byCanon.values.map(_.size).sum === n)
+    // refinement: every star component sits inside one pair component
+    // (never merges across), and on this Hamming-tight fixture the two
+    // partitions are IDENTICAL
+    val hs = (0 until n).map(i =>
+      Multimodal.dhash64(Multimodal.fabricateNearDupImage(i.toLong, 20)))
+    val parent = (0 until n).toArray
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (a <- 0 until n; b <- a + 1 until n
+         if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 4) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val pairCanon = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    assert(lab.view.mapValues(_._1).toMap === pairCanon,
+      "Hamming-tight groups must collapse identically to pairs+CC")
+  }
 }
