@@ -6034,7 +6034,55 @@ object Queries {
            |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
            |USING (canonical_id)""".stripMargin
       },
-      "canonical-collapse image dedup (dHash star edges + min-label components): q162's linear-output twin for giant duplicate groups — never materializes the quadratic pair list")
+      "canonical-collapse image dedup (dHash star edges + min-label components): q162's linear-output twin for giant duplicate groups — never materializes the quadratic pair list"),
+
+    Q("q190_boilerplate_lines",
+      // RefinedWeb-style per-SOURCE boilerplate removal over the q80
+      // re-lining (8-token lines): any line in ≥2 distinct docs of one
+      // source is template chrome and is dropped EVERYWHERE it occurs
+      (s, d) => {
+        val lined = documents(s, d).select(col("doc_id"), col("source"),
+          graft.plans.Exprs.chunkTokens(col("text"), 8).as("t"))
+        Dedup.boilerplateLines(lined, "t", "doc_id", "source", minDf = 2)
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
+            col("text_clean"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |           t -> t <> '') AS tk
+             |  FROM documents
+             |), lined AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN len(tk) = 0 THEN ['']
+             |    ELSE [array_to_string(tk[i*8+1 : i*8+8], ' ')
+             |          FOR i IN range(0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1))]
+             |    END AS lines
+             |  FROM toks
+             |), lrows AS (
+             |  SELECT doc_id, source, generate_subscripts(lines, 1) - 1 AS pos,
+             |         unnest(lines) AS line
+             |  FROM lined
+             |), hot AS (
+             |  SELECT source, line
+             |  FROM lrows GROUP BY source, line
+             |  HAVING count(DISTINCT doc_id) >= 2
+             |), kept AS (
+             |  SELECT l.doc_id, l.pos, l.line
+             |  FROM lrows l ANTI JOIN hot h
+             |    ON l.source = h.source AND l.line = h.line
+             |), agg AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean
+             |  FROM kept GROUP BY doc_id
+             |), n AS (
+             |  SELECT doc_id, count(*) AS n_lines FROM lrows GROUP BY doc_id
+             |)
+             |SELECT n.doc_id, n.n_lines,
+             |       n.n_lines - coalesce(a.n_kept, 0) AS n_removed,
+             |       coalesce(a.text_clean, '') AS text_clean
+             |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      "per-source boilerplate line removal (RefinedWeb line-wise corrections): lines in >=2 distinct docs of a source are template chrome, dropped everywhere")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

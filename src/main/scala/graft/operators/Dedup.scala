@@ -659,6 +659,57 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Per-group boilerplate line removal (the RefinedWeb "line-wise
+    * corrections" / CCNet per-domain paragraph-hash step): a line is
+    * BOILERPLATE within its `groupCol` slice (source / domain) when it
+    * occurs in ≥ `minDf` DISTINCT documents of that group — headers,
+    * footers and nav chrome repeat across a domain's pages while real
+    * prose doesn't. Boilerplate lines are removed EVERYWHERE they occur
+    * (unlike [[lineDedup]], which keeps the first occurrence), and each
+    * document reassembles from its surviving lines in order.
+    *
+    * Scale shape: one posexplode → (group, hash, line, doc) distinct +
+    * (group, hash, line) count — two hash aggs on 8-byte line hashes
+    * (the line text rides only as collision guard). The hot set is by
+    * definition a SMALL distinct set (lines repeated across documents),
+    * so it broadcasts back as a left-anti join and the corpus lines
+    * never shuffle for the subtraction; the only corpus-volume shuffle
+    * is the final doc-keyed regroup, whose per-group state is one
+    * document's own lines. On a corpus where the hot set could outgrow
+    * executor memory (pathological template farms), drop the hint and
+    * let AQE pick a shuffled anti-join.
+    *
+    * Returns (id, n_lines, n_removed, text_clean); a document that was
+    * ALL boilerplate keeps its row with empty text.
+    */
+  def boilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                       groupCol: String, minDf: Int,
+                       sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (1 would remove everything), got $minDf")
+    val lines = df
+      .select(col(idCol).as("id"), col(groupCol).as("g"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "g", "pos", "line")
+      .withColumn("_h", xxhash64(col("line")))
+    val hot = lines
+      .dropDuplicates("g", "_h", "line", "id")
+      .groupBy(col("g"), col("_h"), col("line"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("g"), col("_h"), col("line"))
+    val kept = lines.join(broadcast(hot), Seq("g", "_h", "line"), "left_anti")
+    val reassembled = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("text_clean"))
+    lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Incremental exact dedup: which `incoming` documents already exist
     * (by content) in `existing` — the ingestion-time check that keeps a
     * corpus append-only-clean without re-deduplicating the whole corpus

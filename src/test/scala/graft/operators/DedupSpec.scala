@@ -517,6 +517,44 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("boilerplateLines matches a brute force; removal is per-group and everywhere") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val lineAlphabet = Vector("ftr", "aa", "bb", "cc", "dd", "ee", "")
+    // two groups; "hdr" planted in most docs of g0 only — it must be
+    // removed from every g0 doc yet SURVIVE in g1 (per-group scoping)
+    val docs = (0L until 60L).map { i =>
+      val g = if (i < 30) "g0" else "g1"
+      val body = Seq.fill(rng.nextInt(5) + 1)(
+        lineAlphabet(rng.nextInt(lineAlphabet.size)))
+      val lines = if (g == "g0" && i % 3 != 0) "hdr" +: body else body
+      (i, g, lines.mkString("\n"))
+    }
+    val minDf = 3
+    // brute force: per (group, line) distinct-doc counts, then filter
+    val df = docs.flatMap { case (id, g, t) =>
+      t.split(java.util.regex.Pattern.quote("\n"), -1).distinct.map(l => (g, l, id))
+    }.groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).distinct.size).toMap
+    val expected = docs.map { case (id, g, t) =>
+      val all = t.split(java.util.regex.Pattern.quote("\n"), -1)
+      val kept = all.filter(l => df((g, l)) < minDf)
+      (id, all.length.toLong, (all.length - kept.length).toLong, kept.mkString("\n"))
+    }.toSet
+    val got = Dedup.boilerplateLines(
+        docs.toDF("doc_id", "source", "text").repartition(7),
+        "text", "doc_id", "source", minDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === expected)
+    // the planted header really was hot in g0 and cold in g1
+    assert(df(("g0", "hdr")) >= minDf)
+    assert(!df.contains(("g1", "hdr")) || df(("g1", "hdr")) < minDf)
+    // scoping assertion: no surviving g0 text contains the header line
+    got.filter(x => docs(x._1.toInt)._2 == "g0").foreach { case (_, _, _, t) =>
+      assert(!t.split("\n").contains("hdr"))
+    }
+  }
+
   test("selectCanonical picks the argmax-score member per cluster (random graph)") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
