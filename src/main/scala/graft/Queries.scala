@@ -6082,7 +6082,60 @@ object Queries {
              |       n.n_lines - coalesce(a.n_kept, 0) AS n_removed,
              |       coalesce(a.text_clean, '') AS text_clean
              |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin),
-      "per-source boilerplate line removal (RefinedWeb line-wise corrections): lines in >=2 distinct docs of a source are template chrome, dropped everywhere")
+      "per-source boilerplate line removal (RefinedWeb line-wise corrections): lines in >=2 distinct docs of a source are template chrome, dropped everywhere"),
+
+    Q("q191_audio_vad",
+      // VAD-style activity segmentation over the binary audio column:
+      // integer mean-square test per 256-sample window, consecutive
+      // active windows merged in-row. Unlike q72 (whose oracle checks
+      // the container structure only), this oracle re-derives EVERY
+      // 8-bit sample, window verdict, and island from the splitmix64
+      // payload — the multimodal family's first payload-level oracle
+      (s, d) => Multimodal.audioSegments(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateAudioCol(col("doc_id")).as("content")),
+          "doc_id", "content", windowSamples = 256, meanSqThreshold = 5500L)
+        .select(col("id").as("doc_id"), col("sample_rate"), col("n_windows"),
+          col("n_active"), col("n_segments"), col("longest_run")),
+      Some {
+        val sv = s"(${OracleSql.mix64("CAST(doc_id * 65536 + i AS UBIGINT)")} & 255)"
+        s"""WITH dims AS (
+           |  SELECT doc_id,
+           |    8000 + (doc_id % 3) * 4000 AS rate,
+           |    1000 + (doc_id * 11) % 3000 AS n
+           |  FROM documents
+           |), idx AS (
+           |  SELECT doc_id, rate, unnest(range(n)) AS i FROM dims
+           |), samples AS (
+           |  SELECT doc_id, rate, i // 256 AS w,
+           |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
+           |  FROM (SELECT doc_id, rate, i, CAST($sv AS BIGINT) AS sv FROM idx)
+           |), act AS (
+           |  SELECT doc_id, rate, w,
+           |    sum(s * s) >= 5500 * count(*) AS a
+           |  FROM samples GROUP BY doc_id, rate, w
+           |), runs AS (
+           |  SELECT doc_id,
+           |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+           |  FROM act WHERE a
+           |), seg AS (
+           |  SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp
+           |), segagg AS (
+           |  SELECT doc_id, count(*) AS n_segments, max(run_len) AS longest_run
+           |  FROM seg GROUP BY doc_id
+           |), base AS (
+           |  SELECT doc_id, any_value(rate) AS rate, count(*) AS n_windows,
+           |    count(*) FILTER (a) AS n_active
+           |  FROM act GROUP BY doc_id
+           |)
+           |SELECT b.doc_id, CAST(b.rate AS BIGINT) AS sample_rate,
+           |  CAST(b.n_windows AS BIGINT) AS n_windows,
+           |  CAST(b.n_active AS BIGINT) AS n_active,
+           |  CAST(coalesce(g.n_segments, 0) AS BIGINT) AS n_segments,
+           |  CAST(coalesce(g.longest_run, 0) AS BIGINT) AS longest_run
+           |FROM base b LEFT JOIN segagg g USING (doc_id)""".stripMargin
+      },
+      "VAD-style audio segmentation (integer mean-square gate + in-row island merge, map-only): per-clip activity profile with a full payload-level oracle")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -197,6 +197,59 @@ object Multimodal {
     }(Encoders.product[AudioWindow]).toDF()
   }
 
+  case class AudioSegStats(id: Long, sample_rate: Long, n_windows: Long,
+                           n_active: Long, n_segments: Long, longest_run: Long)
+
+  /** VAD-style audio segmentation: frame the signal into
+    * `windowSamples`-sample windows, mark a window ACTIVE when its
+    * sum-of-squares ≥ `meanSqThreshold` × window length (the
+    * mean-square energy test kept as an EXACT integer comparison — no
+    * division, no floats), and merge consecutive active windows into
+    * segments. Per input row: (id, sample_rate, n_windows, n_active,
+    * n_segments, longest_run) — the speech/music activity profile an
+    * ASR-corpus curation stage gates on.
+    *
+    * 100-TB shape: pure map-side — one partition-batched pass over the
+    * binary column, O(bytes) per row, zero shuffle; the segment merge
+    * is the in-row island scan, never a window function. All
+    * arithmetic is integer, so a second engine re-derives every
+    * sample, window verdict, and island from first principles.
+    */
+  def audioSegments(df: DataFrame, idCol: String, binCol: String,
+                    windowSamples: Int, meanSqThreshold: Long): DataFrame = {
+    require(windowSamples > 0 && meanSqThreshold >= 0)
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val b = java.nio.ByteBuffer.wrap(bytes)
+        require(b.getInt() == AudioMagic, s"not a fake audio: id $id")
+        val rate = b.getInt(); val n = b.getInt()
+        val nWin = (n + windowSamples - 1) / windowSamples
+        var w = 0; var nActive = 0L; var nSeg = 0L
+        var longest = 0L; var run = 0L
+        while (w < nWin) {
+          val start = w * windowSamples
+          val end = math.min(start + windowSamples, n)
+          var ss = 0L
+          var i = start
+          while (i < end) {
+            val s = bytes(12 + i).toLong // signed 8-bit sample
+            ss += s * s
+            i += 1
+          }
+          if (ss >= meanSqThreshold * (end - start)) {
+            nActive += 1; run += 1
+            if (run == 1L) nSeg += 1
+            if (run > longest) longest = run
+          } else run = 0L
+          w += 1
+        }
+        AudioSegStats(id, rate.toLong, nWin.toLong, nActive, nSeg, longest)
+      }
+    }(Encoders.product[AudioSegStats]).toDF()
+  }
+
   /** Binary → deterministic pseudo-embedding (unit-norm Float array):
     * the STUB for a learned vision/audio encoder, shaped exactly like
     * the real thing so the output feeds [[Similarity.cosineTopK]] /

@@ -124,6 +124,60 @@ class MultimodalSpec extends SparkSpec {
       "banded join must find EXACTLY the Hamming-ball pairs (guaranteed recall)")
   }
 
+  test("audioSegments: planted activity patterns and brute-force parity") {
+    import spark.implicits._
+    // hand-built containers: payload pattern chosen per case
+    def clip(id: Long, samples: Array[Byte]): (Long, Array[Byte]) = {
+      val out = java.nio.ByteBuffer.allocate(12 + samples.length)
+      out.putInt(Multimodal.AudioMagic).putInt(16000).putInt(samples.length)
+      out.put(samples)
+      (id, out.array())
+    }
+    val w = 4 // window size for the planted cases
+    val silence = clip(0L, Array.fill[Byte](16)(0)) // 4 windows, 0 active
+    val loud = clip(1L, Array.fill[Byte](16)(100)) // all active, ONE segment
+    // windows: active, silent, active, active(short tail) → 2 segments,
+    // longest run 2
+    val mixed = clip(2L, (Array.fill[Byte](4)(100) ++ Array.fill[Byte](4)(0)
+      ++ Array.fill[Byte](5)(100)).toArray)
+    val got = Multimodal.audioSegments(
+        Seq(silence, loud, mixed).toDF("doc_id", "content").repartition(3),
+        "doc_id", "content", windowSamples = w, meanSqThreshold = 50L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) === ((4L, 0L, 0L, 0L)))
+    assert(got(1L) === ((4L, 4L, 1L, 4L)))
+    assert(got(2L) === ((4L, 3L, 2L, 2L)))
+    // brute-force parity on fabricated audio (the q191 configuration)
+    val n = 40
+    val fab = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.fabricateAudioCol(col("doc_id")).as("content"))
+      .repartition(5)
+    val res = Multimodal.audioSegments(fab, "doc_id", "content", 256, 5500L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    (0 until n).foreach { idInt =>
+      val id = idInt.toLong
+      val bytes = Multimodal.fabricateAudio(id)
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      b.getInt(); val rate = b.getInt(); val nSamp = b.getInt()
+      val verdicts = (0 until (nSamp + 255) / 256).map { wi =>
+        val (s0, e0) = (wi * 256, math.min(wi * 256 + 256, nSamp))
+        val ss = (s0 until e0).map(i => { val s = bytes(12 + i).toLong; s * s }).sum
+        ss >= 5500L * (e0 - s0)
+      }
+      val runs = verdicts.foldLeft(List.empty[Long]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1L :: acc
+        case (acc, false) if acc.nonEmpty && acc.head == 0 => acc
+        case (acc, false) => 0L :: acc
+      }.filter(_ > 0)
+      assert(res(id) === ((rate.toLong, verdicts.size.toLong,
+        verdicts.count(identity).toLong, runs.size.toLong,
+        if (runs.isEmpty) 0L else runs.max)))
+    }
+  }
+
   test("imageNearDupCanonical: star components refine pair components; " +
       "tight groups collapse identically") {
     import spark.implicits._
