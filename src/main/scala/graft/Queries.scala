@@ -6135,7 +6135,64 @@ object Queries {
            |  CAST(coalesce(g.longest_run, 0) AS BIGINT) AS longest_run
            |FROM base b LEFT JOIN segagg g USING (doc_id)""".stripMargin
       },
-      "VAD-style audio segmentation (integer mean-square gate + in-row island merge, map-only): per-clip activity profile with a full payload-level oracle")
+      "VAD-style audio segmentation (integer mean-square gate + in-row island merge, map-only): per-clip activity profile with a full payload-level oracle"),
+
+    Q("q192_video_scene_cuts",
+      // hard-cut detection over the binary video column: consecutive-
+      // frame SAD (exact integer) vs threshold, in-row longest-shot
+      // scan. The fabricated corpus plants real shot structure (base
+      // pixels keyed on frame/shotLen + sparse jitter), and the oracle
+      // re-derives every pixel, SAD, and shot island — payload-level,
+      // like q191
+      (s, d) => Multimodal.videoSceneCuts(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateShotVideoCol(col("doc_id")).as("content")),
+          "doc_id", "content", cutThreshold = 2000L)
+        .select(col("id").as("doc_id"), col("n_frames"), col("n_cuts"),
+          col("longest_shot")),
+      Some {
+        val base = s"(${OracleSql.mix64("CAST(doc_id * 1048576 + shot * 4096 + p AS UBIGINT)")} & 255)"
+        val jit = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + f * 64 + p AS UBIGINT)")} & 15) = 0 THEN 16 ELSE 0 END"
+        s"""WITH dims AS (
+           |  SELECT doc_id,
+           |    8 + doc_id % 17 AS n,
+           |    3 + (doc_id * 7) % 5 AS slen
+           |  FROM documents
+           |), fp AS (
+           |  SELECT doc_id, slen, unnest(range(n)) AS f FROM dims
+           |), fpp AS (
+           |  SELECT doc_id, f, f // slen AS shot, unnest(range(64)) AS p
+           |  FROM fp
+           |), px AS (
+           |  SELECT doc_id, f, p,
+           |    CAST((($base + $jit) & 255) AS BIGINT) AS px
+           |  FROM fpp
+           |), sad AS (
+           |  SELECT a.doc_id, a.f, sum(abs(a.px - b.px)) AS sad
+           |  FROM px a JOIN px b
+           |    ON b.doc_id = a.doc_id AND b.p = a.p AND b.f = a.f - 1
+           |  GROUP BY a.doc_id, a.f
+           |), flags AS (
+           |  SELECT fr.doc_id, fr.f,
+           |    CASE WHEN s.sad >= 2000 THEN 1 ELSE 0 END AS cut
+           |  FROM (SELECT doc_id, unnest(range(n)) AS f FROM dims) fr
+           |  LEFT JOIN sad s ON s.doc_id = fr.doc_id AND s.f = fr.f
+           |), shots AS (
+           |  SELECT doc_id, f,
+           |    sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot_id
+           |  FROM flags
+           |), runs AS (
+           |  SELECT doc_id, count(*) AS run_len
+           |  FROM shots GROUP BY doc_id, shot_id
+           |)
+           |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_frames,
+           |  CAST((SELECT count(*) FROM flags f2
+           |        WHERE f2.doc_id = d.doc_id AND f2.cut = 1) AS BIGINT) AS n_cuts,
+           |  CAST((SELECT max(run_len) FROM runs r
+           |        WHERE r.doc_id = d.doc_id) AS BIGINT) AS longest_shot
+           |FROM dims d""".stripMargin
+      },
+      "video hard-cut detection (integer consecutive-frame SAD + in-row longest-shot scan, map-only): shot profile with a full payload-level oracle")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -197,6 +197,89 @@ object Multimodal {
     }(Encoders.product[AudioWindow]).toDF()
   }
 
+  /** Deterministic fake video with PLANTED SHOT STRUCTURE: frames are
+    * 8×8; the pixel base re-derives from the frame's SHOT index
+    * (`frame / shotLen`), so frames inside one shot are near-identical
+    * (plus a sparse 1/16 per-frame jitter of +16, wrapped mod 256)
+    * while consecutive frames across a shot boundary are independent
+    * noise — the "hard cut" structure a scene-cut detector exists to
+    * find. Layout matches [[fabricateVideo]]; all arithmetic
+    * (splitmix64 + masks), so a second engine re-derives every pixel.
+    */
+  def fabricateShotVideo(seed: Long): Array[Byte] = {
+    val nFrames = 8 + math.floorMod(seed, 17L).toInt // 8..24
+    val shotLen = 3 + math.floorMod(seed * 7, 5L).toInt // 3..7
+    val (w, h) = (8, 8)
+    val out = java.nio.ByteBuffer.allocate(16 + nFrames * w * h)
+    out.putInt(VideoMagic).putInt(nFrames).putInt(w).putInt(h)
+    var f = 0
+    while (f < nFrames) {
+      val shot = f / shotLen
+      var p = 0
+      while (p < w * h) {
+        val base = mix64(seed * 1048576 + shot * 4096L + p) & 0xFF
+        val jitter =
+          if ((mix64(seed * 8191 + f * 64L + p) & 15) == 0) 16L else 0L
+        out.put(((base + jitter) & 0xFF).toByte)
+        p += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  private val fabricateShotVideoUdf = udf(fabricateShotVideo _)
+  def fabricateShotVideoCol(seed: org.apache.spark.sql.Column) =
+    fabricateShotVideoUdf(seed)
+
+  case class SceneCutStats(id: Long, n_frames: Long, n_cuts: Long,
+                           longest_shot: Long)
+
+  /** Scene-cut detection: consecutive-frame SAD (sum of absolute
+    * pixel differences, unsigned bytes — exact integer arithmetic)
+    * compared against `cutThreshold`; a frame pair at-or-over the
+    * threshold is a hard cut, and the in-row island scan reports the
+    * longest run of cut-free frames (the longest shot). Per video:
+    * (id, n_frames, n_cuts, longest_shot) — the shot-profile signal a
+    * video-corpus curation stage gates on (static-screen detection,
+    * slideshow filtering, shot-boundary sampling).
+    *
+    * 100-TB shape: pure map-side, one partition-batched pass over the
+    * binary column, O(bytes) per row, zero shuffle — like
+    * [[audioSegments]], and with the same full payload-level oracle
+    * replayability (integer SAD, deterministic fabrication).
+    */
+  def videoSceneCuts(df: DataFrame, idCol: String, binCol: String,
+                     cutThreshold: Long): DataFrame = {
+    require(cutThreshold >= 0)
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val b = java.nio.ByteBuffer.wrap(bytes)
+        require(b.getInt() == VideoMagic, s"not a fake video: id $id")
+        val n = b.getInt(); val w = b.getInt(); val h = b.getInt()
+        val fs = w * h
+        var f = 1; var nCuts = 0L
+        var longest = if (n > 0) 1L else 0L
+        var run = longest
+        while (f < n) {
+          var sad = 0L
+          var p = 0
+          while (p < fs) {
+            sad += math.abs((bytes(16 + f * fs + p) & 0xFF) -
+              (bytes(16 + (f - 1) * fs + p) & 0xFF))
+            p += 1
+          }
+          if (sad >= cutThreshold) { nCuts += 1; run = 1L }
+          else { run += 1; if (run > longest) longest = run }
+          f += 1
+        }
+        SceneCutStats(id, n.toLong, nCuts, longest)
+      }
+    }(Encoders.product[SceneCutStats]).toDF()
+  }
+
   case class AudioSegStats(id: Long, sample_rate: Long, n_windows: Long,
                            n_active: Long, n_segments: Long, longest_run: Long)
 

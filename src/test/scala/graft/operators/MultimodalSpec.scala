@@ -178,6 +178,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoSceneCuts: planted shot boundaries are found exactly; brute-force parity") {
+    import spark.implicits._
+    val n = 40
+    val fab = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.fabricateShotVideoCol(col("doc_id")).as("content"))
+      .repartition(5)
+    val got = Multimodal.videoSceneCuts(fab, "doc_id", "content", 2000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (0 until n).foreach { idInt =>
+      val id = idInt.toLong
+      val bytes = Multimodal.fabricateShotVideo(id)
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      b.getInt(); val nf = b.getInt(); b.getInt(); b.getInt()
+      // brute force over the raw bytes
+      val sads = (1 until nf).map { f =>
+        (0 until 64).map(p => math.abs((bytes(16 + f * 64 + p) & 0xFF) -
+          (bytes(16 + (f - 1) * 64 + p) & 0xFF)).toLong).sum
+      }
+      val cuts = sads.count(_ >= 2000L)
+      val shotLens = sads.foldLeft(List(1L)) { (acc, sad) =>
+        if (sad >= 2000L) 1L :: acc else (acc.head + 1) :: acc.tail
+      }
+      assert(got(id) === ((nf.toLong, cuts.toLong, shotLens.max)))
+      // the planted structure: cut exactly at every shotLen boundary
+      val slen = 3 + math.floorMod(id * 7, 5L).toInt
+      val planted = (1 until nf).count(f => f % slen == 0)
+      assert(cuts === planted,
+        s"detector must find exactly the planted boundaries for seed $id")
+    }
+  }
+
   test("imageNearDupCanonical: star components refine pair components; " +
       "tight groups collapse identically") {
     import spark.implicits._
