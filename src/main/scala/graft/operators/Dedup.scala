@@ -251,7 +251,14 @@ object Dedup {
     * signature, n_members = its component's size.
     */
   def hammingCanonical(sig: DataFrame, maxHamming: Int): DataFrame = {
-    val keyed = blockKeyed(sig, maxHamming)
+    // the signature derivation upstream (e.g. the image decode+dHash
+    // mapPartitions) is the expensive stage, and three consumers read
+    // it (band keying, the label join, the member count). Persist the
+    // SKINNY (id, sh) frame — 16 bytes/row — so the decode runs once;
+    // connectedComponents' eager edge count materializes the cache,
+    // and the harness clearCache between queries releases it.
+    val s = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = blockKeyed(s, maxHamming)
     // per-bucket minimum WITH its signature: struct min is
     // lexicographic and ids are unique, so this is arg-min by id
     val mins = keyed.groupBy(col("t"), col("k"))
@@ -261,7 +268,7 @@ object Dedup {
         HashFunctions.hamming64(col("m.sh"), col("sh")) <= maxHamming)
       .select(col("m.id").as("src"), col("id").as("dst"))
     val cc = connectedComponents(star, "src", "dst")
-    val lab = sig.select(col("id"))
+    val lab = s.select(col("id"))
       .join(cc.select(col("id"), col("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("canonical_id"))
     lab.join(
@@ -668,16 +675,17 @@ object Dedup {
     * (unlike [[lineDedup]], which keeps the first occurrence), and each
     * document reassembles from its surviving lines in order.
     *
-    * Scale shape: one posexplode → (group, hash, line, doc) distinct +
-    * (group, hash, line) count — two hash aggs on 8-byte line hashes
-    * (the line text rides only as collision guard). The hot set is by
-    * definition a SMALL distinct set (lines repeated across documents),
-    * so it broadcasts back as a left-anti join and the corpus lines
-    * never shuffle for the subtraction; the only corpus-volume shuffle
-    * is the final doc-keyed regroup, whose per-group state is one
-    * document's own lines. On a corpus where the hot set could outgrow
-    * executor memory (pathological template farms), drop the hint and
-    * let AQE pick a shuffled anti-join.
+    * Scale shape: two scans of the exploded lines — (group, hash,
+    * line, doc) distinct + (group, hash, line) count build the hot
+    * set (8-byte line hashes; the line text rides only as collision
+    * guard), which is by definition a SMALL distinct set (lines
+    * repeated across documents) and broadcasts back as a LEFT join
+    * carrying a hot flag. One doc-keyed regroup then computes the
+    * line count, the removal count, AND the rebuilt text in a single
+    * aggregation (per-group state = one document's own lines) — the
+    * corpus lines shuffle exactly once. On a corpus where the hot set
+    * could outgrow executor memory (pathological template farms), drop
+    * the hint and let AQE pick a shuffled join.
     *
     * Returns (id, n_lines, n_removed, text_clean); a document that was
     * ALL boilerplate keeps its row with empty text.
@@ -696,18 +704,20 @@ object Dedup {
       .groupBy(col("g"), col("_h"), col("line"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf)
-      .select(col("g"), col("_h"), col("line"))
-    val kept = lines.join(broadcast(hot), Seq("g", "_h", "line"), "left_anti")
-    val reassembled = kept.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .select(col("g"), col("_h"), col("line"), lit(1).as("_hot"))
+    lines.join(broadcast(hot), Seq("g", "_h", "line"), "left")
+      .select(col("id"), col("pos"), col("line"),
+        col("_hot").isNotNull.as("_rm"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_rm"), 1L).otherwise(0L)).as("n_removed"),
         concat_ws(sep,
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          transform(
+            filter(array_sort(collect_list(
+                struct(col("pos"), col("line"), col("_rm")))),
+              x => !x.getField("_rm")),
             x => x.getField("line"))).as("text_clean"))
-    lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
-      .join(reassembled, Seq("id"), "left")
-      .select(col("id"), col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .select(col("id"), col("n_lines"), col("n_removed"), col("text_clean"))
   }
 
   /** Incremental exact dedup: which `incoming` documents already exist

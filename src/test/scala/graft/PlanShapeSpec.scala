@@ -465,6 +465,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q191/q192: the multimodal stat kernels are map-only (no exchange)") {
+    for (q <- Seq("q191_audio_vad", "q192_video_scene_cuts")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must plan no shuffle")
+      assert(p.contains("MapPartitions"),
+        s"$q is the partition-batched decode shape")
+    }
+  }
+
+  test("q190: hot set broadcasts; corpus lines shuffle ONCE (the doc regroup)") {
+    val p = plan("q190_boilerplate_lines")
+    // the hot-flag join must be broadcast (boilerplate is small by
+    // definition) — never a corpus-wide shuffled join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // exactly one doc-keyed exchange: the single regroup that computes
+    // n_lines + n_removed + rebuilt text together (the 3-scan/2-shuffle
+    // formulation this replaced would show two)
+    assert("Exchange hashpartitioning\\(id#".r.findAllIn(p).size === 1,
+      "corpus lines must shuffle exactly once")
+  }
+
+  test("q189: signatures are persisted (decode runs once) and no pair product") {
+    val p = plan("q189_image_canonical")
+    assert(p.contains("InMemoryTableScan"),
+      "the skinny (id, sh) frame must be cached across its three consumers")
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("q177: the gram index shuffles only skinny hash rows; hot-gram agg is partial") {
     val p = plan("q177_dup_spans")
     // the only exchanges are on the 8-byte gram hash and the doc id —
