@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale-verification dump for q189's canonical-collapse image dedup
+  * (`tools/q189_scale_check.py` is the consumer): restricts the corpus
+  * to `nRes` mix64-sampled residue classes of the image-group key
+  * (doc_id mod 200) and runs the EXACT q189 configuration on the
+  * slice.
+  *
+  * Why a GROUP slice and not the pair-local id slice of
+  * `tools/sampled_check.py`: q189's output (canonical labels,
+  * component sizes) depends on the whole component — bucket arg-min
+  * anchors and the min-label closure — so an id-level restriction
+  * changes bucket minima and desyncs labels against a full-corpus run.
+  * Restricting BOTH engines to entire residue classes keeps the
+  * comparison exact (same complete algorithm, same input) while
+  * preserving the property under test: each residue class holds
+  * factor × 5 near-copies of one base image (2,500 at /tmp/sf10x),
+  * exactly the giant-duplicate-group regime the operator exists for.
+  *
+  * Usage: `sbt "runMain graft.CanonicalSliceDump /tmp/sf10x /tmp/q189_100x 4"`
+  */
+object CanonicalSliceDump {
+
+  /** mix64-ranked residues 0..199, first `n` — the derivation
+    * `tools/q189_scale_check.py` repeats bit-for-bit. */
+  def residues(n: Int): Seq[Long] =
+    (0L until 200L).sortBy(r =>
+      BigInt(java.lang.Long.toUnsignedString(
+        graft.plans.Kernels.mix64(r + 0xB7)))).take(n)
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, nRes) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rs = residues(nRes.toInt)
+    new java.io.File(outDir).mkdirs()
+    val docs = Tables.documents(spark, sfDir)
+      .filter((col("doc_id") % 200).isin(rs: _*))
+    Multimodal.imageNearDupCanonical(
+        docs.select(col("doc_id"),
+          Multimodal.fabricateNearDupImageCol(col("doc_id"), 200).as("content")),
+        "doc_id", "content", maxHamming = 4)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q189_slice")
+    Files.write(Paths.get(s"$outDir/residues.json"),
+      rs.mkString("[", ",", "]").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

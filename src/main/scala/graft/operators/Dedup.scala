@@ -251,13 +251,14 @@ object Dedup {
     * signature, n_members = its component's size.
     */
   def hammingCanonical(sig: DataFrame, maxHamming: Int): DataFrame = {
-    // the signature derivation upstream (e.g. the image decode+dHash
-    // mapPartitions) is the expensive stage, and three consumers read
-    // it (band keying, the label join, the member count). Persist the
-    // SKINNY (id, sh) frame — 16 bytes/row — so the decode runs once;
-    // connectedComponents' eager edge count materializes the cache,
-    // and the harness clearCache between queries releases it.
-    val s = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers re-derive `sig` (band keying, the label join,
+    // the member count). Persisting the skinny (id, sh) frame was
+    // MEASURED SLOWER at scale (100×: 17.3 s → 28.5 s — the cache's
+    // partitioning throttles the wide banded join downstream, costing
+    // far more than the re-decodes it saves while the signature
+    // derivation is scan-cheap). With a genuinely expensive upstream
+    // codec, persist-and-REPARTITION before calling this instead.
+    val s = sig
     val keyed = blockKeyed(s, maxHamming)
     // per-bucket minimum WITH its signature: struct min is
     // lexicographic and ids are unique, so this is arg-min by id

@@ -487,12 +487,15 @@ class PlanShapeSpec extends SparkSpec {
       "corpus lines must shuffle exactly once")
   }
 
-  test("q189: signatures are persisted (decode runs once) and no pair product") {
+  test("q189: no pair product, no corpus cache (persist measured slower at 100x)") {
     val p = plan("q189_image_canonical")
-    assert(p.contains("InMemoryTableScan"),
-      "the skinny (id, sh) frame must be cached across its three consumers")
     assert(!p.contains("CartesianProduct"))
-    spark.catalog.clearCache()
+    // the skinny-sig persist regressed 100x 17.3 -> 28.5 s (cache
+    // partitioning throttles the banded join); the decode is re-run
+    // per consumer BY CHOICE — keep it that way until the codec is
+    // genuinely expensive
+    assert(!p.contains("InMemoryTableScan"),
+      "q189 deliberately avoids caching the sig frame")
   }
 
   test("q177: the gram index shuffles only skinny hash rows; hot-gram agg is partial") {
