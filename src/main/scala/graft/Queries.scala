@@ -6192,7 +6192,79 @@ object Queries {
            |        WHERE r.doc_id = d.doc_id) AS BIGINT) AS longest_shot
            |FROM dims d""".stripMargin
       },
-      "video hard-cut detection (integer consecutive-frame SAD + in-row longest-shot scan, map-only): shot profile with a full payload-level oracle")
+      "video hard-cut detection (integer consecutive-frame SAD + in-row longest-shot scan, map-only): shot profile with a full payload-level oracle"),
+
+    Q("q193_alignment_gate",
+      // LAION-style cross-modal filter: stub image embedding (q50's
+      // encoder at dim 64) vs the text-side embeddings table, cosine
+      // gate at 0.05. The oracle rebuilds every image byte, replays
+      // the float32 encoder fold, and scores the identical double
+      // cosine — both stub-encoder determinism AND table-embedding
+      // cosine in one cross-modal join
+      (s, d) => Multimodal.alignmentGate(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateImageCol(col("doc_id")).as("content")),
+          "doc_id", "content",
+          embeddings(s, d), "vec_id", "embedding",
+          dim = 64, minCosine = 0.05)
+        .select(col("id").as("doc_id"), col("cosine"), col("kept")),
+      Some {
+        val payByte = OracleSql.mix64("CAST(doc_id * 1048576 + j AS UBIGINT)")
+        s"""WITH docs AS (
+           |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+           |  FROM documents
+           |), hdr AS (
+           |  SELECT doc_id, i,
+           |    CASE i WHEN 0 THEN 71 WHEN 1 THEN 73 WHEN 2 THEN 77 WHEN 3 THEN 71
+           |           WHEN 4 THEN 0 WHEN 5 THEN 0 WHEN 6 THEN 0 WHEN 7 THEN w
+           |           WHEN 8 THEN 0 WHEN 9 THEN 0 WHEN 10 THEN 0 ELSE h END AS b
+           |  FROM docs, (SELECT unnest(range(12)) AS i)
+           |), pay AS (
+           |  SELECT doc_id, 12 + j AS i,
+           |    CAST($payByte & 255 AS BIGINT) AS b
+           |  FROM docs, (SELECT unnest(range(4096)) AS j) WHERE j < w * h
+           |), allb AS (
+           |  SELECT doc_id, i, b FROM hdr UNION ALL SELECT doc_id, i, b FROM pay
+           |), terms AS (
+           |  SELECT doc_id, i % 64 AS d, i,
+           |    CAST(CAST(b AS FLOAT) / CAST(255.0 AS FLOAT) - CAST(0.5 AS FLOAT) AS FLOAT) AS t
+           |  FROM allb
+           |), acc AS (
+           |  SELECT doc_id, d,
+           |    list_reduce(list_prepend(CAST(0.0 AS FLOAT), list(t ORDER BY i)),
+           |                (a, b) -> CAST(a + b AS FLOAT)) AS v
+           |  FROM terms GROUP BY doc_id, d
+           |), vecs AS (
+           |  SELECT doc_id, list(v ORDER BY d) AS v FROM acc GROUP BY doc_id
+           |), normd AS (
+           |  SELECT doc_id, v,
+           |    CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(v,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS FLOAT) AS nrm
+           |  FROM vecs
+           |), pv AS (
+           |  SELECT doc_id, list_transform(
+           |    CASE WHEN nrm = 0 THEN v
+           |         ELSE list_transform(v, x -> CAST(x / nrm AS FLOAT)) END,
+           |    x -> CAST(x AS DOUBLE)) AS v
+           |  FROM normd
+           |), tv AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |), cosd AS (
+           |  SELECT p.doc_id,
+           |    list_reduce(list_prepend(0.0, [p.v[i] * t.v[i] FOR i IN range(1, len(p.v)+1)]), (a,b) -> a+b) AS dot,
+           |    list_reduce(list_prepend(0.0, [p.v[i] * p.v[i] FOR i IN range(1, len(p.v)+1)]), (a,b) -> a+b) AS na,
+           |    list_reduce(list_prepend(0.0, [t.v[i] * t.v[i] FOR i IN range(1, len(t.v)+1)]), (a,b) -> a+b) AS nb
+           |  FROM pv p JOIN tv t ON t.vec_id = p.doc_id
+           |), cosv AS (
+           |  SELECT doc_id,
+           |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           |          ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS cosine
+           |  FROM cosd
+           |)
+           |SELECT doc_id, cosine, cosine >= 0.05 AS kept FROM cosv""".stripMargin
+      },
+      "CLIP-style image-text alignment gate (stub image encoder replayed byte-for-byte + table embedding, one id-keyed join, codegen cosine): the LAION filtering primitive")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -357,6 +357,31 @@ object Multimodal {
       .toDF("id", "embedding")
   }
 
+  /** CLIP-style image–text alignment gate (the LAION filtering
+    * primitive): embed the binary image column with the stub encoder,
+    * join each record's image embedding against its text-side
+    * embedding by id, score cosine similarity, and flag rows at or
+    * above `minCosine`. Returns (id, cosine rounded to 6, kept).
+    *
+    * 100-TB shape: one id-keyed equi-join of two skinny embedding
+    * frames (the binary column collapses to `dim` floats BELOW the
+    * shuffle) + a codegen'd map-side cosine — no pair explosion, no
+    * broadcast of corpus-sized sides. With a real CLIP encoder the
+    * embed step swaps in unchanged.
+    */
+  def alignmentGate(images: DataFrame, idCol: String, binCol: String,
+                    texts: DataFrame, textIdCol: String, vecCol: String,
+                    dim: Int, minCosine: Double): DataFrame = {
+    val img = embedBinary(images, idCol, binCol, dim)
+    val txt = texts.select(col(textIdCol).cast("long").as("id"),
+      col(vecCol).as("tvec"))
+    img.join(txt, Seq("id"))
+      .select(col("id"),
+        round(graft.plans.Exprs.cosineSim(col("embedding"), col("tvec")), 6)
+          .as("cosine"))
+      .withColumn("kept", col("cosine") >= minCosine)
+  }
+
   // ------------------------------------------------- perceptual dedup
 
   /** Deterministic fake image with PLANTED near-duplicate structure:

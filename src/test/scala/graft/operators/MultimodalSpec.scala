@@ -178,6 +178,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("alignmentGate scores the driver-computed cosine and gates exactly") {
+    import spark.implicits._
+    val n = 30
+    val imgs = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.fabricateImageCol(col("doc_id")).as("content"))
+      .repartition(3)
+    // deterministic text vectors
+    val txts = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (((i * 31 + j * 7) % 19) - 9).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val got = Multimodal.alignmentGate(imgs, "doc_id", "content",
+        txts, "vec_id", "embedding", dim = 64, minCosine = 0.05)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.size === n)
+    // driver brute force: same float32 encoder fold + double cosine
+    (0 until n).foreach { i =>
+      val bytes = Multimodal.fabricateImage(i.toLong)
+      val v = new Array[Float](64)
+      bytes.indices.foreach(k => v(k % 64) += (bytes(k) & 0xFF) / 255.0f - 0.5f)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      val u = if (norm == 0) v else v.map(_ / norm)
+      val t = Array.tabulate(64)(j => (((i * 31 + j * 7) % 19) - 9).toFloat / 10f)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { j =>
+        val x = u(j).toDouble; val y = t(j).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val cos = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(i.toLong) === ((cos, cos >= 0.05)), s"doc $i")
+    }
+  }
+
   test("videoSceneCuts: planted shot boundaries are found exactly; brute-force parity") {
     import spark.implicits._
     val n = 40
