@@ -80,7 +80,58 @@ object StreamScaleCheck {
       s"kept_stream=${streamed.length} kept_batch=${batch.length} " +
       s"set_equal=$equal dup_free=$dupFree " +
       s"stream_sec=${"%.1f".format(streamSec)} batch_sec=${"%.1f".format(batchSec)}")
+
+    // ---- second leg: SESSIONIZE parity over the events table -------
+    // the stateful flatMapGroupsWithState path (per-user session
+    // counters across micro-batch boundaries) vs the batch lag-based
+    // q31 derivation. Events feed in global (ts, event_id) order —
+    // the contract regime: within a batch the operator sorts, across
+    // batches the monotone clock never rewinds.
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(e => (e._2.getTime, e._3))
+      .toSeq
+    val tS2 = System.nanoTime()
+    val estream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val eds = estream.toDS().map { case (u, t, e) => Streams.EventIn(u, t, e) }
+    val q2 = Streams.sessionize(eds, gapSeconds = 300)
+      .writeStream.format("memory").queryName("sess_scale")
+      .outputMode("update").start()
+    val echunk = math.max(1, ev.length / batches)
+    ev.grouped(echunk).foreach { g =>
+      estream.addData(g)
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // both counters are MONOTONE per user, so the final running total
+    // is the max update (order-safe, unlike last())
+    val sessStream = spark.table("sess_scale")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamSec2 = (System.nanoTime() - tS2) / 1e9
+    val tB2 = System.nanoTime()
+    val w31 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessBatch = ev.toDF("user_id", "ts", "event_id")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w31))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 300,
+          1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchSec2 = (System.nanoTime() - tB2) / 1e9
+    val ok2 = sessStream == sessBatch
+    println(s"[streamscale] ${if (ok2) "PASS" else "FAIL"} sessionize " +
+      s"events=${ev.length} users_stream=${sessStream.size} " +
+      s"users_batch=${sessBatch.size} set_equal=$ok2 " +
+      s"stream_sec=${"%.1f".format(streamSec2)} batch_sec=${"%.1f".format(batchSec2)}")
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!ok || !ok2) sys.exit(1)
   }
 }
