@@ -6269,7 +6269,70 @@ object Queries {
            |)
            |SELECT doc_id, cosine, cosine >= 0.05 AS kept FROM cosv""".stripMargin
       },
-      "CLIP-style image-text alignment gate (stub image encoder replayed byte-for-byte + table embedding, one id-keyed join, codegen cosine): the LAION filtering primitive")
+      "CLIP-style image-text alignment gate (stub image encoder replayed byte-for-byte + table embedding, one id-keyed join, codegen cosine): the LAION filtering primitive"),
+
+    Q("q194_shot_keyframes",
+      // keyframe extraction: q192's cut segmentation + per-shot argmax
+      // of integer frame detail (64·Σp² − (Σp)², ties to the earliest
+      // frame) — ONE representative frame per shot, the cut-aligned
+      // alternative to every-Nth sampling (q49). Map-only; the oracle
+      // re-derives every pixel, SAD, shot island, and argmax
+      (s, d) => Multimodal.shotKeyframes(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateShotVideoCol(col("doc_id")).as("content")),
+          "doc_id", "content", cutThreshold = 2000L)
+        .select(col("id").as("doc_id"), col("shot_idx"), col("start_frame"),
+          col("n_frames_in_shot"), col("keyframe_idx"), col("detail")),
+      Some {
+        val base = s"(${OracleSql.mix64("CAST(doc_id * 1048576 + shot * 4096 + p AS UBIGINT)")} & 255)"
+        val jit = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + f * 64 + p AS UBIGINT)")} & 15) = 0 THEN 16 ELSE 0 END"
+        s"""WITH dims AS (
+           |  SELECT doc_id,
+           |    8 + doc_id % 17 AS n,
+           |    3 + (doc_id * 7) % 5 AS slen
+           |  FROM documents
+           |), fp AS (
+           |  SELECT doc_id, slen, unnest(range(n)) AS f FROM dims
+           |), fpp AS (
+           |  SELECT doc_id, f, f // slen AS shot, unnest(range(64)) AS p
+           |  FROM fp
+           |), px AS (
+           |  SELECT doc_id, f, p,
+           |    CAST((($base + $jit) & 255) AS BIGINT) AS px
+           |  FROM fpp
+           |), det AS (
+           |  SELECT doc_id, f, 64 * sum(px * px) - sum(px) * sum(px) AS detail
+           |  FROM px GROUP BY doc_id, f
+           |), sad AS (
+           |  SELECT a.doc_id, a.f, sum(abs(a.px - b.px)) AS sad
+           |  FROM px a JOIN px b
+           |    ON b.doc_id = a.doc_id AND b.p = a.p AND b.f = a.f - 1
+           |  GROUP BY a.doc_id, a.f
+           |), flags AS (
+           |  SELECT fr.doc_id, fr.f,
+           |    CASE WHEN s.sad >= 2000 THEN 1 ELSE 0 END AS cut
+           |  FROM (SELECT doc_id, unnest(range(n)) AS f FROM dims) fr
+           |  LEFT JOIN sad s ON s.doc_id = fr.doc_id AND s.f = fr.f
+           |), shots AS (
+           |  SELECT doc_id, f,
+           |    sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot_id
+           |  FROM flags
+           |), ranked AS (
+           |  SELECT s.doc_id, s.shot_id, s.f, d.detail,
+           |    row_number() OVER (PARTITION BY s.doc_id, s.shot_id
+           |                       ORDER BY d.detail DESC, s.f ASC) AS rn,
+           |    count(*) OVER (PARTITION BY s.doc_id, s.shot_id) AS n_in_shot,
+           |    min(s.f) OVER (PARTITION BY s.doc_id, s.shot_id) AS start_frame
+           |  FROM shots s JOIN det d ON d.doc_id = s.doc_id AND d.f = s.f
+           |)
+           |SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_idx,
+           |  CAST(start_frame AS BIGINT) AS start_frame,
+           |  CAST(n_in_shot AS BIGINT) AS n_frames_in_shot,
+           |  CAST(f AS BIGINT) AS keyframe_idx,
+           |  CAST(detail AS BIGINT) AS detail
+           |FROM ranked WHERE rn = 1""".stripMargin
+      },
+      "per-shot keyframe extraction (cut segmentation + integer-variance argmax, map-only): one representative frame per shot for vision-language sampling")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -280,6 +280,77 @@ object Multimodal {
     }(Encoders.product[SceneCutStats]).toDF()
   }
 
+  case class ShotKeyframe(id: Long, shot_idx: Long, start_frame: Long,
+                          n_frames_in_shot: Long, keyframe_idx: Long,
+                          detail: Long)
+
+  /** Keyframe extraction: segment each video by the [[videoSceneCuts]]
+    * hard-cut gate, then emit ONE row per shot whose keyframe is the
+    * shot's most DETAILED frame — detail = 64·Σp² − (Σp)² (the frame's
+    * pixel variance scaled by N², kept as an exact integer so the
+    * argmax is bit-deterministic; ties break to the earliest frame,
+    * "strict > while scanning ascending"). The per-shot keyframe row is
+    * what a vision-language training pipeline samples instead of every
+    * N-th frame ([[sampleFrames]]) — one representative frame per shot,
+    * cut-aligned.
+    *
+    * 100-TB shape: pure map-side like [[videoSceneCuts]] — one
+    * partition-batched pass, O(bytes) per video, zero shuffle; output
+    * is shots-per-video rows, bounded by n_frames.
+    */
+  def shotKeyframes(df: DataFrame, idCol: String, binCol: String,
+                    cutThreshold: Long): DataFrame = {
+    require(cutThreshold >= 0)
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val b = java.nio.ByteBuffer.wrap(bytes)
+        require(b.getInt() == VideoMagic, s"not a fake video: id $id")
+        val n = b.getInt(); val w = b.getInt(); val h = b.getInt()
+        val fs = w * h
+        def detailOf(f: Int): Long = {
+          var s = 0L; var s2 = 0L
+          var p = 0
+          while (p < fs) {
+            val v = (bytes(16 + f * fs + p) & 0xFF).toLong
+            s += v; s2 += v * v
+            p += 1
+          }
+          fs.toLong * s2 - s * s
+        }
+        val out = Seq.newBuilder[ShotKeyframe]
+        var shotIdx = 0L; var start = 0
+        var bestF = 0; var bestD = if (n > 0) detailOf(0) else 0L
+        var f = 1
+        def close(endExcl: Int): Unit = {
+          out += ShotKeyframe(id, shotIdx, start.toLong,
+            (endExcl - start).toLong, bestF.toLong, bestD)
+          shotIdx += 1
+        }
+        while (f < n) {
+          var sad = 0L
+          var p = 0
+          while (p < fs) {
+            sad += math.abs((bytes(16 + f * fs + p) & 0xFF) -
+              (bytes(16 + (f - 1) * fs + p) & 0xFF))
+            p += 1
+          }
+          if (sad >= cutThreshold) {
+            close(f)
+            start = f; bestF = f; bestD = detailOf(f)
+          } else {
+            val d = detailOf(f)
+            if (d > bestD) { bestD = d; bestF = f } // strict >: ties stay earliest
+          }
+          f += 1
+        }
+        if (n > 0) close(n)
+        out.result()
+      }
+    }(Encoders.product[ShotKeyframe]).toDF()
+  }
+
   case class AudioSegStats(id: Long, sample_rate: Long, n_windows: Long,
                            n_active: Long, n_segments: Long, longest_run: Long)
 

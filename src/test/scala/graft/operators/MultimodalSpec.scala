@@ -244,6 +244,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("shotKeyframes: per-shot argmax-detail with earliest-frame ties (brute force)") {
+    import spark.implicits._
+    val n = 40
+    val fab = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"), Multimodal.fabricateShotVideoCol(col("doc_id")).as("content"))
+      .repartition(5)
+    val got = Multimodal.shotKeyframes(fab, "doc_id", "content", 2000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    (0 until n).foreach { idInt =>
+      val id = idInt.toLong
+      val bytes = Multimodal.fabricateShotVideo(id)
+      val b = java.nio.ByteBuffer.wrap(bytes)
+      b.getInt(); val nf = b.getInt(); b.getInt(); b.getInt()
+      def pix(f: Int, p: Int): Long = (bytes(16 + f * 64 + p) & 0xFF).toLong
+      def detail(f: Int): Long = {
+        val s = (0 until 64).map(pix(f, _)).sum
+        val s2 = (0 until 64).map(p => pix(f, p) * pix(f, p)).sum
+        64L * s2 - s * s
+      }
+      val cutAt = (1 until nf).filter { f =>
+        (0 until 64).map(p => math.abs(pix(f, p) - pix(f - 1, p))).sum >= 2000L
+      }.toSet
+      var shot = 0L; var start = 0
+      (1 to nf).foreach { f =>
+        if (f == nf || cutAt(f)) {
+          val frames = start until f
+          val best = frames.maxBy(g => (detail(g), -g)) // ties → earliest
+          assert(got((id, shot)) ===
+            ((start.toLong, frames.size.toLong, best.toLong, detail(best))),
+            s"doc $id shot $shot")
+          shot += 1; start = f
+        }
+      }
+      // no extra shots reported
+      assert(!got.contains((id, shot)))
+    }
+  }
+
   test("imageNearDupCanonical: star components refine pair components; " +
       "tight groups collapse identically") {
     import spark.implicits._
