@@ -6332,7 +6332,51 @@ object Queries {
            |  CAST(detail AS BIGINT) AS detail
            |FROM ranked WHERE rn = 1""".stripMargin
       },
-      "per-shot keyframe extraction (cut segmentation + integer-variance argmax, map-only): one representative frame per shot for vision-language sampling")
+      "per-shot keyframe extraction (cut segmentation + integer-variance argmax, map-only): one representative frame per shot for vision-language sampling"),
+
+    Q("q195_audio_neardup",
+      // the THIRD modality on the shared banded-Hamming machinery:
+      // decode → 64-bit energy-delta fingerprint (integer window
+      // energies, exact comparisons) → guaranteed-recall banded join.
+      // The fabricated corpus plants re-encode groups (PCM base keyed
+      // on doc_id % 200, 1/64 samples perturbed) like q162's images.
+      // Oracle = brute-force Hamming ball over SQL-re-derived
+      // fingerprints — valid because banding is guaranteed-recall
+      (s, d) => Multimodal.audioNearDup(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateNearDupAudioCol(col("doc_id"), 200).as("content")),
+          "doc_id", "content", maxHamming = 4)
+        .withColumn("hamming", col("hamming").cast("long")),
+      Some {
+        val raw = s"(${OracleSql.mix64("CAST((doc_id % 200) * 65536 + i AS UBIGINT)")} & 255)"
+        val perturb = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + i AS UBIGINT)")} & 63) = 0 THEN 8 ELSE 0 END"
+        s"""WITH idx AS (
+           |  SELECT doc_id, unnest(range(4160)) AS i FROM documents
+           |), samples AS (
+           |  SELECT doc_id, i // 64 AS w,
+           |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
+           |  FROM (SELECT doc_id, i,
+           |          CAST((($raw + $perturb) & 255) AS BIGINT) AS sv
+           |        FROM idx)
+           |), e AS (
+           |  SELECT doc_id, w, sum(s * s) AS e FROM samples GROUP BY doc_id, w
+           |), dlt AS (
+           |  SELECT doc_id, w, e,
+           |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS en
+           |  FROM e
+           |), sh AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(sum(CASE WHEN en > e
+           |      THEN CAST(CAST(1 AS UBIGINT) << w AS HUGEINT) ELSE 0 END),
+           |      0) AS UBIGINT) AS sh
+           |  FROM dlt WHERE w < 64 GROUP BY doc_id
+           |)
+           |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
+           |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+           |WHERE bit_count(xor(a.sh, b2.sh)) <= 4""".stripMargin
+      },
+      "perceptual audio near-dup: 64-bit energy-delta fingerprint + banded Hamming pairs (fingerprints oracle-recomputed sample-by-sample in SQL)")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

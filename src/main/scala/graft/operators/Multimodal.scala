@@ -351,6 +351,90 @@ object Multimodal {
     }(Encoders.product[ShotKeyframe]).toDF()
   }
 
+  /** Deterministic fake audio with PLANTED near-duplicate structure:
+    * the PCM base derives from `seed mod nGroups` (same re-encode
+    * group structure as [[fabricateNearDupImage]]) over a FIXED
+    * 65-window length (65·64 = 4160 samples — exactly fills the
+    * 64-bit delta fingerprint below, so no degenerate zero bits),
+    * plus a sparse per-seed perturbation (1/64 of samples shifted by
+    * +8, wrapped mod 256) — "same recording, different encode".
+    */
+  def fabricateNearDupAudio(seed: Long, nGroups: Int): Array[Byte] = {
+    val base = math.floorMod(seed, nGroups.toLong)
+    val n = 65 * 64
+    val out = java.nio.ByteBuffer.allocate(12 + n)
+    out.putInt(AudioMagic).putInt(16000).putInt(n)
+    var i = 0
+    while (i < n) {
+      val raw = mix64(base * 65536 + i) & 0xFF
+      val perturb = if ((mix64(seed * 8191 + i) & 63) == 0) 8L else 0L
+      out.put(((raw + perturb) & 0xFF).toByte)
+      i += 1
+    }
+    out.array()
+  }
+
+  private def fabricateNearDupAudioUdf(nGroups: Int) =
+    udf((seed: Long) => fabricateNearDupAudio(seed, nGroups))
+  def fabricateNearDupAudioCol(seed: org.apache.spark.sql.Column,
+                               nGroups: Int): org.apache.spark.sql.Column =
+    fabricateNearDupAudioUdf(nGroups)(seed)
+
+  /** 64-bit energy-delta fingerprint (the shape of acoustic
+    * fingerprinting à la Chromaprint, reduced to the stub codec):
+    * 65 windows of 64 samples; bit w is set when window w+1's
+    * sum-of-squares energy EXCEEDS window w's — exact integer
+    * comparisons, so the fingerprint is bit-deterministic and a
+    * second engine re-derives it sample-by-sample. Robust to small
+    * perturbations: a flipped sample moves one window's energy by
+    * ≤ ~2k against typical inter-window deltas of ~40k, so re-encodes
+    * of one recording differ in a few bits — the Hamming-ball regime
+    * [[Dedup.hammingPairs]] is built for.
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Long = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    require(b.getInt() == AudioMagic, "not a fake audio")
+    b.getInt(); val n = b.getInt()
+    val nWin = math.min(65, n / 64)
+    val e = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var ss = 0L
+      var i = w * 64
+      while (i < (w + 1) * 64) {
+        val s = bytes(12 + i).toLong
+        ss += s * s
+        i += 1
+      }
+      e(w) = ss
+      w += 1
+    }
+    var sh = 0L
+    var k = 0
+    while (k < nWin - 1 && k < 64) {
+      if (e(k + 1) > e(k)) sh |= (1L << k)
+      k += 1
+    }
+    sh
+  }
+
+  /** Perceptual AUDIO near-dup pairs: decode → [[audioFingerprint64]]
+    * → the same guaranteed-recall banded Hamming join as
+    * [[imageNearDup]] — the third modality on the shared
+    * [[Dedup.hammingPairs]] machinery (text SimHash, image dHash,
+    * audio energy-delta). Output (id_a, id_b, hamming).
+    */
+  def audioNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 4): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val sig = ds.mapPartitions { it =>
+      it.map { case (id, bytes) => (id, audioFingerprint64(bytes)) }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "sh")
+    Dedup.hammingPairs(sig, maxHamming)
+  }
+
   case class AudioSegStats(id: Long, sample_rate: Long, n_windows: Long,
                            n_active: Long, n_segments: Long, longest_run: Long)
 

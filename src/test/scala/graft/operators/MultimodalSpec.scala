@@ -284,6 +284,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioNearDup equals the brute-force Hamming-ball pair set") {
+    import spark.implicits._
+    val n = 150
+    val df = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"),
+        Multimodal.fabricateNearDupAudioCol(col("doc_id"), 25).as("content"))
+      .repartition(5)
+    val got = Multimodal.audioNearDup(df, "doc_id", "content", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = (0 until n).map(i =>
+      Multimodal.audioFingerprint64(Multimodal.fabricateNearDupAudio(i.toLong, 25)))
+    val want = (for {
+      a <- 0 until n; b <- a + 1 until n
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 4
+    } yield (a.toLong, b.toLong)).toSet
+    assert(got === want,
+      "banded join must find EXACTLY the Hamming-ball pairs (guaranteed recall)")
+    // the planted structure is findable: same-group pairs dominate
+    assert(want.nonEmpty && want.forall { case (a, b) => a % 25 == b % 25 },
+      "near-dups must be within re-encode groups on this fixture")
+  }
+
   test("imageNearDupCanonical: star components refine pair components; " +
       "tight groups collapse identically") {
     import spark.implicits._
