@@ -6376,7 +6376,214 @@ object Queries {
            |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.sh, b2.sh)) <= 4""".stripMargin
       },
-      "perceptual audio near-dup: 64-bit energy-delta fingerprint + banded Hamming pairs (fingerprints oracle-recomputed sample-by-sample in SQL)")
+      "perceptual audio near-dup: 64-bit energy-delta fingerprint + banded Hamming pairs (fingerprints oracle-recomputed sample-by-sample in SQL)"),
+
+    Q("q196_multimodal_gate",
+      // the cross-modality record gate (q186's sibling for LAION-style
+      // assembly): text token band + image-text alignment + audio
+      // activity + video cut-count, each the proven operator, one
+      // verdict row per record. The oracle chains all four modality
+      // re-derivations (q193's encoder fold, q191's samples, q192's
+      // pixels) over the same corpus
+      (s, d) => Curation.multimodalGate(
+          documents(s, d).select(col("doc_id"), col("text"),
+            Multimodal.fabricateImageCol(col("doc_id")).as("img"),
+            Multimodal.fabricateAudioCol(col("doc_id")).as("aud"),
+            Multimodal.fabricateShotVideoCol(col("doc_id")).as("vid")),
+          "doc_id", "text", "img", "aud", "vid",
+          embeddings(s, d), "vec_id", "embedding",
+          minTokens = 25, maxTokens = 100000, minCosine = 0.05)
+        .select(col("id").as("doc_id"), col("ok_text"), col("ok_image"),
+          col("ok_audio"), col("ok_video"), col("kept")),
+      Some {
+        val payByte = OracleSql.mix64("CAST(doc_id * 1048576 + j AS UBIGINT)")
+        val asv = s"(${OracleSql.mix64("CAST(doc_id * 65536 + i AS UBIGINT)")} & 255)"
+        val vbase = s"(${OracleSql.mix64("CAST(doc_id * 1048576 + shot * 4096 + p AS UBIGINT)")} & 255)"
+        val vjit = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + f * 64 + p AS UBIGINT)")} & 15) = 0 THEN 16 ELSE 0 END"
+        s"""WITH txt AS (
+           |  SELECT doc_id,
+           |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |      t -> t <> '')) BETWEEN 25 AND 100000 AS ok_text
+           |  FROM documents
+           |), idocs AS (
+           |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+           |  FROM documents
+           |), ihdr AS (
+           |  SELECT doc_id, i,
+           |    CASE i WHEN 0 THEN 71 WHEN 1 THEN 73 WHEN 2 THEN 77 WHEN 3 THEN 71
+           |           WHEN 4 THEN 0 WHEN 5 THEN 0 WHEN 6 THEN 0 WHEN 7 THEN w
+           |           WHEN 8 THEN 0 WHEN 9 THEN 0 WHEN 10 THEN 0 ELSE h END AS b
+           |  FROM idocs, (SELECT unnest(range(12)) AS i)
+           |), ipay AS (
+           |  SELECT doc_id, 12 + j AS i,
+           |    CAST($payByte & 255 AS BIGINT) AS b
+           |  FROM idocs, (SELECT unnest(range(4096)) AS j) WHERE j < w * h
+           |), iallb AS (
+           |  SELECT doc_id, i, b FROM ihdr UNION ALL SELECT doc_id, i, b FROM ipay
+           |), iterms AS (
+           |  SELECT doc_id, i % 64 AS d, i,
+           |    CAST(CAST(b AS FLOAT) / CAST(255.0 AS FLOAT) - CAST(0.5 AS FLOAT) AS FLOAT) AS t
+           |  FROM iallb
+           |), iacc AS (
+           |  SELECT doc_id, d,
+           |    list_reduce(list_prepend(CAST(0.0 AS FLOAT), list(t ORDER BY i)),
+           |                (a, b) -> CAST(a + b AS FLOAT)) AS v
+           |  FROM iterms GROUP BY doc_id, d
+           |), ivecs AS (
+           |  SELECT doc_id, list(v ORDER BY d) AS v FROM iacc GROUP BY doc_id
+           |), inormd AS (
+           |  SELECT doc_id, v,
+           |    CAST(sqrt(list_reduce(list_prepend(0.0, list_transform(v,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS FLOAT) AS nrm
+           |  FROM ivecs
+           |), ipv AS (
+           |  SELECT doc_id, list_transform(
+           |    CASE WHEN nrm = 0 THEN v
+           |         ELSE list_transform(v, x -> CAST(x / nrm AS FLOAT)) END,
+           |    x -> CAST(x AS DOUBLE)) AS v
+           |  FROM inormd
+           |), itv AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |), icosd AS (
+           |  SELECT p.doc_id,
+           |    list_reduce(list_prepend(0.0, [p.v[i] * t.v[i] FOR i IN range(1, len(p.v)+1)]), (a,b) -> a+b) AS dot,
+           |    list_reduce(list_prepend(0.0, [p.v[i] * p.v[i] FOR i IN range(1, len(p.v)+1)]), (a,b) -> a+b) AS na,
+           |    list_reduce(list_prepend(0.0, [t.v[i] * t.v[i] FOR i IN range(1, len(t.v)+1)]), (a,b) -> a+b) AS nb
+           |  FROM ipv p JOIN itv t ON t.vec_id = p.doc_id
+           |), img AS (
+           |  SELECT doc_id,
+           |    round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           |          ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) >= 0.05 AS ok_image
+           |  FROM icosd
+           |), adims AS (
+           |  SELECT doc_id, 1000 + (doc_id * 11) % 3000 AS n FROM documents
+           |), aidx AS (
+           |  SELECT doc_id, unnest(range(n)) AS i FROM adims
+           |), asamples AS (
+           |  SELECT doc_id, i // 256 AS w,
+           |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
+           |  FROM (SELECT doc_id, i, CAST($asv AS BIGINT) AS sv FROM aidx)
+           |), aact AS (
+           |  SELECT doc_id, w, sum(s * s) >= 5500 * count(*) AS a
+           |  FROM asamples GROUP BY doc_id, w
+           |), aud AS (
+           |  SELECT doc_id,
+           |    2 * count(*) FILTER (a) >= count(*) AS ok_audio
+           |  FROM aact GROUP BY doc_id
+           |), vdims AS (
+           |  SELECT doc_id,
+           |    8 + doc_id % 17 AS n,
+           |    3 + (doc_id * 7) % 5 AS slen
+           |  FROM documents
+           |), vfp AS (
+           |  SELECT doc_id, slen, unnest(range(n)) AS f FROM vdims
+           |), vfpp AS (
+           |  SELECT doc_id, f, f // slen AS shot, unnest(range(64)) AS p
+           |  FROM vfp
+           |), vpx AS (
+           |  SELECT doc_id, f, p,
+           |    CAST((($vbase + $vjit) & 255) AS BIGINT) AS px
+           |  FROM vfpp
+           |), vsad AS (
+           |  SELECT a.doc_id, a.f, sum(abs(a.px - b.px)) AS sad
+           |  FROM vpx a JOIN vpx b
+           |    ON b.doc_id = a.doc_id AND b.p = a.p AND b.f = a.f - 1
+           |  GROUP BY a.doc_id, a.f
+           |), vid AS (
+           |  SELECT d.doc_id,
+           |    coalesce((SELECT count(*) FROM vsad s
+           |              WHERE s.doc_id = d.doc_id AND s.sad >= 2000), 0) >= 3 AS ok_video
+           |  FROM vdims d
+           |)
+           |SELECT t.doc_id, t.ok_text, i.ok_image, a.ok_audio, v.ok_video,
+           |  (t.ok_text AND i.ok_image AND a.ok_audio AND v.ok_video) AS kept
+           |FROM txt t JOIN img i USING (doc_id) JOIN aud a USING (doc_id)
+           |JOIN vid v USING (doc_id)""".stripMargin
+      },
+      "multimodal record gate (text band + image-text alignment + audio activity + video cut-count, all proven operators, one verdict row per record): the LAION assembly step"),
+
+    Q("q197_audio_canonical",
+      // q195's linear-output twin, exactly as q189 is q162's: the
+      // canonical-collapse machinery is modality-generic. Star edges
+      // to bucket minima + min-label components over the audio
+      // fingerprint — one row per clip, no quadratic pair list
+      (s, d) => Multimodal.audioNearDupCanonical(
+          documents(s, d).select(col("doc_id"),
+            Multimodal.fabricateNearDupAudioCol(col("doc_id"), 200).as("content")),
+          "doc_id", "content", maxHamming = 4),
+      // full re-derivation: q195's sample-level fingerprint rebuild,
+      // then q189's closure structure (35 block-combination band keys,
+      // arg-min anchors, Hamming-verified star edges, recursive
+      // min-label closure)
+      Some {
+        val raw = s"(${OracleSql.mix64("CAST((doc_id % 200) * 65536 + i AS UBIGINT)")} & 255)"
+        val perturb = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + i AS UBIGINT)")} & 63) = 0 THEN 8 ELSE 0 END"
+        val nBlocks = 7 // maxHamming + 3
+        val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+        val keyStructs = (0 until nBlocks).combinations(3).toSeq.zipWithIndex
+          .map { case (blocks, tid) =>
+            val k = blocks.foldLeft("CAST(0 AS UBIGINT)") { (acc, bi) =>
+              val lo = bounds(bi); val width = bounds(bi + 1) - lo
+              val mask = (BigInt(1) << width) - 1
+              s"(($acc << $width) | ((sh >> $lo) & $mask))"
+            }
+            s"{'t': $tid, 'k': $k}"
+          }.mkString(",\n           |      ")
+        s"""WITH RECURSIVE idx AS (
+           |  SELECT doc_id, unnest(range(4160)) AS i FROM documents
+           |), samples AS (
+           |  SELECT doc_id, i // 64 AS w,
+           |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
+           |  FROM (SELECT doc_id, i,
+           |          CAST((($raw + $perturb) & 255) AS BIGINT) AS sv
+           |        FROM idx)
+           |), en AS (
+           |  SELECT doc_id, w, sum(s * s) AS e FROM samples GROUP BY doc_id, w
+           |), dlt AS (
+           |  SELECT doc_id, w, e,
+           |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS enx
+           |  FROM en
+           |), sh AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(sum(CASE WHEN enx > e
+           |      THEN CAST(CAST(1 AS UBIGINT) << w AS HUGEINT) ELSE 0 END),
+           |      0) AS UBIGINT) AS sh
+           |  FROM dlt WHERE w < 64 GROUP BY doc_id
+           |), keyed AS (
+           |  SELECT doc_id, sh, u.t AS t, u.k AS k FROM (
+           |    SELECT doc_id, sh, unnest([
+           |      $keyStructs]) AS u
+           |    FROM sh)
+           |), mn AS (
+           |  SELECT t, k, min(doc_id) AS mid, arg_min(sh, doc_id) AS msh
+           |  FROM keyed GROUP BY t, k
+           |), star AS (
+           |  SELECT DISTINCT mn.mid AS id_a, ky.doc_id AS id_b
+           |  FROM keyed ky JOIN mn ON mn.t = ky.t AND mn.k = ky.k
+           |  WHERE ky.doc_id <> mn.mid AND bit_count(xor(mn.msh, ky.sh)) <= 4
+           |), e AS (
+           |  SELECT id_a AS s, id_b AS d FROM star
+           |  UNION
+           |  SELECT id_b, id_a FROM star
+           |), reach AS (
+           |  SELECT s AS id, s AS r FROM e
+           |  UNION
+           |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+           |), lab AS (
+           |  SELECT s.doc_id AS id,
+           |    CAST(coalesce(c.comp, s.doc_id) AS BIGINT) AS canonical_id
+           |  FROM sh s LEFT JOIN (
+           |    SELECT id, min(r) AS comp FROM reach GROUP BY id) c
+           |  ON c.id = s.doc_id
+           |)
+           |SELECT CAST(l.id AS BIGINT) AS id, l.canonical_id,
+           |  CAST(g.cnt AS BIGINT) AS n_members
+           |FROM lab l JOIN (
+           |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
+           |USING (canonical_id)""".stripMargin
+      },
+      "canonical-collapse audio dedup (fingerprint star edges + min-label components): q195's linear-output twin — the canonical machinery is modality-generic")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -81,4 +81,58 @@ object Curation {
       } finally s3.unpersist(blocking = false)
     } finally s2.unpersist(blocking = false)
   }
+
+  /** The MULTIMODAL record gate — [[funnel]]'s cross-modality sibling
+    * (the LAION/vision-language assembly step): a training record
+    * carrying text + image + audio + video survives only when EVERY
+    * modality passes its gate, each gate being one of the engine's
+    * proven operators:
+    *
+    *   text   — token-count band (the q181 rule shape)
+    *   image  — [[Multimodal.alignmentGate]] cosine ≥ `minCosine`
+    *            against the text-side embedding (q193)
+    *   audio  — [[Multimodal.audioSegments]] activity:
+    *            2·n_active ≥ n_windows, exact integers (q191)
+    *   video  — [[Multimodal.videoSceneCuts]] n_cuts ≥ `minCuts`
+    *            (static/slideshow filter, q192)
+    *
+    * Returns ONE VERDICT ROW PER RECORD: (doc_id, ok_text, ok_image,
+    * ok_audio, ok_video, kept) — the per-modality audit a curation
+    * review reads, not just the surviving subset.
+    *
+    * Scale shape: the three binary-column scores are map-only
+    * partition-batched passes that collapse each record to a handful
+    * of longs BELOW the joins; the image gate is one id-keyed
+    * equi-join against the embedding table; the final assembly is
+    * three more id-keyed joins of skinny verdict frames. Nothing
+    * corpus-sized is broadcast; nothing quadratic exists.
+    */
+  def multimodalGate(docs: DataFrame, idCol: String, textCol: String,
+                     imgCol: String, audCol: String, vidCol: String,
+                     texts: DataFrame, textIdCol: String, vecCol: String,
+                     minTokens: Int, maxTokens: Int, minCosine: Double,
+                     embedDim: Int = 64,
+                     vadWindow: Int = 256, vadThreshold: Long = 5500L,
+                     cutThreshold: Long = 2000L, minCuts: Long = 3L): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"), col(imgCol).as("img"),
+      col(audCol).as("aud"), col(vidCol).as("vid"))
+    val tk = filter(split(trim(col("text")), "\\s+"), (x: Column) => x =!= "")
+    val txt = base.select(col("id"),
+      (size(tk) >= minTokens && size(tk) <= maxTokens).as("ok_text"))
+    val img = Multimodal.alignmentGate(base.select(col("id"), col("img")),
+        "id", "img", texts, textIdCol, vecCol, embedDim, minCosine)
+      .select(col("id"), col("kept").as("ok_image"))
+    val aud = Multimodal.audioSegments(base.select(col("id"), col("aud")),
+        "id", "aud", vadWindow, vadThreshold)
+      .select(col("id"), (col("n_active") * 2 >= col("n_windows")).as("ok_audio"))
+    val vid = Multimodal.videoSceneCuts(base.select(col("id"), col("vid")),
+        "id", "vid", cutThreshold)
+      .select(col("id"), (col("n_cuts") >= minCuts).as("ok_video"))
+    txt.join(img, Seq("id")).join(aud, Seq("id")).join(vid, Seq("id"))
+      .select(col("id"), col("ok_text"), col("ok_image"), col("ok_audio"),
+        col("ok_video"),
+        (col("ok_text") && col("ok_image") && col("ok_audio") &&
+          col("ok_video")).as("kept"))
+  }
 }

@@ -423,16 +423,32 @@ object Multimodal {
     * [[imageNearDup]] — the third modality on the shared
     * [[Dedup.hammingPairs]] machinery (text SimHash, image dHash,
     * audio energy-delta). Output (id_a, id_b, hamming).
+    *
+    * Like q162's image pairs, the PAIR LIST is Θ(G²) per duplicate
+    * group by definition (measured 73 s at 10× on 250-copy groups —
+    * SCALE.md round 12); for corpora with giant re-encode groups use
+    * [[audioNearDupCanonical]], the linear-output twin.
     */
   def audioNearDup(df: DataFrame, idCol: String, binCol: String,
-                   maxHamming: Int = 4): DataFrame = {
+                   maxHamming: Int = 4): DataFrame =
+    Dedup.hammingPairs(audioSig(df, idCol, binCol), maxHamming)
+
+  /** [[audioNearDup]]'s LINEAR-OUTPUT twin — [[Dedup.hammingCanonical]]
+    * over the audio fingerprint, exactly as [[imageNearDupCanonical]]
+    * is over dHash: the canonical-collapse machinery is
+    * modality-generic. One row per clip: (id, canonical_id, n_members).
+    */
+  def audioNearDupCanonical(df: DataFrame, idCol: String, binCol: String,
+                            maxHamming: Int = 4): DataFrame =
+    Dedup.hammingCanonical(audioSig(df, idCol, binCol), maxHamming)
+
+  private def audioSig(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-    val sig = ds.mapPartitions { it =>
+    ds.mapPartitions { it =>
       it.map { case (id, bytes) => (id, audioFingerprint64(bytes)) }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .toDF("id", "sh")
-    Dedup.hammingPairs(sig, maxHamming)
   }
 
   case class AudioSegStats(id: Long, sample_rate: Long, n_windows: Long,

@@ -45,4 +45,52 @@ class CurationSpec extends SparkSpec {
       assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4)
     }
   }
+
+  test("multimodalGate: every flag equals its standalone operator; kept is the conjunction") {
+    import spark.implicits._
+    val n = 60
+    val docs = (0 until n).map { i =>
+      // vary text length so ok_text splits: short docs fail minTokens
+      (i.toLong, Seq.fill(10 + (i % 3) * 20)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        Multimodal.fabricateImageCol(col("doc_id")).as("img"),
+        Multimodal.fabricateAudioCol(col("doc_id")).as("aud"),
+        Multimodal.fabricateShotVideoCol(col("doc_id")).as("vid"))
+      .repartition(4)
+    val txts = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (((i * 13 + j * 5) % 17) - 8).toFloat / 9f))
+    }.toDF("vec_id", "embedding")
+    val got = Curation.multimodalGate(docs, "doc_id", "text",
+        "img", "aud", "vid", txts, "vec_id", "embedding",
+        minTokens = 25, maxTokens = 100000, minCosine = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(got.size === n)
+    // each flag must equal the standalone operator's verdict
+    val img = Multimodal.alignmentGate(docs.select(col("doc_id"), col("img")),
+        "doc_id", "img", txts, "vec_id", "embedding", 64, 0.05)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val aud = Multimodal.audioSegments(docs.select(col("doc_id"), col("aud")),
+        "doc_id", "aud", 256, 5500L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3) * 2 >= r.getLong(2))).toMap
+    val vid = Multimodal.videoSceneCuts(docs.select(col("doc_id"), col("vid")),
+        "doc_id", "vid", 2000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2) >= 3L)).toMap
+    (0 until n).foreach { i =>
+      val id = i.toLong
+      val (t, im, au, vi, kept) = got(id)
+      assert(t === (10 + (i % 3) * 20 >= 25), s"ok_text doc $i")
+      assert(im === img(id), s"ok_image doc $i")
+      assert(au === aud(id), s"ok_audio doc $i")
+      assert(vi === vid(id), s"ok_video doc $i")
+      assert(kept === (t && im && au && vi), s"kept doc $i")
+    }
+    // the fixture must exercise both sides of every gate
+    assert(got.values.exists(_._1) && got.values.exists(!_._1))
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
 }

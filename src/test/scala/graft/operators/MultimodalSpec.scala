@@ -306,6 +306,31 @@ class MultimodalSpec extends SparkSpec {
       "near-dups must be within re-encode groups on this fixture")
   }
 
+  test("audioNearDupCanonical: identical to pairs+CC on Hamming-tight groups") {
+    import spark.implicits._
+    val n = 120
+    val df = (0 until n).map(_.toLong).toDF("doc_id")
+      .select(col("doc_id"),
+        Multimodal.fabricateNearDupAudioCol(col("doc_id"), 20).as("content"))
+      .repartition(5)
+    val lab = Multimodal.audioNearDupCanonical(df, "doc_id", "content", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(lab.size === n)
+    lab.foreach { case (id, (canon, _)) => assert(canon <= id) }
+    val fps = (0 until n).map(i =>
+      Multimodal.audioFingerprint64(Multimodal.fabricateNearDupAudio(i.toLong, 20)))
+    val parent = (0 until n).toArray
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (a <- 0 until n; b <- a + 1 until n
+         if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 4) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val pairCanon = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    assert(lab.view.mapValues(_._1).toMap === pairCanon,
+      "Hamming-tight audio groups must collapse identically to pairs+CC")
+  }
+
   test("imageNearDupCanonical: star components refine pair components; " +
       "tight groups collapse identically") {
     import spark.implicits._
