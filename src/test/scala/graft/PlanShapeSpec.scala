@@ -474,6 +474,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q194/q195-sig: the new multimodal kernels stay map-only where claimed") {
+    // q194 keyframes: pure partition-batched pass, no shuffle at all
+    val p194 = plan("q194_shot_keyframes")
+    assert(!p194.contains("Exchange"), "q194 must plan no shuffle")
+    assert(p194.contains("MapPartitions"))
+  }
+
+  test("q196: modality scores collapse BELOW the joins; no corpus broadcast of wide rows") {
+    val p = plan("q196_multimodal_gate")
+    // binary columns must never cross an exchange: every Exchange
+    // operates on the skinny post-score frames (id + flags/floats)
+    val bad = p.linesIterator.filter(_.contains("Exchange"))
+      .exists(l => l.contains("img#") || l.contains("aud#") || l.contains("vid#"))
+    assert(!bad, "binary columns must collapse before any exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q197: no pair product (star edges only), like q189") {
+    val p = plan("q197_audio_canonical")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("MapPartitions"), "fingerprint decode is partition-batched")
+  }
+
   test("q190: hot set broadcasts; corpus lines shuffle ONCE (the doc regroup)") {
     val p = plan("q190_boilerplate_lines")
     // the hot-flag join must be broadcast (boilerplate is small by
