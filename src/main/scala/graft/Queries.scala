@@ -6465,11 +6465,11 @@ object Queries {
            |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
            |  FROM (SELECT doc_id, i, CAST($asv AS BIGINT) AS sv FROM aidx)
            |), aact AS (
-           |  SELECT doc_id, w, sum(s * s) >= 5500 * count(*) AS a
+           |  SELECT doc_id, w, sum(s * s) >= 5500 * count(*) AS actv
            |  FROM asamples GROUP BY doc_id, w
            |), aud AS (
            |  SELECT doc_id,
-           |    2 * count(*) FILTER (a) >= count(*) AS ok_audio
+           |    2 * count(*) FILTER (actv) >= count(*) AS ok_audio
            |  FROM aact GROUP BY doc_id
            |), vdims AS (
            |  SELECT doc_id,
@@ -6496,9 +6496,9 @@ object Queries {
            |              WHERE s.doc_id = d.doc_id AND s.sad >= 2000), 0) >= 3 AS ok_video
            |  FROM vdims d
            |)
-           |SELECT t.doc_id, t.ok_text, i.ok_image, a.ok_audio, v.ok_video,
-           |  (t.ok_text AND i.ok_image AND a.ok_audio AND v.ok_video) AS kept
-           |FROM txt t JOIN img i USING (doc_id) JOIN aud a USING (doc_id)
+           |SELECT t.doc_id, t.ok_text, i.ok_image, au.ok_audio, v.ok_video,
+           |  (t.ok_text AND i.ok_image AND au.ok_audio AND v.ok_video) AS kept
+           |FROM txt t JOIN img i USING (doc_id) JOIN aud au USING (doc_id)
            |JOIN vid v USING (doc_id)""".stripMargin
       },
       "multimodal record gate (text band + image-text alignment + audio activity + video cut-count, all proven operators, one verdict row per record): the LAION assembly step"),
