@@ -34,7 +34,10 @@ object CanonicalSliceDump {
         graft.plans.Kernels.mix64(r + 0xB7)))).take(n)
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, nRes) = args
+    val (sfDir, outDir, nRes) = (args(0), args(1), args(2))
+    // "image" (q189, default) or "audio" (q197) — the canonical
+    // machinery is modality-generic, and so is this harness
+    val mode = if (args.length > 3) args(3) else "image"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,11 +52,18 @@ object CanonicalSliceDump {
     new java.io.File(outDir).mkdirs()
     val docs = Tables.documents(spark, sfDir)
       .filter((col("doc_id") % 200).isin(rs: _*))
-    Multimodal.imageNearDupCanonical(
+    val out = mode match {
+      case "image" => Multimodal.imageNearDupCanonical(
         docs.select(col("doc_id"),
           Multimodal.fabricateNearDupImageCol(col("doc_id"), 200).as("content")),
         "doc_id", "content", maxHamming = 4)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q189_slice")
+      case "audio" => Multimodal.audioNearDupCanonical(
+        docs.select(col("doc_id"),
+          Multimodal.fabricateNearDupAudioCol(col("doc_id"), 200).as("content")),
+        "doc_id", "content", maxHamming = 4)
+      case m => sys.error(s"unknown mode $m (image|audio)")
+    }
+    out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/slice")
     Files.write(Paths.get(s"$outDir/residues.json"),
       rs.mkString("[", ",", "]").getBytes("UTF-8"))
     spark.stop()

@@ -6583,7 +6583,64 @@ object Queries {
            |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
            |USING (canonical_id)""".stripMargin
       },
-      "canonical-collapse audio dedup (fingerprint star edges + min-label components): q195's linear-output twin — the canonical machinery is modality-generic")
+      "canonical-collapse audio dedup (fingerprint star edges + min-label components): q195's linear-output twin — the canonical machinery is modality-generic"),
+
+    Q("q198_corpus_datasheet",
+      // the "datasheet for datasets" release report: per-source docs,
+      // exact token totals, mean/median length, language mix and the
+      // dominant language's share — two source-keyed hash aggs + one
+      // catalog-scale join; every number exact or a pinned-order
+      // derivation (integer sums, q53-parity percentile, argmax with
+      // lang-ASC ties)
+      (s, d) => {
+        val base = documents(s, d).select(col("source"), col("lang"),
+          col("n_chars"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("ntok"))
+        val main = base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          round(sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_chars"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        val top = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source")).agg(
+            min(struct((-col("c")).as("nc"), col("lang"))).as("m"),
+            sum(col("c")).as("tot"))
+          .select(col("source"), col("m.lang").as("top_lang"),
+            round((-col("m.nc")).cast("double") / col("tot").cast("double"), 6)
+              .as("top_lang_share"))
+        main.join(top, Seq("source"))
+      },
+      Some("""WITH base AS (
+             |  SELECT source, lang, n_chars,
+             |    len(string_split_regex(trim(text), '\s+')) AS ntok
+             |  FROM documents
+             |), main AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             |    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+             |    quantile_cont(n_chars, 0.5) AS p50_chars,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |  FROM base GROUP BY source
+             |), lc AS (
+             |  SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang
+             |), tot AS (
+             |  SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM lc GROUP BY source
+             |), top AS (
+             |  SELECT source, lang AS top_lang, c FROM (
+             |    SELECT source, lang, c,
+             |      row_number() OVER (PARTITION BY source
+             |                         ORDER BY c DESC, lang) AS rn
+             |    FROM lc) WHERE rn = 1
+             |)
+             |SELECT m.source, m.n_docs, m.n_tokens, m.avg_chars, m.p50_chars,
+             |  m.n_langs, t.top_lang,
+             |  round(CAST(t.c AS DOUBLE) / tt.tot, 6) AS top_lang_share
+             |FROM main m JOIN top t USING (source) JOIN tot tt USING (source)""".stripMargin),
+      "per-source corpus datasheet (docs, exact token totals, mean/median length, language mix, dominant-language share): the dataset release report as two hash aggs")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -14,10 +14,12 @@
 # near-copies at /tmp/sf10x).
 #
 # Usage:
-#   sbt -batch "runMain graft.CanonicalSliceDump /tmp/sf10x /tmp/q189_100x 4"
-#   python3 tools/q189_scale_check.py /tmp/sf10x /tmp/q189_100x <oracle_sql.json>
-# where <oracle_sql.json> is any Verify dump containing the
-# q189_image_canonical oracle string (e.g. /tmp/r12_q189/oracle_sql.json).
+#   sbt -batch "runMain graft.CanonicalSliceDump /tmp/sf10x /tmp/q189_100x 4 image"
+#   python3 tools/q189_scale_check.py /tmp/sf10x /tmp/q189_100x <oracle_sql.json> [q189_image_canonical]
+# where <oracle_sql.json> is any Verify dump containing the target oracle
+# string; the optional 4th arg picks the query (q189_image_canonical
+# default, or q197_audio_canonical with a matching "audio"-mode dump —
+# the canonical machinery and this harness are both modality-generic).
 import sys, os, json, glob
 import duckdb
 
@@ -38,7 +40,8 @@ def main():
     expect = sorted(range(200), key=lambda r: mix64((r + 0xB7) & MASK))[:len(res)]
     assert sorted(res) == sorted(expect), \
         f"residue derivation desync: dump {sorted(res)} vs {sorted(expect)}"
-    sql = json.load(open(oracle_path))["q189_image_canonical"]
+    qname = sys.argv[4] if len(sys.argv) > 4 else "q189_image_canonical"
+    sql = json.load(open(oracle_path))[qname]
 
     con = duckdb.connect()
     if os.environ.get("CHECK_THREADS"):
@@ -51,7 +54,8 @@ def main():
                 f"WHERE doc_id % 200 IN ({in_list})")
     n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     odf = con.execute(sql).df()
-    sp = glob.glob(os.path.join(out, "q189_slice", "*.parquet"))
+    d = "slice" if os.path.isdir(os.path.join(out, "slice")) else "q189_slice"
+    sp = glob.glob(os.path.join(out, d, "*.parquet"))
     sdf = con.execute(f"SELECT * FROM read_parquet({sp!r})").df()
 
     sdf = sdf.reindex(sorted(sdf.columns), axis=1) \
@@ -62,7 +66,7 @@ def main():
         and all((sdf[c] == odf[c]).all() for c in sdf.columns)
     biggest = int(sdf["n_members"].max()) if len(sdf) else 0
     print(("PASS" if ok else "FAIL") +
-          f" q189_image_canonical  [slice: {len(res)} residues, {n_docs} docs,"
+          f" {qname}  [slice: {len(res)} residues, {n_docs} docs,"
           f" largest component {biggest}]")
     sys.exit(0 if ok else 1)
 
