@@ -6591,7 +6591,13 @@ object Queries {
       // dominant language's share — two source-keyed hash aggs + one
       // catalog-scale join; every number exact or a pinned-order
       // derivation (integer sums, q53-parity percentile, argmax with
-      // lang-ASC ties)
+      // lang-ASC ties). The median runs through the rank-based exact
+      // path (groupedExactPercentiles) rather than the built-in
+      // `percentile()` aggregate, whose per-group value-counts map is
+      // state ∝ distinct lengths — per-source groups are CORPUS-scale,
+      // so at 100 TB that buffer IS the data; the rank path's agg
+      // state is bounded (groups × bins) and the interpolation is
+      // bit-identical (q53 pins it equal to DuckDB's quantile_cont).
       (s, d) => {
         val base = documents(s, d).select(col("source"), col("lang"),
           col("n_chars"),
@@ -6602,8 +6608,13 @@ object Queries {
           sum(col("ntok")).as("n_tokens"),
           round(sum(col("n_chars")).cast("double") /
             count(lit(1)).cast("double"), 6).as("avg_chars"),
-          expr("percentile(n_chars, 0.5)").as("p50_chars"),
           countDistinct(col("lang")).as("n_langs"))
+        // summary-sized LocalRelation (one row per source) — the join
+        // back onto `main` broadcasts by size
+        val p50 = Stats.groupedExactPercentiles(
+            documents(s, d).select(col("source"), col("n_chars")),
+            "source", "n_chars", Seq(0.5))
+          .select(col("g").as("source"), col("p_0").as("p50_chars"))
         val top = base.groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("source")).agg(
@@ -6612,11 +6623,15 @@ object Queries {
           .select(col("source"), col("m.lang").as("top_lang"),
             round((-col("m.nc")).cast("double") / col("tot").cast("double"), 6)
               .as("top_lang_share"))
-        main.join(top, Seq("source"))
+        main.join(broadcast(p50), Seq("source")).join(top, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("avg_chars"), col("p50_chars"), col("n_langs"),
+            col("top_lang"), col("top_lang_share"))
       },
       Some("""WITH base AS (
              |  SELECT source, lang, n_chars,
-             |    len(string_split_regex(trim(text), '\s+')) AS ntok
+             |    len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> t <> '')) AS ntok
              |  FROM documents
              |), main AS (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
