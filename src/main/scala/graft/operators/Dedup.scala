@@ -679,36 +679,79 @@ object Dedup {
     * Scale shape: two scans of the exploded lines — (group, hash,
     * line, doc) distinct + (group, hash, line) count build the hot
     * set (8-byte line hashes; the line text rides only as collision
-    * guard), which is by definition a SMALL distinct set (lines
-    * repeated across documents) and broadcasts back as a LEFT join
-    * carrying a hot flag. One doc-keyed regroup then computes the
-    * line count, the removal count, AND the rebuilt text in a single
-    * aggregation (per-group state = one document's own lines) — the
-    * corpus lines shuffle exactly once. On a corpus where the hot set
-    * could outgrow executor memory (pathological template farms), drop
-    * the hint and let AQE pick a shuffled join.
+    * guard), which is USUALLY a small distinct set (lines repeated
+    * across documents) and broadcasts back as a LEFT join carrying a
+    * hot flag. One doc-keyed regroup then computes the line count, the
+    * removal count, AND the rebuilt text in a single aggregation
+    * (per-group state = one document's own lines) — the corpus lines
+    * shuffle exactly once.
+    *
+    * The hot set is DATA-dependent (every line with df ≥ `minDf` in
+    * any group), so the broadcast is COUNT-GATED like
+    * [[Graph.triangleParticipation]]'s adjacency: the hot frame is
+    * persisted, counted, and
+    *  - at ≤ `broadcastHotLimit` rows it is collected into a
+    *    LocalRelation (the same driver trip a BroadcastExchange would
+    *    make) and broadcast — the corpus probe side never shuffles for
+    *    the flag join;
+    *  - above the limit (a pathological template farm — pervasive
+    *    near-boilerplate at crawl scale) it falls back to a SHUFFLED
+    *    left join on (group, hash, line): one extra corpus-lines
+    *    exchange, but no executor-heap cliff. The cache is released
+    *    before the fallback plan is returned, so the recomputed hot
+    *    branch inside the join doesn't compete with a stranded
+    *    corpus-scale cache.
+    * The default limit is rows-based (1M): hot rows carry line TEXT,
+    * so at a ~60-byte average line that is ~60 MB driver/executor —
+    * tune per corpus line width, or pass 0 to force the shuffled join.
+    * Both branches are value-identical (same left join, same flag).
     *
     * Returns (id, n_lines, n_removed, text_clean); a document that was
     * ALL boilerplate keeps its row with empty text.
     */
   def boilerplateLines(df: DataFrame, textCol: String, idCol: String,
                        groupCol: String, minDf: Int,
-                       sep: String = "\n"): DataFrame = {
+                       sep: String = "\n",
+                       broadcastHotLimit: Long = 1L << 20): DataFrame = {
+    val (result, _) = boilerplateLinesPlan(df, textCol, idCol, groupCol,
+      minDf, sep, broadcastHotLimit)
+    result
+  }
+
+  /** The plan + whether the count gate chose broadcast, for plan-shape
+    * tests. The gate's count action runs here eagerly; the returned
+    * frame is lazy and self-contained (no cache outlives the call). */
+  private[graft] def boilerplateLinesPlan(
+      df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, minDf: Int, sep: String,
+      broadcastHotLimit: Long): (DataFrame, Boolean) = {
     require(minDf >= 2, s"minDf must be >= 2 (1 would remove everything), got $minDf")
     val lines = df
       .select(col(idCol).as("id"), col(groupCol).as("g"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .toDF("id", "g", "pos", "line")
       .withColumn("_h", xxhash64(col("line")))
-    val hot = lines
+    val hotPlan = lines
       .dropDuplicates("g", "_h", "line", "id")
       .groupBy(col("g"), col("_h"), col("line"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf)
       .select(col("g"), col("_h"), col("line"), lit(1).as("_hot"))
-    lines.join(broadcast(hot), Seq("g", "_h", "line"), "left")
+    // COUNTED gate: one action over the persisted hot frame decides the
+    // join strategy; the cache never outlives this method (the
+    // broadcast branch ships a LocalRelation copy, the fallback branch
+    // recomputes hot inside the shuffled join — one extra corpus pass
+    // on the rare path, bought for a leak-free plan)
+    val hotCached = hotPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (hotSide, useBroadcast) = try {
+      val n = hotCached.count()
+      if (n <= broadcastHotLimit) (broadcast(Ckpt.toLocal(hotCached)), true)
+      else (hotPlan, false)
+    } finally hotCached.unpersist(blocking = false)
+    val flagged = lines.join(hotSide, Seq("g", "_h", "line"), "left")
       .select(col("id"), col("pos"), col("line"),
         col("_hot").isNotNull.as("_rm"))
+    val result = flagged
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("_rm"), 1L).otherwise(0L)).as("n_removed"),
@@ -719,6 +762,7 @@ object Dedup {
               x => !x.getField("_rm")),
             x => x.getField("line"))).as("text_clean"))
       .select(col("id"), col("n_lines"), col("n_removed"), col("text_clean"))
+    (result, useBroadcast)
   }
 
   /** Incremental exact dedup: which `incoming` documents already exist

@@ -499,8 +499,10 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q190: hot set broadcasts; corpus lines shuffle ONCE (the doc regroup)") {
     val p = plan("q190_boilerplate_lines")
-    // the hot-flag join must be broadcast (boilerplate is small by
-    // definition) — never a corpus-wide shuffled join
+    // the hot-flag join is COUNT-GATED (Dedup.boilerplateLinesPlan):
+    // on this corpus the hot set is far below the limit, so the gate
+    // must choose the broadcast branch — never a corpus-wide shuffled
+    // join on the default path
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
     // exactly one doc-keyed exchange: the single regroup that computes
@@ -508,6 +510,39 @@ class PlanShapeSpec extends SparkSpec {
     // formulation this replaced would show two)
     assert("Exchange hashpartitioning\\(id#".r.findAllIn(p).size === 1,
       "corpus lines must shuffle exactly once")
+  }
+
+  test("q190 fallback: a tripped hot-set gate drops the broadcast HINT on the hot join") {
+    // limit 0 trips the gate: the hot frame must not carry a FORCED
+    // broadcast hint (the unconditional hint overriding the size
+    // threshold is the executor-heap cliff the gate exists to avoid).
+    // A size-based auto-broadcast is still fine — it only fires below
+    // spark.sql.autoBroadcastJoinThreshold — so distinguish hint from
+    // auto by disabling auto-broadcast while building the plan: a
+    // hinted plan would STILL broadcast, a gated plan must not.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lined = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+        plans.Exprs.chunkTokens(col("text"), 8).as("t"))
+      val (f, used) = operators.Dedup.boilerplateLinesPlan(
+        lined, "t", "doc_id", "source", minDf = 2, sep = "\n",
+        broadcastHotLimit = 0L)
+      assert(!used)
+      val pf = f.queryExecution.executedPlan.toString
+      val hotJoin = pf.linesIterator.filter(l =>
+        l.contains("Join") && l.contains("_h#")).toSeq
+      assert(hotJoin.nonEmpty, s"expected the hot-flag join in plan:\n$pf")
+      assert(!hotJoin.exists(_.contains("Broadcast")),
+        "tripped gate must not FORCE a broadcast of the hot frame")
+      // and the default gate DOES force it, threshold notwithstanding
+      val (g, usedB) = operators.Dedup.boilerplateLinesPlan(
+        lined, "t", "doc_id", "source", minDf = 2, sep = "\n",
+        broadcastHotLimit = 1L << 20)
+      assert(usedB)
+      assert(g.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "untripped gate must broadcast regardless of the auto threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("q189: no pair product, no corpus cache (persist measured slower at 100x)") {

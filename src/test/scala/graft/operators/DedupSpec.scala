@@ -553,6 +553,21 @@ class DedupSpec extends SparkSpec {
     got.filter(x => docs(x._1.toInt)._2 == "g0").foreach { case (_, _, _, t) =>
       assert(!t.split("\n").contains("hdr"))
     }
+    // the COUNTED broadcast gate: the default limit chooses broadcast
+    // on this tiny hot set; limit 0 forces the shuffled fallback — and
+    // BOTH branches produce the identical result set
+    val (bPlan, bUsed) = Dedup.boilerplateLinesPlan(
+      docs.toDF("doc_id", "source", "text").repartition(7),
+      "text", "doc_id", "source", minDf, "\n", broadcastHotLimit = 1L << 20)
+    assert(bUsed, "tiny hot set must take the broadcast branch")
+    val (sPlan, sUsed) = Dedup.boilerplateLinesPlan(
+      docs.toDF("doc_id", "source", "text").repartition(7),
+      "text", "doc_id", "source", minDf, "\n", broadcastHotLimit = 0L)
+    assert(!sUsed, "limit 0 must force the shuffled fallback")
+    val asSet = (f: org.apache.spark.sql.DataFrame) =>
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(asSet(bPlan) === expected)
+    assert(asSet(sPlan) === expected)
   }
 
   test("selectCanonical picks the argmax-score member per cluster (random graph)") {
