@@ -173,10 +173,11 @@ object Dedup {
     * `maxHamming` ≤ 5 keeps the explode factor ≤ 56.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3,
+                   maxCandidatePairs: Long = 1L << 30): DataFrame =
     hammingPairs(
       df.select(col(idCol).as("id"), Exprs.simhash64(col(textCol)).as("sh")),
-      maxHamming)
+      maxHamming, maxCandidatePairs)
 
   /** The guaranteed-recall banding core of [[simhashPairs]], over an
     * ALREADY-FINGERPRINTED frame — reusable for any 64-bit
@@ -216,8 +217,39 @@ object Dedup {
       .select(col("id"), col("sh"), col("c.t"), col("c.k"))
   }
 
-  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+  /** Guard rationale: on a corpus with giant duplicate groups (G
+    * re-encodes of one asset) the PAIR LIST is Θ(G²) per group BY
+    * DEFINITION — at the measured 100× fabricated corpus (2,500-copy
+    * groups) that is ~625M output pairs and ~22B per-bucket join
+    * candidates. Nothing about the banding is wrong there; the OUTPUT
+    * is the wall. So before enumerating, one skinny aggregate over the
+    * band keys computes Σ C(bucket, 2) — the exact candidate-pair
+    * count the self-join would produce — and the operator FAILS FAST
+    * past `maxCandidatePairs` (default 2^30) with a pointer to the
+    * linear-output canonical twins ([[hammingCanonical]] /
+    * `Multimodal.imageNearDupCanonical` / `audioNearDupCanonical`)
+    * instead of silently melting the cluster. Callers that truly want
+    * the quadratic list raise the cap explicitly;
+    * `maxCandidatePairs = Long.MaxValue` skips the gate's extra pass
+    * entirely.
+    */
+  def hammingPairs(sig: DataFrame, maxHamming: Int,
+                   maxCandidatePairs: Long = 1L << 30): DataFrame = {
     val keyed = blockKeyed(sig, maxHamming)
+    if (maxCandidatePairs < Long.MaxValue) {
+      val cand = keyed.groupBy(col("t"), col("k"))
+        .agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(col("m") * (col("m") - lit(1L)) / lit(2L)), lit(0L))
+          .cast("long").as("c"))
+        .head().getLong(0)
+      require(cand <= maxCandidatePairs,
+        s"banded Hamming join would enumerate $cand candidate pairs " +
+          s"(> maxCandidatePairs=$maxCandidatePairs): the corpus holds giant " +
+          "duplicate groups and the pair list itself is quadratic in group " +
+          "size. Use the linear-output canonical twins (Dedup.hammingCanonical" +
+          " / Multimodal.imageNearDupCanonical / audioNearDupCanonical), or " +
+          "raise maxCandidatePairs explicitly to enumerate anyway.")
+    }
     keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
           col("a.id") < col("b.id"))

@@ -430,8 +430,10 @@ object Multimodal {
     * [[audioNearDupCanonical]], the linear-output twin.
     */
   def audioNearDup(df: DataFrame, idCol: String, binCol: String,
-                   maxHamming: Int = 4): DataFrame =
-    Dedup.hammingPairs(audioSig(df, idCol, binCol), maxHamming)
+                   maxHamming: Int = 4,
+                   maxCandidatePairs: Long = 1L << 30): DataFrame =
+    Dedup.hammingPairs(audioSig(df, idCol, binCol), maxHamming,
+      maxCandidatePairs)
 
   /** [[audioNearDup]]'s LINEAR-OUTPUT twin — [[Dedup.hammingCanonical]]
     * over the audio fingerprint, exactly as [[imageNearDupCanonical]]
@@ -625,8 +627,10 @@ object Multimodal {
     * quadratic blowup on non-duplicates.
     */
   def imageNearDup(df: DataFrame, idCol: String, binCol: String,
-                   maxHamming: Int = 4): DataFrame =
-    Dedup.hammingPairs(dhashSig(df, idCol, binCol), maxHamming)
+                   maxHamming: Int = 4,
+                   maxCandidatePairs: Long = 1L << 30): DataFrame =
+    Dedup.hammingPairs(dhashSig(df, idCol, binCol), maxHamming,
+      maxCandidatePairs)
 
   /** [[imageNearDup]]'s LINEAR-OUTPUT twin for corpora with giant
     * duplicate groups — decode → dHash → [[Dedup.hammingCanonical]]

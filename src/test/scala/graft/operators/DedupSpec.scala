@@ -332,6 +332,26 @@ class DedupSpec extends SparkSpec {
     assert(got === expected, "block-combination banding must have perfect recall at h<=3")
   }
 
+  test("hammingPairs candidate-pair guard fails fast on giant-group corpora") {
+    import spark.implicits._
+    // 40 identical signatures = one giant duplicate group: every band
+    // bucket holds all 40 → Σ C(40,2) per combo, a quadratic pair list
+    val sig = (0L until 40L).map(i => (i, 0x5a5a5a5aL)).toDF("id", "sh")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(sig, maxHamming = 3, maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("hammingCanonical"),
+      "the guard must point at the linear-output canonical twins")
+    assert(e.getMessage.contains("maxCandidatePairs"))
+    // raising the cap (or the default on a small corpus) enumerates fine
+    val ok = Dedup.hammingPairs(sig, maxHamming = 3).collect()
+    assert(ok.length === 40 * 39 / 2)
+    // Long.MaxValue skips the gate's counting pass entirely
+    val skip = Dedup.hammingPairs(sig, maxHamming = 3,
+      maxCandidatePairs = Long.MaxValue).collect()
+    assert(skip.length === 40 * 39 / 2)
+  }
+
   test("q37 oracle: embedding LSH finds planted near-duplicates") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
