@@ -6496,9 +6496,12 @@ object Queries {
            |              WHERE s.doc_id = d.doc_id AND s.sad >= 2000), 0) >= 3 AS ok_video
            |  FROM vdims d
            |)
-           |SELECT t.doc_id, t.ok_text, i.ok_image, au.ok_audio, v.ok_video,
-           |  (t.ok_text AND i.ok_image AND au.ok_audio AND v.ok_video) AS kept
-           |FROM txt t JOIN img i USING (doc_id) JOIN aud au USING (doc_id)
+           |SELECT t.doc_id, t.ok_text,
+           |  coalesce(i.ok_image, false) AS ok_image, au.ok_audio, v.ok_video,
+           |  (t.ok_text AND coalesce(i.ok_image, false) AND au.ok_audio
+           |   AND v.ok_video) AS kept
+           |FROM txt t LEFT JOIN img i USING (doc_id)
+           |JOIN aud au USING (doc_id)
            |JOIN vid v USING (doc_id)""".stripMargin
       },
       "multimodal record gate (text band + image-text alignment + audio activity + video cut-count, all proven operators, one verdict row per record): the LAION assembly step"),

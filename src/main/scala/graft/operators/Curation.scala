@@ -129,10 +129,19 @@ object Curation {
     val vid = Multimodal.videoSceneCuts(base.select(col("id"), col("vid")),
         "id", "vid", cutThreshold)
       .select(col("id"), (col("n_cuts") >= minCuts).as("ok_video"))
-    txt.join(img, Seq("id")).join(aud, Seq("id")).join(vid, Seq("id"))
-      .select(col("id"), col("ok_text"), col("ok_image"), col("ok_audio"),
+    // the image verdict joins LEFT: alignmentGate is an id-keyed join
+    // against the text-embedding table, so a record with no text-side
+    // embedding row would otherwise vanish from the audit output. The
+    // contract is ONE VERDICT ROW PER RECORD — a missing embedding
+    // FAILS the image gate (ok_image = false) instead of excluding the
+    // record. The audio/video joins stay inner: their right sides are
+    // map-only derivations of `base` itself, so they are total by
+    // construction.
+    val okImg = coalesce(col("ok_image"), lit(false))
+    txt.join(img, Seq("id"), "left").join(aud, Seq("id")).join(vid, Seq("id"))
+      .select(col("id"), col("ok_text"), okImg.as("ok_image"), col("ok_audio"),
         col("ok_video"),
-        (col("ok_text") && col("ok_image") && col("ok_audio") &&
+        (col("ok_text") && okImg && col("ok_audio") &&
           col("ok_video")).as("kept"))
   }
 }

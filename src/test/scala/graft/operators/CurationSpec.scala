@@ -93,4 +93,32 @@ class CurationSpec extends SparkSpec {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
+
+  test("multimodalGate: a record with NO text-side embedding keeps its row, ok_image=false") {
+    import spark.implicits._
+    val n = 20
+    val docs = (0 until n).map { i =>
+      (i.toLong, Seq.fill(40)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        Multimodal.fabricateImageCol(col("doc_id")).as("img"),
+        Multimodal.fabricateAudioCol(col("doc_id")).as("aud"),
+        Multimodal.fabricateShotVideoCol(col("doc_id")).as("vid"))
+    // embeddings cover only the first half: the second half must NOT
+    // silently disappear from the audit (one verdict row per record)
+    val txts = (0 until n / 2).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (((i * 13 + j * 5) % 17) - 8).toFloat / 9f))
+    }.toDF("vec_id", "embedding")
+    val got = Curation.multimodalGate(docs, "doc_id", "text",
+        "img", "aud", "vid", txts, "vec_id", "embedding",
+        minTokens = 25, maxTokens = 100000, minCosine = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(5)))).toMap
+    assert(got.size === n, "every record must keep exactly one verdict row")
+    (n / 2 until n).foreach { i =>
+      val (okImage, kept) = got(i.toLong)
+      assert(!okImage, s"doc $i without an embedding must fail the image gate")
+      assert(!kept, s"doc $i without an embedding must not be kept")
+    }
+  }
 }
