@@ -6658,7 +6658,71 @@ object Queries {
              |  m.n_langs, t.top_lang,
              |  round(CAST(t.c AS DOUBLE) / tt.tot, 6) AS top_lang_share
              |FROM main m JOIN top t USING (source) JOIN tot tt USING (source)""".stripMargin),
-      "per-source corpus datasheet (docs, exact token totals, mean/median length, language mix, dominant-language share): the dataset release report as two hash aggs")
+      "per-source corpus datasheet (docs, exact token totals, mean/median length, language mix, dominant-language share): the dataset release report as two hash aggs"),
+
+    Q("q199_ks_matrix_batched",
+      // the wide-grid KS drift matrix: 25 nation groups is PAST
+      // ksMatrix's 16-group / 120-pair codegen envelope, so this runs
+      // the batched pass algebra (SCALE.md §ksMatrix as an API) —
+      // batches of 8, nine passes, each ≤ 16 groups, every unordered
+      // pair emitted by exactly one pass. The oracle computes all 300
+      // pairs monolithically (SQL has no codegen envelope): equality
+      // IS the proof that the batch decomposition is exact
+      (s, d) => Stats.ksMatrixBatched(customer(s, d), "c_acctbal",
+        "c_nationkey", batchSize = 8),
+      Some {
+        // ksMatrix sorts group keys AS STRINGS — mirror that order
+        val gs = (0 until 25).map(_.toString).sorted
+        val idx = gs.indices
+        val cs = idx.map(i =>
+          s"    sum(CASE WHEN CAST(c_nationkey AS VARCHAR) = '${gs(i)}' THEN 1 ELSE 0 END) AS c$i")
+          .mkString(",\n")
+        val ns = idx.map(i => s"sum(c$i) AS n$i").mkString(", ")
+        val us = idx.map(i => s"sum(c$i) OVER w AS u$i").mkString(",\n    ")
+        val pairs = for { i <- idx; j <- idx if i < j } yield (i, j)
+        val ds = pairs.map { case (i, j) =>
+          s"abs(u$i * n$j - u$j * n$i) AS d_${i}_$j" }.mkString(",\n    ")
+        val ms = pairs.map { case (i, j) => s"max(d_${i}_$j) AS m_${i}_$j" }
+          .mkString(", ")
+        // all 300 sup locations in ONE dd scan (min v among the argmax
+        // rows — ksMatrix's tie-break), instead of 300 correlated
+        // subqueries. The compared d/m values re-type through CAST:
+        // exact (they are integers < 2^53) and it keeps the HUGEINT
+        // taint lint's conservative scan out of the CASE arm, whose
+        // actual result is the DOUBLE v
+        val ats = pairs.map { case (i, j) =>
+          s"min(CASE WHEN CAST(dd.d_${i}_$j AS DOUBLE) = " +
+            s"CAST(m.m_${i}_$j AS DOUBLE) THEN v END) AS a_${i}_$j" }
+          .mkString(",\n    ")
+        val branches = pairs.map { case (i, j) =>
+          s"""SELECT '${gs(i)}' AS g_a, '${gs(j)}' AS g_b,
+             |  CAST(n$i AS BIGINT) AS n_a, CAST(n$j AS BIGINT) AS n_b,
+             |  round(CAST(m_${i}_$j AS DOUBLE) / (CAST(n$i AS DOUBLE) * CAST(n$j AS DOUBLE)), 9) AS d_stat,
+             |  a_${i}_$j AS at_value
+             |FROM g, m, att""".stripMargin }.mkString("\nUNION ALL\n")
+        s"""WITH c AS MATERIALIZED (
+           |  SELECT c_acctbal AS v,
+           |$cs
+           |  FROM customer GROUP BY 1
+           |), g AS MATERIALIZED (SELECT $ns FROM c),
+           |cum AS MATERIALIZED (
+           |  SELECT v,
+           |    $us
+           |  FROM c
+           |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |), dd AS MATERIALIZED (
+           |  SELECT v,
+           |    $ds
+           |  FROM cum, g
+           |), m AS MATERIALIZED (SELECT $ms FROM dd),
+           |att AS MATERIALIZED (
+           |  SELECT
+           |    $ats
+           |  FROM dd, m
+           |)
+           |$branches""".stripMargin
+      },
+      "wide-grid batched KS drift matrix (G=25 > the codegen envelope): the SCALE.md batch algebra as an API, 300 pairs across nine bounded passes, oracle-proved exact against one monolithic SQL pass")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -262,6 +262,79 @@ object Stats {
     (result, Seq(binned))
   }
 
+  /** [[ksMatrix]] for WIDE config-scale grids (G > 16 groups — e.g. 64
+    * shards): the all-pairs KS matrix computed in BATCHED passes so no
+    * single plan exceeds the 120-pair codegen envelope the `maxGroups`
+    * cap protects (G=64 monolithic would be 2016 pair-diff columns and
+    * Janino starts splitting methods).
+    *
+    * Pass algebra (the SCALE.md §ksMatrix recipe, now an API): sort
+    * the group domain, split into batches of `batchSize` ≤ 8, and run
+    * one [[ksMatrix]] pass per unordered BATCH pair (i ≤ j) over only
+    * those two batches' rows — each pass holds ≤ 2·batchSize ≤ 16
+    * groups. A diagonal pass (i = i) contributes its batch's internal
+    * pairs; a cross pass (i < j) keeps ONLY cross-batch pairs (its
+    * recomputed internal pairs are dropped), so every unordered group
+    * pair is emitted by exactly one pass. Single-group batches skip
+    * their (vacuous) diagonal pass.
+    *
+    * Cost: (G/b)(G/b+1)/2 passes, each scanning only the rows of ≤ 2b
+    * groups — for G=64, b=8 that is 36 passes over ~1/4 of the corpus
+    * each (~9 corpus-equivalent scans for 2016 pairs). Each pass bins
+    * over its own [lo, hi] envelope; D and at_value stay EXACT (the
+    * decomposition is bin-local — see [[ksTest]]), so the batched
+    * result is bit-identical to a monolithic [[ksMatrix]] with a
+    * raised cap ([[StatsSpec]] pins this at G=20).
+    *
+    * Output: same schema as [[ksMatrix]] (g_a, g_b, n_a, n_b, d_stat,
+    * at_value), one row per unordered group pair, pairs-bounded and
+    * driver-held. If the group dimension is DATA-scale (thousands of
+    * groups), an all-pairs matrix is the wrong tool at any batch size —
+    * the OUTPUT is quadratic; use [[ksTest]] against a fixed baseline.
+    */
+  def ksMatrixBatched(df: DataFrame, valueCol: String, groupCol: String,
+                      bins: Int = 1024, batchSize: Int = 8): DataFrame = {
+    require(batchSize >= 1 && batchSize <= 8,
+      s"batchSize=$batchSize out of [1, 8]: a pass holds 2*batchSize groups " +
+        "and must stay inside ksMatrix's 16-group / 120-pair codegen envelope")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val groups = base.select(col(groupCol).cast("string").as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    require(groups.size >= 2, "ksMatrixBatched needs at least two groups")
+    val passes = ksBatchPasses(groups, batchSize)
+    val parts = passes.map { case (bi, bj) =>
+      val keep = (bi ++ bj).distinct
+      val part = ksMatrix(
+        base.filter(col(groupCol).cast("string").isin(keep: _*)),
+        valueCol, groupCol, bins, maxGroups = 2 * batchSize)
+      if (bi == bj) part
+      else {
+        // a cross pass re-derives each batch's internal pairs too —
+        // keep only the cross-batch ones (internal pairs belong to the
+        // diagonal passes)
+        part.filter(
+          (col("g_a").isin(bi: _*) && col("g_b").isin(bj: _*)) ||
+            (col("g_a").isin(bj: _*) && col("g_b").isin(bi: _*)))
+      }
+    }
+    // each part is already a driver-held LocalRelation (ksMatrix
+    // collects its pairs-bounded result); the union stays local
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The batched pass plan: one (batchI, batchJ) entry per ksMatrix
+    * invocation, i ≤ j, single-group diagonals skipped. Exposed for
+    * the StatsSpec envelope/cover gates. */
+  private[graft] def ksBatchPasses(groups: Seq[String],
+                                   batchSize: Int): Seq[(Seq[String], Seq[String])] = {
+    val batches = groups.grouped(batchSize).toIndexedSeq
+    for {
+      i <- batches.indices
+      j <- i until batches.size
+      if i != j || batches(i).size >= 2
+    } yield (batches(i), batches(j))
+  }
+
   /** Exact interpolated percentiles per group WITHOUT the built-in
     * `percentile` aggregate's per-group counts map (state ∝ distinct
     * values — at 100 TB of near-unique doubles that map IS the data).

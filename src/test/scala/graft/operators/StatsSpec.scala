@@ -112,6 +112,48 @@ class StatsSpec extends SparkSpec {
     for ((k, want) <- wide) assert(batched(k) == want, s"pair $k")
   }
 
+  test("ksMatrixBatched at G=20 equals the direct wide pass and honors the envelope") {
+    val rnd = new scala.util.Random(47)
+    val groups = (0 until 20).map(i => s"g$i")
+    val rows = (1 to 3000).map { _ =>
+      val gi = rnd.nextInt(groups.size)
+      (groups(gi), math.round((rnd.nextGaussian() + gi * 0.17) * 1e3) / 1e3)
+    }
+    val df = rows.toDF("g", "v").repartition(5)
+    val direct = Stats.ksMatrix(df, "v", "g", bins = 64, maxGroups = 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val batched = Stats.ksMatrixBatched(df, "v", "g", bins = 64, batchSize = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(batched.size === 20 * 19 / 2, "every unordered pair exactly once")
+    assert(batched.keySet === direct.keySet)
+    for ((k, want) <- direct) assert(batched(k) === want, s"pair $k")
+    // the pass plan: every pass stays inside ksMatrix's 16-group /
+    // 120-pair codegen envelope, and the passes cover every unordered
+    // group pair exactly once
+    val sorted = groups.sorted
+    val passes = Stats.ksBatchPasses(sorted, 8)
+    passes.foreach { case (bi, bj) =>
+      val g = (bi ++ bj).distinct.size
+      assert(g <= 16, s"pass holds $g groups — outside the codegen envelope")
+      assert(g * (g - 1) / 2 <= 120)
+    }
+    val covered = scala.collection.mutable.Map.empty[(String, String), Int]
+    passes.foreach { case (bi, bj) =>
+      val pairs =
+        if (bi == bj) for (Seq(a, b) <- bi.combinations(2).toSeq) yield (a, b)
+        else for (a <- bi; b <- bj) yield if (a < b) (a, b) else (b, a)
+      pairs.foreach(p => covered(p) = covered.getOrElse(p, 0) + 1)
+    }
+    val allPairs = (for (Seq(a, b) <- sorted.combinations(2).toSeq) yield (a, b)).toSet
+    assert(covered.keySet === allPairs)
+    assert(covered.values.forall(_ == 1), "no pair may be claimed by two passes")
+    // a batchSize that would widen a pass past the envelope is refused
+    val e = intercept[IllegalArgumentException] {
+      Stats.ksMatrixBatched(df, "v", "g", batchSize = 9)
+    }
+    assert(e.getMessage.contains("envelope"))
+  }
+
   test("ksMatrix: every pair row matches the dedicated two-sample ksTest") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map { _ =>
