@@ -36,7 +36,12 @@ object CanonicalSliceDump {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, nRes) = (args(0), args(1), args(2))
     // "image" (q189, default) or "audio" (q197) — the canonical
-    // machinery is modality-generic, and so is this harness
+    // machinery is modality-generic, and so is this harness. Round 13
+    // adds the PAYLOAD-oracle modes "vad" (q191), "scenecut" (q192),
+    // "keyframes" (q194): those operators are map-only per-row, so an
+    // id-level residue slice cannot desync anything — the slice just
+    // bounds the DuckDB replay cost of re-deriving every sample/pixel
+    // at 10×.
     val mode = if (args.length > 3) args(3) else "image"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -61,7 +66,27 @@ object CanonicalSliceDump {
         docs.select(col("doc_id"),
           Multimodal.fabricateNearDupAudioCol(col("doc_id"), 200).as("content")),
         "doc_id", "content", maxHamming = 4)
-      case m => sys.error(s"unknown mode $m (image|audio)")
+      // the exact q191/q192/q194 catalog configurations (same params,
+      // same output aliasing), restricted to the residue slice
+      case "vad" => Multimodal.audioSegments(
+          docs.select(col("doc_id"),
+            Multimodal.fabricateAudioCol(col("doc_id")).as("content")),
+          "doc_id", "content", windowSamples = 256, meanSqThreshold = 5500L)
+        .select(col("id").as("doc_id"), col("sample_rate"), col("n_windows"),
+          col("n_active"), col("n_segments"), col("longest_run"))
+      case "scenecut" => Multimodal.videoSceneCuts(
+          docs.select(col("doc_id"),
+            Multimodal.fabricateShotVideoCol(col("doc_id")).as("content")),
+          "doc_id", "content", cutThreshold = 2000L)
+        .select(col("id").as("doc_id"), col("n_frames"), col("n_cuts"),
+          col("longest_shot"))
+      case "keyframes" => Multimodal.shotKeyframes(
+          docs.select(col("doc_id"),
+            Multimodal.fabricateShotVideoCol(col("doc_id")).as("content")),
+          "doc_id", "content", cutThreshold = 2000L)
+        .select(col("id").as("doc_id"), col("shot_idx"), col("start_frame"),
+          col("n_frames_in_shot"), col("keyframe_idx"), col("detail"))
+      case m => sys.error(s"unknown mode $m (image|audio|vad|scenecut|keyframes)")
     }
     out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/slice")
     Files.write(Paths.get(s"$outDir/residues.json"),

@@ -2,7 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Handoff armor (round 13 — CORRECTNESS_r12.json reached the judge as
+  * an empty `{}` though the catalog was green):
+  *  - oracle_sql.json is written FIRST, before the sweep: it depends
+  *    only on the static catalog, so even a mid-sweep crash leaves the
+  *    driver a loadable manifest and partial parquet dirs (per-query
+  *    failures) instead of nothing (empty round);
+  *  - the run ends with one machine-greppable summary line
+  *    (`[verify] summary: wrote N/M query dirs`) and a hard
+  *    `sys.exit(0)` after spark.stop() so no lingering non-daemon
+  *    thread can hang the JVM past a driver timeout;
+  *  - `tools/verify_smoke.py <outDir>` asserts the contract a driver
+  *    compare needs (all dirs non-empty + manifest json-loadable) in
+  *    one command — run it at round close, commit the result.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -28,22 +43,6 @@ object Verify {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated name filter for single-query iteration
-    // (builder-side convenience; the driver always runs the full set)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        // several operators persist internal frames whose lifetime
-        // outlives their query; drop them between queries so a
-        // 146-query sweep doesn't accumulate heap pressure
-        spark.catalog.clearCache()
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -59,6 +58,32 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // optional comma-separated name filter for single-query iteration
+    // (builder-side convenience; the driver always runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    var written = 0
+    selected.foreach { case (name, fn) =>
+      // several operators persist internal frames whose lifetime
+      // outlives their query; drop them between queries so a
+      // 199-query sweep doesn't accumulate heap pressure
+      spark.catalog.clearCache()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written += 1
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    println(s"[verify] summary: wrote $written/${selected.size} query dirs + oracle_sql.json to $outDir")
     spark.stop()
+    // belt-and-braces: never leave the JVM to a lingering non-daemon
+    // thread after the contract is fulfilled. Always 0 — a per-query
+    // failure already surfaces as its missing output dir (the driver
+    // compare records it), and a nonzero exit could make a driver
+    // discard the 198 good dirs over 1 bad one.
+    sys.exit(0)
   }
 }

@@ -44,4 +44,90 @@ object Resample {
         keys, "_grid_ts", tsCol, valCols)
       .withColumnRenamed("_grid_ts", "grid_ts")
   }
+
+  /** [[forwardFill]]'s gap-emit formulation — value-identical output,
+    * different plan shape: instead of materializing the grid and
+    * as-of-joining it back (the union window sorts grid + observations
+    * = OUTPUT-sized rows through one WindowExec), ONE window pass over
+    * the OBSERVATIONS computes each event's per-key bounds and
+    * successor (`lead`), and every event then EMITS the grid indices
+    * it covers — `[ceil((ts−lo)/step), ceil((next−lo)/step))`, with
+    * the first event also emitting the leading null-carry range — as a
+    * map-side explode. The key-partitioned sort runs over |events|
+    * rows instead of |events| + |grid|; the grid rows are born
+    * downstream of the window with their carried value already
+    * attached, so nothing output-sized is ever sorted.
+    *
+    * Grid semantics are identical to [[forwardFill]] (same origin
+    * snap, same inclusive-carry tie handling: a grid point equal to
+    * the next observation's timestamp belongs to that next
+    * observation). The step is expressed in SECONDS (default 3600 =
+    * the hourly grid); origins snapped with `snapOriginTo` have
+    * integral seconds, and grid points are derived in exact
+    * microsecond arithmetic, so the emitted timestamps are
+    * bit-identical to `sequence(lo, hi, step)`'s.
+    *
+    * Same uniqueness contract as [[forwardFill]]: `df` unique per
+    * (keys, tsCol).
+    */
+  def forwardFillGaps(df: DataFrame, keys: Seq[String], tsCol: String,
+                      valCols: Seq[String], stepSeconds: Long = 3600L,
+                      snapOriginTo: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val keyCols = keys.map(col)
+    val wKey = Window.partitionBy(keyCols: _*)
+    val wOrd = wKey.orderBy(col("_ts"))
+    val stepUs = stepSeconds * 1000000L
+    val loTs = snapOriginTo.map(u => date_trunc(u, min(col("_ts")).over(wKey)))
+      .getOrElse(min(col("_ts")).over(wKey))
+    val pay = struct(valCols.map(col): _*)
+    val payType = df.select(pay.as("_pay")).schema("_pay").dataType
+    val nullPay = lit(null).cast(payType)
+    val elemT = ArrayType(StructType(Seq(
+      StructField("_k", LongType), StructField("_p", payType))))
+    val emptyArr = array().cast(elemT)
+    val augmented = df.select((keyCols :+ col(tsCol).as("_ts") :+ pay.as("_pay")): _*)
+      .withColumn("_lo", unix_micros(loTs))
+      .withColumn("_hiK", floor((unix_micros(max(col("_ts")).over(wKey)) - col("_lo"))
+        .cast("double") / stepUs).cast("long"))
+      .withColumn("_nextUs", unix_micros(lead(col("_ts"), 1).over(wOrd)))
+      .withColumn("_rn", row_number().over(wOrd))
+    // grid indices: this event carries every k in [startK, endK];
+    // startK = ceil((ts − lo)/step) as −floor(−·), endK = the index
+    // strictly before the successor's first index (a grid point ON the
+    // successor belongs to the successor — forwardFill's inclusive-
+    // carry tie), or the key's last index when there is no successor.
+    // The micro deltas stay < 2^53, so the double division is exact
+    // enough for the integral floor (offsets are multiples of 1 µs and
+    // step ≤ years).
+    val withK = augmented
+      .withColumn("_startK",
+        (-floor((col("_lo") - unix_micros(col("_ts"))).cast("double") / stepUs))
+          .cast("long"))
+      .withColumn("_endK",
+        when(col("_nextUs").isNull, col("_hiK"))
+          .otherwise(
+            (-floor((col("_lo") - col("_nextUs")).cast("double") / stepUs))
+              .cast("long") - 1))
+    val emitted = withK.select(
+      keyCols ++ Seq(col("_lo"),
+        explode(concat(
+          // the leading null-carry range [0, startK) exists only on
+          // the first event and only when the snapped origin precedes
+          // the first observation's grid index
+          when(col("_rn") === 1 && col("_startK") > 0,
+            transform(sequence(lit(0L), col("_startK") - 1),
+              k => struct(k.as("_k"), nullPay.as("_p"))))
+            .otherwise(emptyArr),
+          when(col("_startK") <= col("_endK"),
+            transform(sequence(col("_startK"), col("_endK")),
+              k => struct(k.as("_k"), col("_pay").as("_p"))))
+            .otherwise(emptyArr))).as("_e")): _*)
+    emitted.select(
+      keyCols ++ Seq(
+        timestamp_micros(col("_lo") + col("_e._k") * stepUs).as("grid_ts")) ++
+        valCols.map(c => col(s"_e._p.$c").as(c)): _*)
+  }
 }

@@ -47,4 +47,49 @@ class ResampleSpec extends SparkSpec {
       .collect().map(r => r.getDouble(2)).toSeq
     assert(out === Seq(1.0, 1.0, 1.0, 5.0)) // 0, 15, 30, 45 minutes
   }
+
+  test("forwardFillGaps is value-identical to forwardFill on a randomized fixture") {
+    import spark.implicits._
+    // the gap-emit formulation must reproduce the grid-asof output
+    // bit-for-bit: random users, random micro-offset timestamps,
+    // single-event users, events exactly ON grid points, dense runs
+    // (successive events inside one hour → some events cover NO grid
+    // point), and a multi-column payload
+    val rng = new scala.util.Random(59)
+    val rows = (0 until 40).flatMap { u =>
+      val n = 1 + rng.nextInt(6)
+      val tss = scala.collection.mutable.Set.empty[Long]
+      while (tss.size < n) {
+        val base = 1700000000000L + rng.nextInt(96) * 3600000L
+        val off = rng.nextInt(4) match {
+          case 0 => 0L                       // exactly on the hour
+          case 1 => rng.nextInt(3600000)     // anywhere in the hour
+          case 2 => rng.nextInt(60) * 1000L  // on a second boundary
+          case _ => rng.nextInt(1000)        // sub-second, dense
+        }
+        tss += base + off
+      }
+      tss.toSeq.map(t => (u.toLong, new java.sql.Timestamp(t),
+        rng.nextInt(100).toDouble, s"s$u-${t % 7}"))
+    }
+    val df = rows.toDF("user_id", "ts", "v", "tag").repartition(7)
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.get(2)).map(_.toString).getOrElse("null"),
+        Option(r.get(3)).map(_.toString).getOrElse("null"))).toSeq.sorted
+    for (snap <- Seq(None, Some("hour"))) {
+      val a = canon(Resample.forwardFill(df, Seq("user_id"), "ts",
+        Seq("v", "tag"), snapOriginTo = snap))
+      val b = canon(Resample.forwardFillGaps(df, Seq("user_id"), "ts",
+        Seq("v", "tag"), snapOriginTo = snap))
+      assert(a === b, s"snap=$snap")
+      assert(a.nonEmpty)
+    }
+    // finer step too (15 min)
+    val a15 = canon(Resample.forwardFill(df, Seq("user_id"), "ts",
+      Seq("v", "tag"), step = "INTERVAL 15 MINUTES", snapOriginTo = Some("hour")))
+    val b15 = canon(Resample.forwardFillGaps(df, Seq("user_id"), "ts",
+      Seq("v", "tag"), stepSeconds = 900L, snapOriginTo = Some("hour")))
+    assert(a15 === b15)
+  }
 }

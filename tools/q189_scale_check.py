@@ -64,10 +64,13 @@ def main():
              .sort_values(by=sorted(odf.columns), ignore_index=True)
     ok = list(sdf.columns) == list(odf.columns) and len(sdf) == len(odf) \
         and all((sdf[c] == odf[c]).all() for c in sdf.columns)
-    biggest = int(sdf["n_members"].max()) if len(sdf) else 0
+    # component-size stat only applies to the canonical modes; the
+    # payload modes (vad/scenecut/keyframes) have per-row outputs
+    extra = (f" largest component {int(sdf['n_members'].max())},"
+             if "n_members" in sdf.columns and len(sdf) else "")
     print(("PASS" if ok else "FAIL") +
           f" {qname}  [slice: {len(res)} residues, {n_docs} docs,"
-          f" largest component {biggest}]")
+          f"{extra} {len(sdf)} output rows]")
     sys.exit(0 if ok else 1)
 
 
