@@ -1810,8 +1810,12 @@ object Queries {
           .agg(avg(col("value")).as("v"))
         // hour-snapped origin: grid points sit on calendar hours, so
         // the two engines' 1μs parquet-timestamp rounding difference
-        // (Spark rounds nanos, DuckDB truncates) cannot shift the grid
-        Resample.forwardFill(e, Seq("user_id"), "ts", Seq("v"),
+        // (Spark rounds nanos, DuckDB truncates) cannot shift the grid.
+        // Gap-emit formulation (round 13): value-identical to the
+        // grid-asof forwardFill but the key-partitioned sort runs over
+        // events only — measured 100× 35.8 → 12.5 s (ABResample,
+        // digest-checked identical on all 104.9M rows)
+        Resample.forwardFillGaps(e, Seq("user_id"), "ts", Seq("v"),
             snapOriginTo = Some("hour"))
           .select(col("user_id"), col("grid_ts"), round(col("v"), 6).as("v"))
       },

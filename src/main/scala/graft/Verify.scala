@@ -63,6 +63,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // a typo'd SPARK_GRAFT_ONLY silently dumping nothing looks exactly
+    // like a dead verify leg — make it loud
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_ONLY names not in the catalog: ${unknown.mkString(",")}")
+    }
     var written = 0
     selected.foreach { case (name, fn) =>
       // several operators persist internal frames whose lifetime

@@ -497,6 +497,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), "fingerprint decode is partition-batched")
   }
 
+  test("q68: gap-emit fill — grid rows are born downstream of the window, never sorted") {
+    val p = plan("q68_resample_ffill")
+    // the grid-asof formulation this replaced (100x: 35.8 -> 12.5 s,
+    // ABResample) unions grid+events through one WindowExec — the
+    // OUTPUT-sized rows went through a sort. The gap-emit plan must
+    // show the explode (Generate) ABOVE the window and no union
+    assert(!p.contains("Union"), "no union-asof trick in the gap-emit plan")
+    assert(p.contains("Generate explode"), "grid ranges must be emitted by explode")
+    val genIdx = p.indexOf("Generate explode")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx > genIdx,
+      "the window (lower in the tree = later in the string) must run BELOW the explode")
+    // two exchanges total: the (user, ts) pre-average and the per-user
+    // window — the bounds/grid/asof shuffles of the old plan are gone
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      "gap-emit fill shuffles exactly twice (pre-average + window)")
+  }
+
   test("q190: hot set broadcasts; corpus lines shuffle ONCE (the doc regroup)") {
     val p = plan("q190_boilerplate_lines")
     // the hot-flag join is COUNT-GATED (Dedup.boilerplateLinesPlan):
