@@ -35,6 +35,7 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.execute(view_sql(t, f"'{p}'"))
 
 fails = []
+results = {}   # name -> {"status": PASS|FAIL|WARN, "msg": ...} for CHECK_JSON
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
@@ -42,6 +43,7 @@ for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{spark_dir}/*.parquet")
     if not files:
         fails.append((name, "no spark output"))
+        results[name] = {"status": "FAIL", "msg": "no spark output"}
         continue
     try:
         # read the whole directory so a multi-part Verify output can't
@@ -50,6 +52,7 @@ for name, sql in sorted(oracle.items()):
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         fails.append((name, f"err {e}"))
+        results[name] = {"status": "FAIL", "msg": f"err {e}"}
         continue
     # portability lint: the driver's hasher canonicalizes DuckDB HUGEINT
     # (int128) differently from Spark's int64, so an oracle must never
@@ -63,6 +66,8 @@ for name, sql in sorted(oracle.items()):
         if bad:
             fails.append((name, f"oracle exposes non-portable cols {bad}"))
             print(f"FAIL {name}  oracle exposes non-portable cols {bad}")
+            results[name] = {"status": "FAIL",
+                             "msg": f"oracle exposes non-portable cols {bad}"}
             continue
     except Exception as e:
         # a failed DESCRIBE means the HUGEINT/DECIMAL gate did NOT run
@@ -91,8 +96,24 @@ for name, sql in sorted(oracle.items()):
                 ok, msg = False, f"values differ in col {c}"
                 break
     print(("PASS " if ok else "FAIL ") + name + ("" if ok else "  " + msg))
+    results[name] = {"status": "PASS" if ok else "FAIL", "msg": msg}
     if not ok:
         fails.append((name, msg))
 
 print(f"\n{len(fails)} failures" + (": " + ", ".join(n for n, _ in fails) if fails else ""))
+# committable per-round artifact (the round-13 handoff armor): the full
+# per-query record in the driver's CORRECTNESS_r{N}.json shape, so an
+# empty driver file is immediately adjudicable against this local twin.
+#   CHECK_JSON=CORRECTNESS_local_r13.json python3 tools/check.py ...
+if os.environ.get("CHECK_JSON"):
+    payload = {
+        "n_checked": len(results),
+        "n_pass": sum(1 for r in results.values() if r["status"] == "PASS"),
+        "n_fail": len(fails),
+        "sf_dir": sf, "out_dir": out,
+        "queries": results,
+    }
+    with open(os.environ["CHECK_JSON"], "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"wrote {os.environ['CHECK_JSON']}")
 sys.exit(1 if fails else 0)
