@@ -6668,10 +6668,12 @@ object Queries {
       // the wide-grid KS drift matrix: 25 nation groups is PAST
       // ksMatrix's 16-group / 120-pair codegen envelope, so this runs
       // the batched pass algebra (SCALE.md §ksMatrix as an API) —
-      // batches of 8, nine passes, each ≤ 16 groups, every unordered
-      // pair emitted by exactly one pass. The oracle computes all 300
-      // pairs monolithically (SQL has no codegen envelope): equality
-      // IS the proof that the batch decomposition is exact
+      // batches of 8, six concurrent cross passes (each ≤ 16 groups;
+      // batch internals harvested by the first pass touching the
+      // batch), every unordered pair emitted by exactly one pass. The
+      // oracle computes all 300 pairs monolithically (SQL has no
+      // codegen envelope): equality IS the proof that the batch
+      // decomposition is exact
       (s, d) => Stats.ksMatrixBatched(customer(s, d), "c_acctbal",
         "c_nationkey", batchSize = 8),
       Some {

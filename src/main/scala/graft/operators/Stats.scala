@@ -270,17 +270,26 @@ object Stats {
     *
     * Pass algebra (the SCALE.md §ksMatrix recipe, now an API): sort
     * the group domain, split into batches of `batchSize` ≤ 8, and run
-    * one [[ksMatrix]] pass per unordered BATCH pair (i ≤ j) over only
+    * one [[ksMatrix]] pass per unordered BATCH pair (i < j) over only
     * those two batches' rows — each pass holds ≤ 2·batchSize ≤ 16
-    * groups. A diagonal pass (i = i) contributes its batch's internal
-    * pairs; a cross pass (i < j) keeps ONLY cross-batch pairs (its
-    * recomputed internal pairs are dropped), so every unordered group
-    * pair is emitted by exactly one pass. Single-group batches skip
-    * their (vacuous) diagonal pass.
+    * groups. Every pass necessarily recomputes both batches' internal
+    * pairs alongside the cross-batch ones, so each batch's internals
+    * are OWNED by the first cross pass that touches it (and dropped
+    * from every later pass) — no separate diagonal passes, and every
+    * unordered group pair is emitted by exactly one pass. With a
+    * single batch (G ≤ batchSize) the one diagonal pass owns its own
+    * internals.
     *
-    * Cost: (G/b)(G/b+1)/2 passes, each scanning only the rows of ≤ 2b
-    * groups — for G=64, b=8 that is 36 passes over ~1/4 of the corpus
-    * each (~9 corpus-equivalent scans for 2016 pairs). Each pass bins
+    * The passes are independent (each collects its own pairs-bounded
+    * LocalRelation), so they SUBMIT CONCURRENTLY — Spark's scheduler
+    * interleaves the per-pass jobs across the executors, which turns
+    * the per-pass fixed cost (two driver folds + codegen) from a
+    * serial sum into a parallel max. Result order stays deterministic:
+    * parts are awaited and unioned in pass order.
+    *
+    * Cost: (G/b)(G/b−1)/2 passes, each scanning only the rows of ≤ 2b
+    * groups — for G=64, b=8 that is 28 passes over ~1/4 of the corpus
+    * each (~7 corpus-equivalent scans for 2016 pairs). Each pass bins
     * over its own [lo, hi] envelope; D and at_value stay EXACT (the
     * decomposition is bin-local — see [[ksTest]]), so the batched
     * result is bit-identical to a monolithic [[ksMatrix]] with a
@@ -302,37 +311,57 @@ object Stats {
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     require(groups.size >= 2, "ksMatrixBatched needs at least two groups")
     val passes = ksBatchPasses(groups, batchSize)
-    val parts = passes.map { case (bi, bj) =>
-      val keep = (bi ++ bj).distinct
-      val part = ksMatrix(
-        base.filter(col(groupCol).cast("string").isin(keep: _*)),
-        valueCol, groupCol, bins, maxGroups = 2 * batchSize)
-      if (bi == bj) part
-      else {
-        // a cross pass re-derives each batch's internal pairs too —
-        // keep only the cross-batch ones (internal pairs belong to the
-        // diagonal passes)
-        part.filter(
-          (col("g_a").isin(bi: _*) && col("g_b").isin(bj: _*)) ||
-            (col("g_a").isin(bj: _*) && col("g_b").isin(bi: _*)))
-      }
-    }
+    // the passes are independent pairs-bounded collects — submit them
+    // concurrently (bounded pool; Spark job submission is thread-safe)
+    // and await in pass order so the union stays deterministic
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(passes.size, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val parts =
+      try {
+        val fs = passes.map { case (bi, bj, owned) => Future {
+          val keep = (bi ++ bj).distinct
+          val part = ksMatrix(
+            base.filter(col(groupCol).cast("string").isin(keep: _*)),
+            valueCol, groupCol, bins, maxGroups = 2 * batchSize)
+          // a pass re-derives both batches' internal pairs alongside
+          // the cross-batch ones — keep the cross pairs plus only the
+          // internals this pass OWNS (first pass touching the batch)
+          val cross = (col("g_a").isin(bi: _*) && col("g_b").isin(bj: _*)) ||
+            (col("g_a").isin(bj: _*) && col("g_b").isin(bi: _*))
+          part.filter(owned.foldLeft(cross)((c, b) =>
+            c || (col("g_a").isin(b: _*) && col("g_b").isin(b: _*))))
+        } }
+        fs.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
     // each part is already a driver-held LocalRelation (ksMatrix
     // collects its pairs-bounded result); the union stays local
     parts.reduce(_ unionByName _)
   }
 
-  /** The batched pass plan: one (batchI, batchJ) entry per ksMatrix
-    * invocation, i ≤ j, single-group diagonals skipped. Exposed for
-    * the StatsSpec envelope/cover gates. */
-  private[graft] def ksBatchPasses(groups: Seq[String],
-                                   batchSize: Int): Seq[(Seq[String], Seq[String])] = {
+  /** The batched pass plan: one (batchI, batchJ, ownedInternals) entry
+    * per ksMatrix invocation, i < j (plus the single diagonal pass when
+    * there is only one batch). `ownedInternals` lists the batches whose
+    * INTERNAL pairs this pass emits — each batch is owned by the first
+    * cross pass that touches it, so no diagonal passes are needed and
+    * every unordered group pair is claimed by exactly one pass.
+    * Exposed for the StatsSpec envelope/cover gates. */
+  private[graft] def ksBatchPasses(groups: Seq[String], batchSize: Int)
+      : Seq[(Seq[String], Seq[String], Seq[Seq[String]])] = {
     val batches = groups.grouped(batchSize).toIndexedSeq
+    if (batches.size == 1) return Seq((batches(0), batches(0), Seq(batches(0))))
+    val assigned = Array.tabulate(batches.size)(i => batches(i).size < 2)
     for {
       i <- batches.indices
-      j <- i until batches.size
-      if i != j || batches(i).size >= 2
-    } yield (batches(i), batches(j))
+      j <- (i + 1) until batches.size
+    } yield {
+      val owned = Seq(i, j).filter(!assigned(_)).map { k =>
+        assigned(k) = true; batches(k)
+      }
+      (batches(i), batches(j), owned)
+    }
   }
 
   /** Exact interpolated percentiles per group WITHOUT the built-in

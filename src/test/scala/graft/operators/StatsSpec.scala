@@ -132,17 +132,22 @@ class StatsSpec extends SparkSpec {
     // group pair exactly once
     val sorted = groups.sorted
     val passes = Stats.ksBatchPasses(sorted, 8)
-    passes.foreach { case (bi, bj) =>
+    // pure cross-pass plan: B(B-1)/2 passes, internals harvested from
+    // the first pass touching each batch — no diagonal passes
+    assert(passes.size === 3, "3 batches of 8/8/4 -> 3 cross passes")
+    passes.foreach { case (bi, bj, _) =>
       val g = (bi ++ bj).distinct.size
       assert(g <= 16, s"pass holds $g groups — outside the codegen envelope")
       assert(g * (g - 1) / 2 <= 120)
     }
     val covered = scala.collection.mutable.Map.empty[(String, String), Int]
-    passes.foreach { case (bi, bj) =>
-      val pairs =
-        if (bi == bj) for (Seq(a, b) <- bi.combinations(2).toSeq) yield (a, b)
+    passes.foreach { case (bi, bj, owned) =>
+      val cross =
+        if (bi == bj) Seq.empty
         else for (a <- bi; b <- bj) yield if (a < b) (a, b) else (b, a)
-      pairs.foreach(p => covered(p) = covered.getOrElse(p, 0) + 1)
+      val internal = owned.flatMap(b =>
+        for (Seq(a, c) <- b.combinations(2).toSeq) yield (a, c))
+      (cross ++ internal).foreach(p => covered(p) = covered.getOrElse(p, 0) + 1)
     }
     val allPairs = (for (Seq(a, b) <- sorted.combinations(2).toSeq) yield (a, b)).toSet
     assert(covered.keySet === allPairs)
