@@ -173,8 +173,12 @@ object Queries {
     * a corpus/batch split for the incremental check); `selA`/`selB`
     * name the output id columns.
     */
-  private def minhashOracleSql(pairCond: String, selA: String, selB: String,
-                               threshold: Double): String = {
+  /** The shared sig-derivation CTE chain (toks → shingles → 64
+    * mod-2^64 permutation minima → sentinel-filled signatures → 4-row
+    * band keys) — the prefix of every MinHash oracle. No leading
+    * `WITH` so callers can prepend `WITH` or `WITH RECURSIVE`.
+    */
+  private def minhashSigBandCtes: String = {
     val shingleHash = OracleSql.mix64(OracleSql.poly31("s"))
     val perms = OracleSql.minhashPerms(64)
     val alist = perms.map(_._1).mkString("[", ",", "]")
@@ -186,7 +190,7 @@ object Queries {
       s"((CAST(a AS HUGEINT) * CAST(h >> 32 AS HUGEINT)) % 4294967296) * 4294967296) % $m64 AS UBIGINT)"
     val valU = s"CAST((CAST($mulAH AS HUGEINT) + CAST(b AS HUGEINT)) % $m64 AS UBIGINT)"
     val valS = OracleSql.toSigned(valU)
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    t -> t <> '') AS tk
        |  FROM documents
@@ -211,7 +215,12 @@ object Queries {
        |  SELECT doc_id, p // 4 AS band,
        |         array_to_string(list(v ORDER BY p), ',') AS bk
        |  FROM sig GROUP BY doc_id, p // 4
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  private def minhashOracleSql(pairCond: String, selA: String, selB: String,
+                               threshold: Double): String = {
+    s"""WITH $minhashSigBandCtes, cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bk = b.bk AND $pairCond
@@ -224,6 +233,50 @@ object Queries {
        |)
        |SELECT id_a AS $selA, id_b AS $selB, round(m / 64.0, 4) AS est_jaccard
        |FROM mt WHERE m / 64.0 >= $threshold""".stripMargin
+  }
+
+  /** DuckDB re-derivation of [[graft.operators.Dedup.minhashCanonical]]:
+    * the shared sig/band CTEs, per-bucket min-id anchors, star-edge
+    * candidates, signature-agreement verify (same m/64.0 comparison as
+    * the pair oracle), recursive min-label closure, singleton
+    * coalesce, component-size recount — the q189 oracle shape on
+    * MinHash bands.
+    */
+  private def minhashCanonicalOracleSql(threshold: Double): String = {
+    s"""WITH RECURSIVE $minhashSigBandCtes, mn AS (
+       |  SELECT band, bk, min(doc_id) AS mid FROM bands GROUP BY band, bk
+       |), starc AS (
+       |  SELECT DISTINCT mn.mid AS src, b.doc_id AS dst
+       |  FROM bands b JOIN mn ON mn.band = b.band AND mn.bk = b.bk
+       |  WHERE b.doc_id <> mn.mid
+       |), mt AS (
+       |  SELECT c.src, c.dst, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS m
+       |  FROM starc c
+       |  JOIN sig sa ON sa.doc_id = c.src
+       |  JOIN sig sb ON sb.doc_id = c.dst AND sb.p = sa.p
+       |  GROUP BY c.src, c.dst
+       |), star AS (
+       |  SELECT src, dst FROM mt WHERE m / 64.0 >= $threshold
+       |), e AS (
+       |  SELECT src AS s, dst AS d FROM star
+       |  UNION
+       |  SELECT dst, src FROM star
+       |), reach AS (
+       |  SELECT s AS id, s AS r FROM e
+       |  UNION
+       |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+       |), lab AS (
+       |  SELECT d.doc_id AS id,
+       |    CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS canonical_id
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) c
+       |  ON c.id = d.doc_id
+       |)
+       |SELECT CAST(l.id AS BIGINT) AS id, l.canonical_id,
+       |  CAST(g.cnt AS BIGINT) AS n_members
+       |FROM lab l JOIN (
+       |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
+       |USING (canonical_id)""".stripMargin
   }
 
   /** DuckDB re-derivation of [[graft.operators.Bm25.topDocs]]: full
@@ -6728,7 +6781,23 @@ object Queries {
            |)
            |$branches""".stripMargin
       },
-      "wide-grid batched KS drift matrix (G=25 > the codegen envelope): the SCALE.md batch algebra as an API, 300 pairs across nine bounded passes, oracle-proved exact against one monolithic SQL pass")
+      "wide-grid batched KS drift matrix (G=25 > the codegen envelope): the SCALE.md batch algebra as an API, 300 pairs across six bounded concurrent passes, oracle-proved exact against one monolithic SQL pass"),
+
+    Q("q200_text_canonical",
+      // TEXT's linear-output canonical collapse — the q189/q197
+      // machinery on MinHash bands, completing the modality triple:
+      // band buckets emit star edges to their min id (O(members) per
+      // bucket, never a pair list), edges verified by the q34
+      // signature-agreement estimate, min-label components collapse
+      // the star graph. q34/q64 stay the pair-list oracle rows; this
+      // is their giant-duplicate-group scale path
+      (s, d) => Dedup.minhashCanonical(documents(s, d), "text", "doc_id",
+          shingleK = 3, numPerms = 64, bands = 16, threshold = 0.2)
+        .select(col("id").cast("long").as("id"),
+          col("canonical_id").cast("long").as("canonical_id"),
+          col("n_members").cast("long").as("n_members")),
+      Some(minhashCanonicalOracleSql(0.2)),
+      "canonical-collapse MinHash text dedup (band star edges + min-label components): q34/q64's linear-output twin for giant duplicate groups — never materializes the quadratic pair list")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -310,6 +310,84 @@ object Dedup {
       .select(col("id"), col("canonical_id"), col("n_members"))
   }
 
+  /** CANONICAL-COLLAPSE MinHash dedup — TEXT's linear-output companion
+    * to [[minhashCandidatePairs]], completing the modality triple
+    * ([[hammingCanonical]] covers image/audio): on a corpus with giant
+    * duplicate groups the near-dup PAIR list is Θ(G²) per group by
+    * definition, so this path never enumerates pairs. Each MinHash
+    * band bucket emits STAR-EDGE candidates — every member links to
+    * the bucket's MINIMUM id, O(members) per bucket — which are then
+    * verified by the usual signature-agreement estimate
+    * (matches/numPerms ≥ `threshold`; signatures are fetched by an
+    * id-keyed join-back, so the band shuffle stays skinny: unlike
+    * [[hammingCanonical]]'s 8-byte fingerprint, a 64-perm signature is
+    * 512 B and must NOT ride the bucket explode). Min-label
+    * [[connectedComponents]] collapse the verified star graph; docs
+    * with no verified edge are their own canonical.
+    *
+    * Semantics: the star graph is a SUBGRAPH of the candidate-pair
+    * graph, so components REFINE pairs+CC — identical whenever
+    * duplicate groups are signature-tight around their bucket minima
+    * (boilerplate re-posts / mirrored pages, the workload this exists
+    * for); a member within `threshold` of some bucket peer but not of
+    * any bucket minimum keeps its own label. Deterministic (min-id
+    * anchoring), so a cross-engine oracle replays it exactly.
+    *
+    * Output: one row per input doc — (id, canonical_id, n_members).
+    */
+  def minhashCanonical(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 3, numPerms: Int = 64,
+                       bands: Int = 16, threshold: Double = 0.5,
+                       driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      Exprs.minhashSig(col(textCol), shingleK, numPerms).as("sig"))
+    val star = minhashStarEdges(sig, numPerms, bands, threshold)
+    val cc = connectedComponents(star, "src", "dst",
+      driverEdgeLimit = driverEdgeLimit)
+    val lab = sig.select(col("id"))
+      .join(cc.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("canonical_id"))
+    lab.join(
+      lab.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_members")),
+      Seq("canonical_id"))
+      .select(col("id"), col("canonical_id"), col("n_members"))
+  }
+
+  /** [[minhashCanonical]]'s star-edge stage on a prepared (id, sig)
+    * frame — exposed so the plan-shape gate can inspect the stage that
+    * [[connectedComponents]]' eager lineage truncation would otherwise
+    * execute before the plan is observable: band buckets → min-id
+    * anchors → O(members) star candidates → signature-agreement verify
+    * by id-keyed join-back (the ×`bands` bucket explode never carries
+    * the signature payload).
+    */
+  private[graft] def minhashStarEdges(sig: DataFrame, numPerms: Int,
+                                      bands: Int,
+                                      threshold: Double): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val rows = numPerms / bands
+    val banded = sig.select(col("id"),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("band"),
+            xxhash64(slice(col("sig"), bi * rows + 1, rows)).as("bh"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val mins = banded.groupBy(col("band"), col("bh"))
+      .agg(min(col("id")).as("src"))
+    val starCand = banded.join(mins, Seq("band", "bh"))
+      .filter(col("id") =!= col("src"))
+      .select(col("src"), col("id").as("dst"))
+      .dropDuplicates("src", "dst")
+    starCand
+      .join(sig.select(col("id").as("src"), col("sig").as("siga")), "src")
+      .join(sig.select(col("id").as("dst"), col("sig").as("sigb")), "dst")
+      .filter(aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+        lit(numPerms).cast("double") >= lit(threshold))
+      .select(col("src"), col("dst"))
+  }
+
   /** Exact n-gram Jaccard pairs via an inverted shingle index, with a
     * threshold-adaptive candidate strategy:
     *

@@ -497,6 +497,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), "fingerprint decode is partition-batched")
   }
 
+  test("q200: star edges anchored on per-bucket minima, never a pair product") {
+    // connectedComponents eagerly truncates its input lineage, so the
+    // catalog entry's final plan never shows the star stage — inspect
+    // the stage frame itself
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val sig = docs.select(col("doc_id").as("id"),
+      graft.plans.Exprs.minhashSig(col("text"), 3, 64).as("sig"))
+    val p = operators.Dedup.minhashStarEdges(sig, 64, 16, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the band buckets must collapse to min-id anchors (the star-edge
+    // source), not self-join into a candidate pair list
+    assert("""functions=\[(partial_)?min\(id""".r.findFirstIn(p).isDefined,
+      "bucket minima must anchor the star edges")
+    // the 512B signature is joined back by id for the verify — it must
+    // never ride the ×bands bucket explode: no exchange partitioned on
+    // the band hash may carry sig in scope
+    val sigOnBandExchange = p.linesIterator
+      .exists(l => l.contains("hashpartitioning(band#") && l.contains("sig#"))
+    assert(!sigOnBandExchange, "signatures must not ride the band shuffle")
+  }
+
   test("q68: gap-emit fill — grid rows are born downstream of the window, never sorted") {
     val p = plan("q68_resample_ffill")
     // the grid-asof formulation this replaced (100x: 35.8 -> 12.5 s,

@@ -478,6 +478,52 @@ class DedupSpec extends SparkSpec {
     assert(rates(12L) > 0.5 && rates(12L) < 1.0)
   }
 
+  test("minhashCanonical: star components refine pair components; " +
+      "signature-tight groups collapse identically") {
+    import spark.implicits._
+    // 5 exact-duplicate groups of 10 (identical text → identical
+    // signatures → est 1.0 on every star edge) + 10 unique docs; ids
+    // interleaved across groups so bucket minima are non-trivial
+    val templates = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "spark catalyst tungsten codegen shuffle exchange partition broadcast join agg",
+      "marine biodiversity observation network survey station sampling protocol depth record",
+      "training corpus curation dedup quality language model token shard mixture")
+    val uniques = (0 until 10).map(i =>
+      s"unique document number $i with its own words w${i}a w${i}b w${i}c w${i}d w${i}e")
+    val docs = (0 until 60).map { id =>
+      (id.toLong, if (id < 50) templates(id % 5) else uniques(id - 50))
+    }.toDF("doc_id", "text").repartition(5)
+    val lab = Dedup.minhashCanonical(docs, "text", "doc_id",
+        shingleK = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one row per doc; canonical obeys the min-id rule
+    assert(lab.size === 60)
+    lab.foreach { case (id, (canon, _)) => assert(canon <= id) }
+    // n_members consistent within components and summing to the corpus
+    val byCanon = lab.values.groupBy(_._1)
+    byCanon.foreach { case (_, ms) =>
+      assert(ms.map(_._2).toSet.size === 1)
+      assert(ms.head._2 === ms.size.toLong)
+    }
+    assert(byCanon.values.map(_.size).sum === 60)
+    // identity with the quadratic path on this signature-tight fixture:
+    // pairs → CC → labels (singletons coalesce to themselves)
+    val pairCC = Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+          shingleK = 3, numPerms = 64, bands = 16, threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairCanon = (0 until 60).map(id =>
+      id.toLong -> pairCC.getOrElse(id.toLong, id.toLong)).toMap
+    assert(lab.view.mapValues(_._1).toMap === pairCanon,
+      "signature-tight groups must collapse identically to pairs+CC")
+    // and the expected shape: 5 groups anchored at ids 0..4, 10 singletons
+    assert(byCanon.keySet === ((0L until 5L) ++ (50L until 60L)).toSet)
+  }
+
   test("connectedComponents: chains, triangles, and isolated pairs get min-id labels") {
     import spark.implicits._
     // components: {1,2,3,4} chain, {10,11,12} triangle, {20,21} pair

@@ -3,7 +3,7 @@
 #   python3 tools/verify_smoke.py <outDir> [minQueries]
 #
 #  - oracle_sql.json exists, json.load()s, and has >= minQueries entries
-#    (default 198 = the current catalog size);
+#    (default 199 = the current catalog size);
 #  - every oracle entry has a sibling query dir containing >= 1
 #    non-empty .parquet part (and pyarrow can open it);
 #  - no query dir exists WITHOUT an oracle entry (a stray dir means the
@@ -20,7 +20,7 @@ import os
 import sys
 
 out = sys.argv[1]
-min_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 198
+min_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 199
 
 problems = []
 
