@@ -60,10 +60,18 @@ object Dedup {
     * pairs. The signature scan runs up to 3× (band explode + two
     * verify joins); at cluster scale persist `df` or the signature
     * projection before calling.
+    *
+    * Like [[hammingPairs]], the PAIR LIST itself is Θ(G²) per
+    * duplicate group — before enumerating, one skinny aggregate
+    * computes Σ C(bucket, 2) over the band buckets and the operator
+    * FAILS FAST past `maxCandidatePairs` (default 2^30), pointing at
+    * the linear-output [[minhashCanonical]];
+    * `maxCandidatePairs = Long.MaxValue` skips the gate's pass.
     */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleK: Int = 3, numPerms: Int = 64,
-                            bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                            bands: Int = 16, threshold: Double = 0.5,
+                            maxCandidatePairs: Long = 1L << 30): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val rows = numPerms / bands
     val sig = df.select(col(idCol).as("id"),
@@ -74,6 +82,8 @@ object Dedup {
             xxhash64(slice(col("sig"), bi * rows + 1, rows)).as("bh"))): _*))
           .as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
+    guardCandidatePairs(banded.groupBy(col("band"), col("bh")),
+      maxCandidatePairs, "Dedup.minhashCanonical")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -195,6 +205,29 @@ object Dedup {
     * hence ≥ one (t, k) bucket — the guaranteed-recall property both
     * consumers rely on.
     */
+  /** The shared fail-fast pair-list gate (r12 #6, extended to every
+    * pair generator once TEXT gained its canonical twin): one skinny
+    * aggregate computes Σ C(bucket, 2) over the candidate buckets —
+    * the EXACT row count the enumerate join would produce — and
+    * refuses past `maxCandidatePairs`, naming the linear-output
+    * canonical `twin`. `Long.MaxValue` skips the counting pass.
+    */
+  private def guardCandidatePairs(
+      buckets: org.apache.spark.sql.RelationalGroupedDataset,
+      maxCandidatePairs: Long, twin: String): Unit =
+    if (maxCandidatePairs < Long.MaxValue) {
+      val cand = buckets.agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(col("m") * (col("m") - lit(1L)) / lit(2L)), lit(0L))
+          .cast("long").as("c"))
+        .head().getLong(0)
+      require(cand <= maxCandidatePairs,
+        s"banded join would enumerate $cand candidate pairs " +
+          s"(> maxCandidatePairs=$maxCandidatePairs): the corpus holds giant " +
+          "duplicate groups and the pair list itself is quadratic in group " +
+          s"size. Use the linear-output canonical twin ($twin), or " +
+          "raise maxCandidatePairs explicitly to enumerate anyway.")
+    }
+
   private def blockKeyed(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 5,
       s"maxHamming must be in [1,5] (explode factor C(h+3,3)), got $maxHamming")
@@ -236,20 +269,9 @@ object Dedup {
   def hammingPairs(sig: DataFrame, maxHamming: Int,
                    maxCandidatePairs: Long = 1L << 30): DataFrame = {
     val keyed = blockKeyed(sig, maxHamming)
-    if (maxCandidatePairs < Long.MaxValue) {
-      val cand = keyed.groupBy(col("t"), col("k"))
-        .agg(count(lit(1)).as("m"))
-        .agg(coalesce(sum(col("m") * (col("m") - lit(1L)) / lit(2L)), lit(0L))
-          .cast("long").as("c"))
-        .head().getLong(0)
-      require(cand <= maxCandidatePairs,
-        s"banded Hamming join would enumerate $cand candidate pairs " +
-          s"(> maxCandidatePairs=$maxCandidatePairs): the corpus holds giant " +
-          "duplicate groups and the pair list itself is quadratic in group " +
-          "size. Use the linear-output canonical twins (Dedup.hammingCanonical" +
-          " / Multimodal.imageNearDupCanonical / audioNearDupCanonical), or " +
-          "raise maxCandidatePairs explicitly to enumerate anyway.")
-    }
+    guardCandidatePairs(keyed.groupBy(col("t"), col("k")), maxCandidatePairs,
+      "Dedup.hammingCanonical / Multimodal.imageNearDupCanonical / " +
+        "audioNearDupCanonical")
     keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
           col("a.id") < col("b.id"))
@@ -404,7 +426,11 @@ object Dedup {
     *
     * Both paths drop df=1 shingles (pair-free, lossless) and shingles
     * with document frequency > `maxShingleDf` (boilerplate cap —
-    * affects candidate recall only), then verify survivors exactly:
+    * affects candidate recall only), FAIL FAST when the surviving
+    * index would enumerate more than `maxCandidatePairs` candidate
+    * rows (Σ C(df, 2); giant duplicate groups share all their
+    * shingles — use [[minhashCanonical]] there), then verify
+    * survivors exactly:
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the COMPLETE shingle sets,
     * so reported values are always measured on the full universe
     * regardless of any index pruning. Survivor sets are tiny, so the
@@ -412,7 +438,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.8,
-                        maxShingleDf: Long = 1000000L): DataFrame = {
+                        maxShingleDf: Long = 1000000L,
+                        maxCandidatePairs: Long = 1L << 30): DataFrame = {
     // sorted distinct shingle hashes via the single-pass codegen kernel
     // (the Column-composition equivalent costs ~1 ms/row interpreted).
     // The projection feeds three DAG branches (inverted index + both
@@ -429,9 +456,27 @@ object Dedup {
       else col("n")
     val inv = docs.select(col("id"), col("n"),
       explode(slice(col("hs"), lit(1), indexLen)).as("sh"))
-    val dfc = inv.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    val dfc0 = inv.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxShingleDf)
-      .select(col("sh"))
+    // the exact row count of the shingle self-join below is
+    // Σ C(_df, 2) over the surviving shingles — fail fast past the cap
+    // (giant duplicate groups share ALL their shingles, so the
+    // enumerate cost is quadratic per group; the approximate canonical
+    // twin is linear-output)
+    if (maxCandidatePairs < Long.MaxValue) {
+      val cand = dfc0
+        .agg(coalesce(sum(col("_df") * (col("_df") - lit(1L)) / lit(2L)),
+          lit(0L)).cast("long").as("c"))
+        .head().getLong(0)
+      require(cand <= maxCandidatePairs,
+        s"shingle-index join would enumerate $cand candidate rows " +
+          s"(> maxCandidatePairs=$maxCandidatePairs): the corpus holds giant " +
+          "duplicate groups and the pair list itself is quadratic in group " +
+          "size. Use the linear-output canonical twin (Dedup.minhashCanonical" +
+          "), lower maxShingleDf, or raise maxCandidatePairs explicitly to " +
+          "enumerate anyway.")
+    }
+    val dfc = dfc0.select(col("sh"))
     val pruned = inv.join(dfc, "sh")
     val joined = pruned.as("a").join(pruned.as("b"),
       col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -352,6 +352,31 @@ class DedupSpec extends SparkSpec {
     assert(skip.length === 40 * 39 / 2)
   }
 
+  test("minhash/ngram pair generators fail fast on giant-group corpora") {
+    import spark.implicits._
+    // 40 identical texts = one giant duplicate group: every band
+    // bucket and every shingle posting holds all 40
+    val docs = (0L until 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        maxCandidatePairs = 100L)
+    }
+    assert(e1.getMessage.contains("minhashCanonical"),
+      "the guard must point at the linear-output canonical twin")
+    assert(e1.getMessage.contains("maxCandidatePairs"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", minJaccard = 0.2,
+        maxCandidatePairs = 100L)
+    }
+    assert(e2.getMessage.contains("minhashCanonical"))
+    // the default cap (and Long.MaxValue, which skips the counting
+    // pass) both enumerate the small corpus fine
+    assert(Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .count() === 40L * 39 / 2)
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id", minJaccard = 0.2,
+      maxCandidatePairs = Long.MaxValue).count() === 40L * 39 / 2)
+  }
+
   test("q37 oracle: embedding LSH finds planted near-duplicates") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
