@@ -1313,14 +1313,24 @@ object Queries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         round(TextFunctions.charsPerToken(col("text")), 4).as("chars_per_token"),
         round(TextFunctions.meanTokenLength(col("text")), 4).as("mean_token_len")),
-      Some("""SELECT doc_id,
-             |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      // the tk filter matches the kernel's 0 on empty/whitespace-only
+      // text (the q198 edge the round-12 advice flagged); on non-empty
+      // trimmed text a \s+ split never yields empty tokens, so values
+      // are unchanged where the corpus currently lives
+      Some("""WITH tk AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> t <> '') AS tk
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |CAST(len(tk) AS BIGINT) AS n_tokens,
              |round(CAST(length(text) AS DOUBLE) /
-             |  greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS chars_per_token,
-             |round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-             |  x -> length(x))) AS DOUBLE) /
-             |  greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mean_token_len
-             |FROM documents""".stripMargin),
+             |  greatest(len(tk), 1), 4) AS chars_per_token,
+             |round(CAST(coalesce(list_sum(list_transform(tk,
+             |  x -> length(x))), 0) AS DOUBLE) /
+             |  greatest(len(tk), 1), 4) AS mean_token_len
+             |FROM tk""".stripMargin),
       "token counting (whitespace), char/token stats"),
 
     Q("q65_subword_count",
