@@ -86,7 +86,17 @@ object CanonicalSliceDump {
           "doc_id", "content", cutThreshold = 2000L)
         .select(col("id").as("doc_id"), col("shot_idx"), col("start_frame"),
           col("n_frames_in_shot"), col("keyframe_idx"), col("detail"))
-      case m => sys.error(s"unknown mode $m (image|audio|vad|scenecut|keyframes)")
+      // the exact q200 catalog configuration on the sliced TEXT corpus
+      // (minhash is corpus-dependent only through its band buckets, so
+      // the residue slice is itself a complete corpus for both engines;
+      // 20 residues of /tmp/sf1x = 5,000 docs — 10× the sf0.01 oracle
+      // volume at an affordable DuckDB replay cost)
+      case "text" => operators.Dedup.minhashCanonical(docs, "text", "doc_id",
+          shingleK = 3, numPerms = 64, bands = 16, threshold = 0.2)
+        .select(col("id").cast("long").as("id"),
+          col("canonical_id").cast("long").as("canonical_id"),
+          col("n_members").cast("long").as("n_members"))
+      case m => sys.error(s"unknown mode $m (image|audio|vad|scenecut|keyframes|text)")
     }
     out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/slice")
     Files.write(Paths.get(s"$outDir/residues.json"),
