@@ -337,6 +337,71 @@ object Streams {
         col("n_contaminated"), col("max_overlap"))
   }
 
+  /** Streaming ingest-time NEAR-dup gate against a static reference
+    * corpus — the online twin of the batch
+    * [[graft.operators.Dedup.minhashAgainst]] (q82), catching
+    * near-duplicates of already-held documents AT INGEST: each
+    * arriving document computes its MinHash signature and band keys
+    * in-row (stateless map), the band keys probe the corpus's
+    * precomputed band index through a stream-static equi-join, and
+    * surviving candidates verify by the usual signature-agreement
+    * estimate (matches/numPerms ≥ `threshold`) after fetching the
+    * corpus signature in a second stream-static join. Emits
+    * (existing_id, incoming_id, est_jaccard) per flagged arrival.
+    *
+    * Scale shape: the ONLY stateful operator is the within-watermark
+    * pair dedup (multiple band collisions of one pair produce
+    * identical rows); both joins are stream-static — the corpus never
+    * shuffles per micro-batch and holds no join state. At production
+    * corpus sizes persist the two corpus-side frames (band index +
+    * signatures) before starting the query, or the static plan
+    * re-derives them every micro-batch. Runs identically on batch
+    * frames (plain dropDuplicates replaces the watermark variant).
+    */
+  def nearDupAgainstStream(incoming: DataFrame, textCol: String,
+                           tsCol: String, idCol: String,
+                           corpus: DataFrame, corpusTextCol: String,
+                           corpusIdCol: String,
+                           shingleK: Int = 3, numPerms: Int = 64,
+                           bands: Int = 16, threshold: Double = 0.5,
+                           watermark: String = "1 hour"): DataFrame = {
+    import graft.plans.Exprs
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val rows = numPerms / bands
+    def bandKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until bands).map(bi =>
+        struct(lit(bi).as("band"),
+          xxhash64(slice(sig, bi * rows + 1, rows)).as("bh"))): _*)
+    val exSig = corpus.select(col(corpusIdCol).as("existing_id"),
+      Exprs.minhashSig(col(corpusTextCol), shingleK, numPerms).as("_exsig"))
+    val exBanded = exSig.select(col("existing_id"),
+        explode(bandKeys(col("_exsig"))).as("bk"))
+      .select(col("existing_id"), col("bk.band"), col("bk.bh"))
+    val inBanded = incoming.withWatermark(tsCol, watermark)
+      .withColumn("_sig", Exprs.minhashSig(col(textCol), shingleK, numPerms))
+      .select(col(idCol).as("incoming_id"), col(tsCol), col("_sig"),
+        explode(bandKeys(col("_sig"))).as("bk"))
+      .select(col("incoming_id"), col(tsCol), col("_sig"),
+        col("bk.band"), col("bk.bh"))
+    val verified = inBanded.join(exBanded, Seq("band", "bh"))
+      .join(exSig, Seq("existing_id"))
+      .withColumn("_est",
+        aggregate(zip_with(col("_sig"), col("_exsig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          lit(numPerms).cast("double"))
+      // filter on the RAW estimate, round only the output — the exact
+      // operator order of the batch twin (q82 rounds after its filter)
+      .filter(col("_est") >= threshold)
+      .select(col("existing_id"), col("incoming_id"), col(tsCol),
+        round(col("_est"), 4).as("est_jaccard"))
+    val deduped =
+      if (incoming.isStreaming)
+        verified.dropDuplicatesWithinWatermark("existing_id", "incoming_id")
+      else verified.dropDuplicates("existing_id", "incoming_id")
+    deduped.drop(tsCol)
+  }
+
   /** Stream-stream inner equi-join with an event-time interval: each
     * left row pairs with right rows of the same key whose timestamp is
     * within `[leftTs - lowerSec, leftTs + upperSec]`. Both sides carry

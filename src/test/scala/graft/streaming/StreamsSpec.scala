@@ -355,6 +355,60 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("nearDupAgainstStream: planted near-dups flagged at ingest, stream == batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (1L, "marine biodiversity observation networks record survey stations at depth"),
+      (2L, "a completely unrelated reference document with its own private words"))
+      .toDF("doc_id", "text")
+    val t0 = 1700000000000L
+    // 30 arrivals over two micro-batches: every 10th is a near-copy of
+    // corpus doc 0 (one word changed), every 10th+1 a verbatim copy of
+    // corpus doc 1; the rest fresh vocab (no candidate bands at all)
+    val docs = (0 until 30).map { i =>
+      val text =
+        if (i % 10 == 0) "the quick brown fox jumps over the lazy cat and runs far away home tonight"
+        else if (i % 10 == 1) "marine biodiversity observation networks record survey stations at depth"
+        else (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      (100L + i, new java.sql.Timestamp(t0 + i * 60000L), text)
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Streams.nearDupAgainstStream(
+        stream.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "doc_id",
+        corpus, "text", "doc_id", threshold = 0.35)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    stream.addData(docs.take(13))
+    out.processAllAvailable()
+    stream.addData(docs.drop(13))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the three near-copies of doc 0 and three verbatim copies of doc 1
+    assert(streamed.map(_._2) === Set(100L, 110L, 120L, 101L, 111L, 121L))
+    assert(streamed.filter(_._1 == 1L).forall(_._3 === 1.0),
+      "verbatim copies must estimate 1.0")
+    assert(streamed.forall(p => p._1 == 0L || p._1 == 1L))
+    // unified-API contract: the BATCH twin (same code path) and the
+    // original q82 operator both produce the identical pair set
+    val batchDf = docs.toDF("doc_id", "ts", "text")
+    val viaStreamPath = Streams.nearDupAgainstStream(
+        batchDf, "text", "ts", "doc_id", corpus, "text", "doc_id",
+        threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === viaStreamPath)
+    val viaBatchOp = graft.operators.Dedup.minhashAgainst(
+        corpus, batchDf, "text", "doc_id", threshold = 0.35)
+      .select(col("existing_id"), col("incoming_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === viaBatchOp,
+      "the streaming gate must equal the batch minhashAgainst (q82)")
+  }
+
   test("intervalJoin: stream-stream join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
