@@ -131,7 +131,46 @@ object StreamScaleCheck {
       s"events=${ev.length} users_stream=${sessStream.size} " +
       s"users_batch=${sessBatch.size} set_equal=$ok2 " +
       s"stream_sec=${"%.1f".format(streamSec2)} batch_sec=${"%.1f".format(batchSec2)}")
+    // ---- third leg: NEAR-DUP GATE parity over the documents table --
+    // q82's online twin: 10% of the corpus (doc_id % 10 == 0) is the
+    // static reference, the other 90% arrives as the stream; the
+    // stream-static band joins + within-watermark pair dedup must
+    // reproduce the batch path's pair set exactly (ts again inside one
+    // watermark window, the contracted-agreement regime)
+    val corpusRows = rows.filter(_._1 % 10 == 0)
+    val arrivals = rows.filter(_._1 % 10 != 0)
+    val corpusDf = corpusRows.toDF("doc_id", "ts", "text")
+      .select(col("doc_id"), col("text"))
+    val tS3 = System.nanoTime()
+    val nstream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q3 = Streams.nearDupAgainstStream(
+        nstream.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "doc_id",
+        corpusDf, "text", "doc_id", threshold = 0.2)
+      .writeStream.format("memory").queryName("neardup_scale")
+      .outputMode("append").start()
+    val nchunk = math.max(1, arrivals.length / batches)
+    arrivals.grouped(nchunk).foreach { g =>
+      nstream.addData(g)
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    val ndStream = spark.table("neardup_scale").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val streamSec3 = (System.nanoTime() - tS3) / 1e9
+    val tB3 = System.nanoTime()
+    val ndBatch = Streams.nearDupAgainstStream(
+        arrivals.toDF("doc_id", "ts", "text"), "text", "ts", "doc_id",
+        corpusDf, "text", "doc_id", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batchSec3 = (System.nanoTime() - tB3) / 1e9
+    val ndSet = ndStream.toSet
+    val ok3 = ndStream.length == ndSet.size && ndSet == ndBatch.toSet
+    println(s"[streamscale] ${if (ok3) "PASS" else "FAIL"} neardup_gate " +
+      s"corpus=${corpusRows.length} arrivals=${arrivals.length} " +
+      s"pairs_stream=${ndStream.length} pairs_batch=${ndBatch.length} " +
+      s"set_equal=${ndSet == ndBatch.toSet} " +
+      s"stream_sec=${"%.1f".format(streamSec3)} batch_sec=${"%.1f".format(batchSec3)}")
     spark.stop()
-    if (!ok || !ok2) sys.exit(1)
+    if (!ok || !ok2 || !ok3) sys.exit(1)
   }
 }
