@@ -114,9 +114,10 @@ object Dedup {
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
                         maxDist: Int, shingleK: Int = 3, numPerms: Int = 64,
                         bands: Int = 16,
-                        candThreshold: Double = 0.2): DataFrame = {
+                        candThreshold: Double = 0.2,
+                        maxCandidatePairs: Long = 1L << 30): DataFrame = {
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numPerms,
-        bands, candThreshold)
+        bands, candThreshold, maxCandidatePairs)
       .select(col("id_a"), col("id_b"))
     val txt = df.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
     cand
@@ -356,6 +357,12 @@ object Dedup {
     * anchoring), so a cross-engine oracle replays it exactly.
     *
     * Output: one row per input doc — (id, canonical_id, n_members).
+    * The signature projection feeds three consumers (band explode,
+    * verify join-back, label join) and is deliberately NOT persisted
+    * here — the same measured call as [[hammingCanonical]]: the sig
+    * derivation is scan-cheap and a cache's partitioning throttles
+    * the banded join. At cluster scale persist the INPUT `df` (or a
+    * repartitioned sig projection) before calling.
     */
   def minhashCanonical(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, numPerms: Int = 64,

@@ -157,6 +157,20 @@ class StatsSpec extends SparkSpec {
       Stats.ksMatrixBatched(df, "v", "g", batchSize = 9)
     }
     assert(e.getMessage.contains("envelope"))
+    // the exact q199 configuration: 25 groups / batches of 8 → 4
+    // batches → 6 cross passes, 300 pairs claimed exactly once
+    val gs25 = (0 until 25).map(_.toString).sorted
+    val p25 = Stats.ksBatchPasses(gs25, 8)
+    assert(p25.size === 6, "4 batches of 8/8/8/1 -> C(4,2) = 6 cross passes")
+    val cov25 = scala.collection.mutable.Map.empty[(String, String), Int]
+    p25.foreach { case (bi, bj, owned) =>
+      val cross = for (a <- bi; b <- bj) yield if (a < b) (a, b) else (b, a)
+      val internal = owned.flatMap(b =>
+        for (Seq(a, c) <- b.combinations(2).toSeq) yield (a, c))
+      (cross ++ internal).foreach(p => cov25(p) = cov25.getOrElse(p, 0) + 1)
+    }
+    assert(cov25.size === 300 && cov25.values.forall(_ == 1),
+      "q199's 300 nation pairs, each emitted by exactly one pass")
   }
 
   test("ksMatrix: every pair row matches the dedicated two-sample ksTest") {
