@@ -229,7 +229,8 @@ object Dedup {
           "raise maxCandidatePairs explicitly to enumerate anyway.")
     }
 
-  private def blockKeyed(sig: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def blockKeyed(sig: DataFrame, maxHamming: Int,
+                                extraCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 5,
       s"maxHamming must be in [1,5] (explode factor C(h+3,3)), got $maxHamming")
     val nBlocks = maxHamming + 3
@@ -240,15 +241,16 @@ object Dedup {
       (shiftrightunsigned(col("sh"), lo).bitwiseAND(lit((1L << width) - 1)), width)
     }
     val combos = (0 until nBlocks).combinations(3).toSeq.zipWithIndex
-    sig.select(col("id"), col("sh"),
+    val extras = extraCols.map(col)
+    sig.select(col("id") +: col("sh") +: extras :+
       explode(array(combos.map { case (blocks, tid) =>
         val key = blocks.foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, bi) =>
           val (bv, width) = blockOf(bi)
           shiftleft(acc, width).bitwiseOR(bv)
         }
         struct(lit(tid).as("t"), key.as("k"))
-      }: _*)).as("c"))
-      .select(col("id"), col("sh"), col("c.t"), col("c.k"))
+      }: _*)).as("c"): _*)
+      .select(col("id") +: col("sh") +: extras :+ col("c.t") :+ col("c.k"): _*)
   }
 
   /** Guard rationale: on a corpus with giant duplicate groups (G

@@ -402,6 +402,53 @@ object Streams {
     deduped.drop(tsCol)
   }
 
+  /** Streaming FINGERPRINT near-dup gate against a static corpus —
+    * [[nearDupAgainstStream]]'s sibling for the 64-bit Hamming
+    * modalities (image dHash / audio energy-delta fingerprints, the
+    * q162/q195 signature contract): arriving (id, ts, sh) rows key
+    * their fingerprint with the guaranteed-recall block-combination
+    * scheme in-row, probe the corpus's precomputed key index through a
+    * stream-static join, and survivors verify the exact Hamming
+    * distance. Emits (existing_id, incoming_id, hamming ≤
+    * `maxHamming`) per flagged arrival; the within-watermark pair
+    * dedup (one pair can collide on several block keys) is the only
+    * stateful operator — the corpus never shuffles per micro-batch.
+    * Decode the media to fingerprints UPSTREAM (e.g.
+    * [[graft.operators.Multimodal.dhash64]] via its column kernels) so
+    * binary payloads never enter the stream plan. Runs identically on
+    * batch frames.
+    */
+  def hammingAgainstStream(incoming: DataFrame, tsCol: String,
+                           idCol: String, shCol: String,
+                           corpus: DataFrame, corpusIdCol: String,
+                           corpusShCol: String, maxHamming: Int,
+                           watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.HashFunctions
+    val exKeyed = Dedup.blockKeyed(
+        corpus.select(col(corpusIdCol).as("id"), col(corpusShCol).as("sh")),
+        maxHamming)
+      .select(col("id").as("existing_id"), col("sh").as("_exsh"),
+        col("t"), col("k"))
+    val inKeyed = Dedup.blockKeyed(
+        incoming.withWatermark(tsCol, watermark)
+          .select(col(idCol).as("id"), col(shCol).as("sh"), col(tsCol)),
+        maxHamming, extraCols = Seq(tsCol))
+      .select(col("id").as("incoming_id"), col("sh").as("_insh"),
+        col(tsCol), col("t"), col("k"))
+    val verified = inKeyed.join(exKeyed, Seq("t", "k"))
+      .withColumn("hamming",
+        HashFunctions.hamming64(col("_insh"), col("_exsh")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("existing_id"), col("incoming_id"), col(tsCol),
+        col("hamming").cast("long").as("hamming"))
+    val deduped =
+      if (incoming.isStreaming)
+        verified.dropDuplicatesWithinWatermark("existing_id", "incoming_id")
+      else verified.dropDuplicates("existing_id", "incoming_id")
+    deduped.drop(tsCol)
+  }
+
   /** Stream-stream inner equi-join with an event-time interval: each
     * left row pairs with right rows of the same key whose timestamp is
     * within `[leftTs - lowerSec, leftTs + upperSec]`. Both sides carry

@@ -409,6 +409,53 @@ class StreamsSpec extends SparkSpec {
       "the streaming gate must equal the batch minhashAgainst (q82)")
   }
 
+  test("hammingAgainstStream: flipped-bit fingerprints flagged, stream == batch == brute force") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    // 5 well-separated corpus fingerprints
+    val corpusFp = (0 until 5).map(g => g.toLong -> rng.nextLong())
+    val corpus = corpusFp.toDF("doc_id", "sh")
+    val t0 = 1700000000000L
+    // 30 arrivals: i % 3 == 0 → a corpus fingerprint with ≤ 3 bits
+    // flipped (must match), else a fresh random fingerprint (may match
+    // by chance — brute force decides)
+    val arrivals = (0 until 30).map { i =>
+      val sh =
+        if (i % 3 == 0) {
+          var v = corpusFp((i / 3) % 5)._2
+          (0 until (i % 4)).foreach(b => v ^= 1L << ((i * 7 + b * 13) % 64))
+          v
+        } else rng.nextLong()
+      (100L + i, new java.sql.Timestamp(t0 + i * 60000L), sh)
+    }
+    val expected = (for {
+      (g, fp) <- corpusFp; (id, _, sh) <- arrivals
+      d = java.lang.Long.bitCount(fp ^ sh) if d <= 3
+    } yield (g, id, d.toLong)).toSet
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = Streams.hammingAgainstStream(
+        stream.toDF().toDF("doc_id", "ts", "sh"), "ts", "doc_id", "sh",
+        corpus, "doc_id", "sh", maxHamming = 3)
+      .writeStream.format("memory").queryName("hamgate_out")
+      .outputMode("append").start()
+    stream.addData(arrivals.take(11))
+    out.processAllAvailable()
+    stream.addData(arrivals.drop(11))
+    out.processAllAvailable()
+    out.stop()
+    val streamed = spark.table("hamgate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === expected,
+      "block-combination keying guarantees recall at Hamming <= 3")
+    assert(streamed.size >= 10, "the planted near-copies must all be flagged")
+    val batch = Streams.hammingAgainstStream(
+        arrivals.toDF("doc_id", "ts", "sh"), "ts", "doc_id", "sh",
+        corpus, "doc_id", "sh", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("intervalJoin: stream-stream join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
