@@ -170,7 +170,54 @@ object StreamScaleCheck {
       s"pairs_stream=${ndStream.length} pairs_batch=${ndBatch.length} " +
       s"set_equal=${ndSet == ndBatch.toSet} " +
       s"stream_sec=${"%.1f".format(streamSec3)} batch_sec=${"%.1f".format(batchSec3)}")
+    // ---- fourth leg: FINGERPRINT GATE parity (image modality) -------
+    // the q162 fabricated corpus: 200 image groups of near-copies; the
+    // static corpus holds each group's MIN-id member (the canonical
+    // anchor — the production ingest-dedup shape) and every other image
+    // arrives as the stream, expected to flag against its anchor
+    val imgSig = graft.operators.Multimodal.dhashSig(
+        Tables.documents(spark, sfDir).select(col("doc_id"),
+          graft.operators.Multimodal.fabricateNearDupImageCol(
+            col("doc_id"), 200).as("content")),
+        "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val anchorIds = imgSig.groupBy(_._1 % 200).map(_._2.minBy(_._1)._1).toSet
+    val anchors = imgSig.filter(t => anchorIds(t._1)).toSeq
+      .toDF("doc_id", "sh")
+    val fpArrivals = imgSig.filter(t => !anchorIds(t._1)).zipWithIndex.map {
+      case ((id, sh), i) =>
+        (id, new java.sql.Timestamp(t0 + (i % 3000).toLong * 1000L), sh)
+    }.toSeq
+    val tS4 = System.nanoTime()
+    val fstream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q4 = Streams.hammingAgainstStream(
+        fstream.toDF().toDF("doc_id", "ts", "sh"), "ts", "doc_id", "sh",
+        anchors, "doc_id", "sh", maxHamming = 4)
+      .writeStream.format("memory").queryName("hamgate_scale")
+      .outputMode("append").start()
+    val fchunk = math.max(1, fpArrivals.length / batches)
+    fpArrivals.grouped(fchunk).foreach { g =>
+      fstream.addData(g)
+      q4.processAllAvailable()
+    }
+    q4.stop()
+    val fpStream = spark.table("hamgate_scale").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val streamSec4 = (System.nanoTime() - tS4) / 1e9
+    val tB4 = System.nanoTime()
+    val fpBatch = Streams.hammingAgainstStream(
+        fpArrivals.toDF("doc_id", "ts", "sh"), "ts", "doc_id", "sh",
+        anchors, "doc_id", "sh", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batchSec4 = (System.nanoTime() - tB4) / 1e9
+    val fpSet = fpStream.toSet
+    val ok4 = fpStream.length == fpSet.size && fpSet == fpBatch.toSet
+    println(s"[streamscale] ${if (ok4) "PASS" else "FAIL"} fingerprint_gate " +
+      s"anchors=${anchorIds.size} arrivals=${fpArrivals.length} " +
+      s"pairs_stream=${fpStream.length} pairs_batch=${fpBatch.length} " +
+      s"set_equal=${fpSet == fpBatch.toSet} " +
+      s"stream_sec=${"%.1f".format(streamSec4)} batch_sec=${"%.1f".format(batchSec4)}")
     spark.stop()
-    if (!ok || !ok2 || !ok3) sys.exit(1)
+    if (!ok || !ok2 || !ok3 || !ok4) sys.exit(1)
   }
 }

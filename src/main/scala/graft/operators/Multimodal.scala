@@ -643,7 +643,7 @@ object Multimodal {
                             maxHamming: Int = 4): DataFrame =
     Dedup.hammingCanonical(dhashSig(df, idCol, binCol), maxHamming)
 
-  private def dhashSig(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  private[graft] def dhashSig(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     ds.mapPartitions { it =>
