@@ -409,6 +409,34 @@ class StreamsSpec extends SparkSpec {
       "the streaming gate must equal the batch minhashAgainst (q82)")
   }
 
+  test("nearDupAgainstStream: redelivered micro-batch rows do not re-emit pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val t0 = 1700000000000L
+    val rows = Seq(
+      (100L, new java.sql.Timestamp(t0), "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, new java.sql.Timestamp(t0 + 60000L), "totally different words here nothing shared at all"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Streams.nearDupAgainstStream(
+        stream.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "doc_id",
+        corpus, "text", "doc_id", threshold = 0.35)
+      .writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode("append").start()
+    stream.addData(rows)
+    out.processAllAvailable()
+    // at-least-once upstream: the SAME rows arrive again in a later
+    // micro-batch — the within-watermark pair dedup must swallow them
+    stream.addData(rows)
+    out.processAllAvailable()
+    out.stop()
+    val emitted = spark.table("neardup_redeliver").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(emitted.toSeq === Seq((0L, 100L)),
+      "exactly one pair emission despite redelivery")
+  }
+
   test("hammingAgainstStream: flipped-bit fingerprints flagged, stream == batch == brute force") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
