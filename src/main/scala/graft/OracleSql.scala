@@ -165,21 +165,27 @@ object OracleSql {
   }
 
   /** The full [[graft.operators.Trainer]] gradient-descent loop as
-    * DuckDB CTEs — expects a prior CTE `ldocs(doc_id, y, text)`; emits
-    * `gtr` (per-term bucket stream), `gcnt`, `gw0 … gw$iters` (the
-    * weight vectors, one per iteration) and `gsc(doc_id, y, score)`,
-    * the final 6-dp scores of ALL ldocs rows (term-less docs at the
+    * DuckDB CTEs — `ldocsSelect` is the labeled-corpus SELECT body
+    * (columns `doc_id, y, text` over `documents`); returns the FULL
+    * statement ending in `SELECT doc_id, y, score FROM gsc`, the
+    * final 6-dp scores of ALL labeled rows (term-less docs at the
     * kernel's 0.5). Replays the operator exactly: pinned-order folds
     * for every per-document z, the true rational-sigmoid squared-loss
     * gradient, and the cross-document gradient sum replayed as an
     * EXACT integer: per-occurrence gradients snapped to the 1e-9
     * micro grid and summed as BIGINT→HUGEINT, matching the engine's
     * long sum bit-for-bit regardless of reduction order.
+    *
+    * The per-term derivation (char-level poly31 fold + mix64 per
+    * term) is doc-local and dominates the replay, so it runs through
+    * [[residueSharded]]; the iteration folds join the unioned `gtr`,
+    * which parallelizes as ordinary hash joins/aggregates.
     */
-  def gdTrainerCtes(m: Int, iters: Int, lr: Double): String = {
-    val sb = new StringBuilder
-    sb.append(
-      s"""gtoks AS (
+  def gdTrainerSql(ldocsSelect: String, m: Int, iters: Int, lr: Double): String = {
+    val chain =
+      s"""ldocs AS (
+         |  $ldocsSelect
+         |), gtoks AS (
          |  SELECT doc_id, y, list_filter(string_split_regex(lower(text), '\\s+'),
          |    t -> t <> '') AS tk
          |  FROM ldocs
@@ -192,7 +198,10 @@ object OracleSql {
          |  SELECT doc_id, y, ord, ${poly31("t")} AS pt FROM gtr0
          |), gtr AS (
          |  SELECT doc_id, y, ord, CAST(${mix64("pt")} % $m AS INT) AS bu FROM gh1
-         |), gcnt AS (
+         |)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s""", gcnt AS (
          |  SELECT doc_id, max(y) AS y, CAST(count(*) AS DOUBLE) AS cnt
          |  FROM gtr GROUP BY doc_id
          |), gn AS (
@@ -229,16 +238,19 @@ object OracleSql {
          |  FROM gtr g JOIN gw$iters w ON w.b = g.bu
          |  JOIN gcnt c ON c.doc_id = g.doc_id
          |  GROUP BY g.doc_id, c.cnt
+         |), gl AS (
+         |  $ldocsSelect
          |), gsc AS (
          |  SELECT d.doc_id, d.y,
          |    round(CASE WHEN z.z IS NULL THEN 0.5
          |          ELSE 0.5 + 0.5 * (z.z / (1.0 + abs(z.z))) END, 6) AS score
-         |  FROM ldocs d LEFT JOIN gzf z ON z.doc_id = d.doc_id
-         |)""".stripMargin)
-    sb.toString
+         |  FROM gl d LEFT JOIN gzf z ON z.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, y, score FROM gsc""".stripMargin)
+    residueSharded(chain, outCte = "gtr", finalSql = sb.toString)
   }
 
-  /** [[gdTrainerCtes]] factored for PER-ITERATION scale verification
+  /** [[gdTrainerSql]] factored for PER-ITERATION scale verification
     * (the q178 30×/100× gate, where the full 6-iteration WITH-chain
     * replay costs tens of DuckDB-minutes): the expensive term-stream
     * derivation materializes ONCE (`prefix` — CREATE TABLE statements
@@ -253,7 +265,7 @@ object OracleSql {
     * per-iteration weights, so iteration t's full 1024-weight vector
     * is hash-compared inductively: w₀ = 0 by construction, and every
     * wₜ → wₜ₊₁ transition is re-derived by an independent engine.
-    * Arithmetic is character-identical to [[gdTrainerCtes]]'s.
+    * Arithmetic is character-identical to [[gdTrainerSql]]'s.
     */
   def gdTrainerStepSql(m: Int, lr: Double): (Seq[String], String, String, String) = {
     val prefix = Seq(
@@ -483,5 +495,64 @@ object OracleSql {
       }
     }
     sb.toString
+  }
+
+  /** Residue-shard a row-local WITH-chain into `k` parallel UNION ALL
+    * branches — the DuckDB-1.x parallelism workaround for oracle
+    * replays that fan a few hundred source rows out by `unnest`:
+    * DuckDB parallelizes on SOURCE chunks, so a 500-row `documents`
+    * parquet (one row group) pins the whole unnest→hash pipeline to a
+    * single thread no matter the thread count (measured: q195's
+    * sample re-derivation 116 s single-pipeline vs 17 s sharded ×16,
+    * bit-identical output). `AS MATERIALIZED` alone does NOT fix it —
+    * a materialized CTE's consumer still runs in one pipeline on 1.0.
+    *
+    * UNION ALL branches, by contrast, are independent pipelines that
+    * DuckDB executes concurrently. Requires every derivation in
+    * `chain` to be row-local in `key` (each output row of `outCte`
+    * depends only on source rows with one `key` value — true for all
+    * per-doc signature/sample/pixel re-derivations), so slicing every
+    * `FROM $table` by `key % k = r` is exact. Global stages (pair
+    * joins, components, corpus folds) belong in `finalSql`, which
+    * sees the full union as CTE `outCte`.
+    *
+    * The union CTE itself IS marked `AS MATERIALIZED`: DuckDB 1.0
+    * re-inlines a plain CTE at every reference, and the global stages
+    * reference `outCte` 2–4× (both sides of a pair join, the label
+    * coalesce, every GD iteration) — unmaterialized, the whole
+    * sharded chain re-executes per reference (measured: q197's
+    * closure replay at 534 s ≈ 4 re-derivations of a 130 s chain).
+    * Downstream single-pipeline consumption is fine here because the
+    * materialized rows are signature-sized (one row per doc), so the
+    * serial part is a cheap scan, not the re-derivation.
+    */
+  def residueSharded(chain: String, outCte: String, finalSql: String,
+                     k: Int = 16, table: String = "documents",
+                     key: String = "doc_id",
+                     recursive: Boolean = false): String = {
+    require(chain.contains(s"FROM $table"), s"chain never scans $table")
+    val branches = (0 until k).map { r =>
+      // swap in an aliased filtered subquery so a WHERE already
+      // following the scan composes instead of colliding
+      val sliced = chain.replace(
+        s"FROM $table",
+        s"FROM (SELECT * FROM $table WHERE $key % $k = $r) $table")
+      s"(WITH $sliced\n SELECT * FROM $outCte)"
+    }
+    // finalSql may CONTINUE the outer chain (", nextCte AS (…) … SELECT")
+    // when global stages need their own CTEs; `recursive` hoists the
+    // RECURSIVE keyword to the outer WITH (DuckDB scopes it clause-wide).
+    //
+    // The union lives under a mangled name with `outCte` as a plain
+    // alias: under WITH RECURSIVE, a CTE body of the shape
+    // `branch UNION ALL branch-referencing-$outCte` matches the
+    // anchor/recursive-part pattern, and DuckDB binds each branch's
+    // INNER `$outCte` (its own sub-WITH result) to the outer recursive
+    // name instead — turning the shard union into a non-terminating
+    // fixpoint iteration (observed: q189 hung >180 s).
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"$kw ${outCte}__shards AS MATERIALIZED (\n" +
+      branches.mkString("\nUNION ALL\n") +
+      s"\n), $outCte AS (SELECT * FROM ${outCte}__shards)\n$finalSql"
   }
 }

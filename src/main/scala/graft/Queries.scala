@@ -173,12 +173,17 @@ object Queries {
     * a corpus/batch split for the incremental check); `selA`/`selB`
     * name the output id columns.
     */
-  /** The shared sig-derivation CTE chain (toks → shingles → 64
-    * mod-2^64 permutation minima → sentinel-filled signatures → 4-row
-    * band keys) — the prefix of every MinHash oracle. No leading
-    * `WITH` so callers can prepend `WITH` or `WITH RECURSIVE`.
+  /** The doc-local sig-derivation CTE chain (toks → shingles → 64
+    * mod-2^64 permutation minima → sentinel-filled signatures) — the
+    * prefix of every MinHash oracle, ending at `sig(doc_id, p, v)`.
+    * Doc-local by construction, so every MinHash oracle runs it
+    * through [[OracleSql.residueSharded]] (the 500-row documents
+    * parquet pins an unsharded replay to one DuckDB pipeline); the
+    * band keys are re-grouped OUTSIDE the shards ([[bandsFromSig]]) —
+    * a hash aggregate over the union parallelizes fine, it's only the
+    * straight-line unnest→hash projections that don't.
     */
-  private def minhashSigBandCtes: String = {
+  private def minhashSigChain: String = {
     val shingleHash = OracleSql.mix64(OracleSql.poly31("s"))
     val perms = OracleSql.minhashPerms(64)
     val alist = perms.map(_._1).mkString("[", ",", "]")
@@ -211,16 +216,24 @@ object Queries {
        |  FROM (SELECT DISTINCT doc_id FROM documents) d
        |  CROSS JOIN (SELECT unnest(range(64)) AS p) pr
        |  LEFT JOIN minv m ON m.doc_id = d.doc_id AND m.p = pr.p
-       |), bands AS (
-       |  SELECT doc_id, p // 4 AS band,
-       |         array_to_string(list(v ORDER BY p), ',') AS bk
-       |  FROM sig GROUP BY doc_id, p // 4
        |)""".stripMargin
   }
 
+  /** 4-row band keys over the unioned `sig` — the global continuation
+    * of [[minhashSigChain]] (see its scaladoc for why it lives outside
+    * the residue shards).
+    */
+  private val bandsFromSig: String =
+    """, bands AS (
+      |  SELECT doc_id, p // 4 AS band,
+      |         array_to_string(list(v ORDER BY p), ',') AS bk
+      |  FROM sig GROUP BY doc_id, p // 4
+      |)""".stripMargin
+
   private def minhashOracleSql(pairCond: String, selA: String, selB: String,
                                threshold: Double): String = {
-    s"""WITH $minhashSigBandCtes, cand AS (
+    OracleSql.residueSharded(minhashSigChain, outCte = "sig", finalSql =
+    s"""$bandsFromSig, cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bk = b.bk AND $pairCond
@@ -232,7 +245,7 @@ object Queries {
        |  GROUP BY c.id_a, c.id_b
        |)
        |SELECT id_a AS $selA, id_b AS $selB, round(m / 64.0, 4) AS est_jaccard
-       |FROM mt WHERE m / 64.0 >= $threshold""".stripMargin
+       |FROM mt WHERE m / 64.0 >= $threshold""".stripMargin)
   }
 
   /** DuckDB re-derivation of [[graft.operators.Dedup.minhashCanonical]]:
@@ -243,7 +256,9 @@ object Queries {
     * MinHash bands.
     */
   private def minhashCanonicalOracleSql(threshold: Double): String = {
-    s"""WITH RECURSIVE $minhashSigBandCtes, mn AS (
+    OracleSql.residueSharded(minhashSigChain, outCte = "sig",
+      recursive = true, finalSql =
+    s"""$bandsFromSig, mn AS (
        |  SELECT band, bk, min(doc_id) AS mid FROM bands GROUP BY band, bk
        |), starc AS (
        |  SELECT DISTINCT mn.mid AS src, b.doc_id AS dst
@@ -276,7 +291,7 @@ object Queries {
        |  CAST(g.cnt AS BIGINT) AS n_members
        |FROM lab l JOIN (
        |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
-       |USING (canonical_id)""".stripMargin
+       |USING (canonical_id)""".stripMargin)
   }
 
   /** DuckDB re-derivation of [[graft.operators.Bm25.topDocs]]: full
@@ -1172,14 +1187,20 @@ object Queries {
       Some {
         val mixpi = OracleSql.mix64("(CAST(p AS UBIGINT) << 32) | CAST(i AS UBIGINT)")
         val w = s"CAST(${OracleSql.toSigned(mixpi)} AS DOUBLE) / 9223372036854775807.0"
-        s"""WITH base AS (
-           |  SELECT vec_id, embedding FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id + 100000,
-           |    [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + 0.02 * (((i-1) % 7) - 3)) AS FLOAT)
-           |     FOR i IN range(1, len(embedding) + 1)]
-           |  FROM embeddings
-           |), w AS (
+        val baseCte =
+          """base AS (
+            |  SELECT vec_id, embedding FROM embeddings
+            |  UNION ALL
+            |  SELECT vec_id + 100000,
+            |    [CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + 0.02 * (((i-1) % 7) - 3)) AS FLOAT)
+            |     FOR i IN range(1, len(embedding) + 1)]
+            |  FROM embeddings
+            |)""".stripMargin
+        // the hyperplane dot folds (vec-local) residue-shard; the band
+        // join and exact-cosine verify stay global. `pv` re-derives the
+        // planted corpus outside the shards — a plain list cast, cheap
+        OracleSql.residueSharded(
+        s"""$baseCte, w AS (
            |  SELECT p, i, $w AS w
            |  FROM (SELECT unnest(range(64)) AS p), (SELECT unnest(range(64)) AS i)
            |), ex AS (
@@ -1196,14 +1217,17 @@ object Queries {
            |         CAST(sum(CASE WHEN dot >= 0 THEN CAST(CAST(1 AS UBIGINT) << p AS HUGEINT)
            |                  ELSE 0 END) AS UBIGINT) AS sg
            |  FROM dots GROUP BY vec_id
-           |), bands AS (
+           |)""".stripMargin,
+        outCte = "sig",
+        table = "embeddings", key = "vec_id",
+        finalSql = s""", ${baseCte.replace("base AS (", "base2 AS (")}, bands AS (
            |  SELECT vec_id, b, (sg >> CAST(16*b AS UBIGINT)) & 65535 AS bk
            |  FROM sig, (SELECT unnest(range(4)) AS b)
            |), cand AS (
            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.vec_id < b.vec_id
            |), pv AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM base2
            |), cosd AS (
            |  SELECT c.id_a, c.id_b,
            |    list_reduce(list_prepend(0.0, [va.v[i] * vb.v[i] FOR i IN range(1, len(va.v)+1)]), (a,b) -> a+b) AS dot,
@@ -1216,7 +1240,7 @@ object Queries {
            |  FROM cosd
            |)
            |SELECT id_a, id_b, round(cosine, 6) AS cosine
-           |FROM cosv WHERE cosine >= 0.85""".stripMargin
+           |FROM cosv WHERE cosine >= 0.85""".stripMargin)
       },
       "embedding cosine near-dup via hyperplane LSH buckets (planted float32 near-dups; signatures + cosine oracle-recomputed in SQL)"),
 
@@ -3902,7 +3926,11 @@ object Queries {
             col("first_start_a").cast("long").as("first_start_a")),
       Some {
         val h = OracleSql.toSigned(OracleSql.mix64(OracleSql.poly31("sg")))
-        s"""WITH toks AS (
+        // the per-shingle char-fold+mix64 (`ph`) dominates and is
+        // referenced twice downstream → residue-sharded + materialized
+        // (see OracleSql.residueSharded)
+        OracleSql.residueSharded(
+        s"""toks AS (
            |  SELECT doc_id,
            |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
            |  FROM documents
@@ -3915,7 +3943,9 @@ object Queries {
            |  SELECT doc_id, generate_subscripts(ss, 1) AS pos, unnest(ss) AS sg FROM sh
            |), ph AS (
            |  SELECT doc_id, pos, $h AS hh FROM posts
-           |), eligible AS (
+           |)""".stripMargin,
+        outCte = "ph",
+        finalSql = s""", eligible AS (
            |  SELECT hh FROM ph GROUP BY hh
            |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
            |), p AS (
@@ -3934,7 +3964,7 @@ object Queries {
            |  CAST(max(nsh + 7) AS BIGINT) AS max_span_tokens,
            |  CAST(min(start_a) AS BIGINT) AS first_start_a
            |FROM runs WHERE nsh + 7 >= 16
-           |GROUP BY 1, 2""".stripMargin
+           |GROUP BY 1, 2""".stripMargin)
       },
       "exact repeated-substring spans across documents (positional shingles, constant-offset run merge)"),
 
@@ -4880,19 +4910,25 @@ object Queries {
       // sign matrix re-derived from mix64(j*64 + i-1) bit 0; inputs
       // graded to micro-units BEFORE the sum so the projection is exact
       // integer math in both engines (no FP accumulation order)
-      Some(s"""WITH g AS (
-             |  SELECT vec_id,
-             |    [CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
-             |     FOR x IN embedding] AS gv
-             |  FROM embeddings
-             |)
-             |SELECT vec_id, CAST(j AS BIGINT) AS j,
-             |  CAST(sum((((${OracleSql.mix64Signed("j * 64 + i - 1")}) & 1) * 2 - 1)
-             |    * gv[i]) AS BIGINT) AS comp
-             |FROM g
-             |CROSS JOIN (SELECT unnest(range(16)) AS j)
-             |CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
-             |GROUP BY vec_id, j""".stripMargin),
+      // vec-local end-to-end → sharded whole over embeddings
+      // (OracleSql.residueSharded)
+      Some(OracleSql.residueSharded(
+        s"""g AS (
+           |  SELECT vec_id,
+           |    [CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+           |     FOR x IN embedding] AS gv
+           |  FROM embeddings
+           |), vout AS (
+           |  SELECT vec_id, CAST(j AS BIGINT) AS j,
+           |    CAST(sum((((${OracleSql.mix64Signed("j * 64 + i - 1")}) & 1) * 2 - 1)
+           |      * gv[i]) AS BIGINT) AS comp
+           |  FROM g
+           |  CROSS JOIN (SELECT unnest(range(16)) AS j)
+           |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY vec_id, j
+           |)""".stripMargin,
+        outCte = "vout", finalSql = "SELECT * FROM vout",
+        table = "embeddings", key = "vec_id")),
       "Johnson-Lindenstrauss ±1 random projection (map-only, exact integer micro-unit arithmetic, sign matrix re-derived in SQL)"),
 
     Q("q165_perplexity_gate",
@@ -5470,13 +5506,11 @@ object Queries {
           when(col("lang") === "en", 1.0).otherwise(0.0)),
         "text", "y", keepCols = Seq("doc_id"),
         m = 1024, iters = 6, lr = 16.0),
-      Some(s"""WITH ldocs AS (
-             |  SELECT doc_id,
-             |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
-             |    text
-             |  FROM documents
-             |), ${OracleSql.gdTrainerCtes(1024, 6, 16.0)}
-             |SELECT doc_id, y, score FROM gsc""".stripMargin),
+      Some(OracleSql.gdTrainerSql(
+        """SELECT doc_id,
+          |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+          |    text
+          |  FROM documents""".stripMargin, 1024, 6, 16.0)),
       "distributed classifier training (full-batch GD over hashed bag-of-terms, exact-IEEE rational sigmoid) + scan-speed apply of the trained weights"),
 
     Q("q179_dup_span_trim",
@@ -6057,23 +6091,30 @@ object Queries {
             }
             s"{'t': $tid, 'k': $k}"
           }.mkString(",\n           |      ")
-        s"""WITH RECURSIVE dims AS (
-           |  SELECT doc_id, doc_id % 200 AS b,
-           |    16 + (doc_id % 200) % 48 AS w,
-           |    16 + ((doc_id % 200) * 7) % 48 AS h
-           |  FROM documents
-           |), bits AS (
-           |  SELECT doc_id, j,
-           |    ${pix("((j * (w*h - 1)) // 64)")} AS pa,
-           |    ${pix("(((j+1) * (w*h - 1)) // 64)")} AS pb
-           |  FROM dims CROSS JOIN (SELECT unnest(range(64)) AS j)
-           |), sh AS (
-           |  SELECT doc_id,
-           |    CAST(coalesce(sum(CASE WHEN pa < pb
-           |      THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END),
-           |      0) AS UBIGINT) AS sh
-           |  FROM bits GROUP BY doc_id
-           |), keyed AS (
+        // doc-local dHash rebuild sharded into parallel UNION ALL
+        // pipelines (see OracleSql.residueSharded); band keys, star
+        // edges and the recursive closure stay global
+        OracleSql.residueSharded(
+          s"""dims AS (
+             |  SELECT doc_id, doc_id % 200 AS b,
+             |    16 + (doc_id % 200) % 48 AS w,
+             |    16 + ((doc_id % 200) * 7) % 48 AS h
+             |  FROM documents
+             |), bits AS (
+             |  SELECT doc_id, j,
+             |    ${pix("((j * (w*h - 1)) // 64)")} AS pa,
+             |    ${pix("(((j+1) * (w*h - 1)) // 64)")} AS pb
+             |  FROM dims CROSS JOIN (SELECT unnest(range(64)) AS j)
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CAST(coalesce(sum(CASE WHEN pa < pb
+             |      THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END),
+             |      0) AS UBIGINT) AS sh
+             |  FROM bits GROUP BY doc_id
+             |)""".stripMargin,
+          outCte = "sh",
+          recursive = true,
+          finalSql = s""", keyed AS (
            |  SELECT doc_id, sh, u.t AS t, u.k AS k FROM (
            |    SELECT doc_id, sh, unnest([
            |      $keyStructs]) AS u
@@ -6104,7 +6145,7 @@ object Queries {
            |  CAST(g.cnt AS BIGINT) AS n_members
            |FROM lab l JOIN (
            |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
-           |USING (canonical_id)""".stripMargin
+           |USING (canonical_id)""".stripMargin)
       },
       "canonical-collapse image dedup (dHash star edges + min-label components): q162's linear-output twin for giant duplicate groups — never materializes the quadratic pair list"),
 
@@ -6171,7 +6212,9 @@ object Queries {
           col("n_active"), col("n_segments"), col("longest_run")),
       Some {
         val sv = s"(${OracleSql.mix64("CAST(doc_id * 65536 + i AS UBIGINT)")} & 255)"
-        s"""WITH dims AS (
+        // doc-local end-to-end → sharded whole (OracleSql.residueSharded)
+        OracleSql.residueSharded(
+        s"""dims AS (
            |  SELECT doc_id,
            |    8000 + (doc_id % 3) * 4000 AS rate,
            |    1000 + (doc_id * 11) % 3000 AS n
@@ -6199,13 +6242,15 @@ object Queries {
            |  SELECT doc_id, any_value(rate) AS rate, count(*) AS n_windows,
            |    count(*) FILTER (a) AS n_active
            |  FROM act GROUP BY doc_id
-           |)
-           |SELECT b.doc_id, CAST(b.rate AS BIGINT) AS sample_rate,
-           |  CAST(b.n_windows AS BIGINT) AS n_windows,
-           |  CAST(b.n_active AS BIGINT) AS n_active,
-           |  CAST(coalesce(g.n_segments, 0) AS BIGINT) AS n_segments,
-           |  CAST(coalesce(g.longest_run, 0) AS BIGINT) AS longest_run
-           |FROM base b LEFT JOIN segagg g USING (doc_id)""".stripMargin
+           |), vout AS (
+           |  SELECT b.doc_id, CAST(b.rate AS BIGINT) AS sample_rate,
+           |    CAST(b.n_windows AS BIGINT) AS n_windows,
+           |    CAST(b.n_active AS BIGINT) AS n_active,
+           |    CAST(coalesce(g.n_segments, 0) AS BIGINT) AS n_segments,
+           |    CAST(coalesce(g.longest_run, 0) AS BIGINT) AS longest_run
+           |  FROM base b LEFT JOIN segagg g USING (doc_id)
+           |)""".stripMargin,
+        outCte = "vout", finalSql = "SELECT * FROM vout")
       },
       "VAD-style audio segmentation (integer mean-square gate + in-row island merge, map-only): per-clip activity profile with a full payload-level oracle"),
 
@@ -6225,7 +6270,9 @@ object Queries {
       Some {
         val base = s"(${OracleSql.mix64("CAST(doc_id * 1048576 + shot * 4096 + p AS UBIGINT)")} & 255)"
         val jit = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + f * 64 + p AS UBIGINT)")} & 15) = 0 THEN 16 ELSE 0 END"
-        s"""WITH dims AS (
+        // doc-local end-to-end → sharded whole (OracleSql.residueSharded)
+        OracleSql.residueSharded(
+        s"""dims AS (
            |  SELECT doc_id,
            |    8 + doc_id % 17 AS n,
            |    3 + (doc_id * 7) % 5 AS slen
@@ -6256,13 +6303,15 @@ object Queries {
            |), runs AS (
            |  SELECT doc_id, count(*) AS run_len
            |  FROM shots GROUP BY doc_id, shot_id
-           |)
-           |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_frames,
-           |  CAST((SELECT count(*) FROM flags f2
-           |        WHERE f2.doc_id = d.doc_id AND f2.cut = 1) AS BIGINT) AS n_cuts,
-           |  CAST((SELECT max(run_len) FROM runs r
-           |        WHERE r.doc_id = d.doc_id) AS BIGINT) AS longest_shot
-           |FROM dims d""".stripMargin
+           |), vout AS (
+           |  SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_frames,
+           |    CAST((SELECT count(*) FROM flags f2
+           |          WHERE f2.doc_id = d.doc_id AND f2.cut = 1) AS BIGINT) AS n_cuts,
+           |    CAST((SELECT max(run_len) FROM runs r
+           |          WHERE r.doc_id = d.doc_id) AS BIGINT) AS longest_shot
+           |  FROM dims d
+           |)""".stripMargin,
+        outCte = "vout", finalSql = "SELECT * FROM vout")
       },
       "video hard-cut detection (integer consecutive-frame SAD + in-row longest-shot scan, map-only): shot profile with a full payload-level oracle"),
 
@@ -6353,7 +6402,9 @@ object Queries {
       Some {
         val base = s"(${OracleSql.mix64("CAST(doc_id * 1048576 + shot * 4096 + p AS UBIGINT)")} & 255)"
         val jit = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + f * 64 + p AS UBIGINT)")} & 15) = 0 THEN 16 ELSE 0 END"
-        s"""WITH dims AS (
+        // doc-local end-to-end → sharded whole (OracleSql.residueSharded)
+        OracleSql.residueSharded(
+        s"""dims AS (
            |  SELECT doc_id,
            |    8 + doc_id % 17 AS n,
            |    3 + (doc_id * 7) % 5 AS slen
@@ -6391,13 +6442,15 @@ object Queries {
            |    count(*) OVER (PARTITION BY s.doc_id, s.shot_id) AS n_in_shot,
            |    min(s.f) OVER (PARTITION BY s.doc_id, s.shot_id) AS start_frame
            |  FROM shots s JOIN det d ON d.doc_id = s.doc_id AND d.f = s.f
-           |)
-           |SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_idx,
-           |  CAST(start_frame AS BIGINT) AS start_frame,
-           |  CAST(n_in_shot AS BIGINT) AS n_frames_in_shot,
-           |  CAST(f AS BIGINT) AS keyframe_idx,
-           |  CAST(detail AS BIGINT) AS detail
-           |FROM ranked WHERE rn = 1""".stripMargin
+           |), vout AS (
+           |  SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_idx,
+           |    CAST(start_frame AS BIGINT) AS start_frame,
+           |    CAST(n_in_shot AS BIGINT) AS n_frames_in_shot,
+           |    CAST(f AS BIGINT) AS keyframe_idx,
+           |    CAST(detail AS BIGINT) AS detail
+           |  FROM ranked WHERE rn = 1
+           |)""".stripMargin,
+        outCte = "vout", finalSql = "SELECT * FROM vout")
       },
       "per-shot keyframe extraction (cut segmentation + integer-variance argmax, map-only): one representative frame per shot for vision-language sampling"),
 
@@ -6417,31 +6470,38 @@ object Queries {
       Some {
         val raw = s"(${OracleSql.mix64("CAST((doc_id % 200) * 65536 + i AS UBIGINT)")} & 255)"
         val perturb = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + i AS UBIGINT)")} & 63) = 0 THEN 8 ELSE 0 END"
-        s"""WITH idx AS (
-           |  SELECT doc_id, unnest(range(4160)) AS i FROM documents
-           |), samples AS (
-           |  SELECT doc_id, i // 64 AS w,
-           |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
-           |  FROM (SELECT doc_id, i,
-           |          CAST((($raw + $perturb) & 255) AS BIGINT) AS sv
-           |        FROM idx)
-           |), e AS (
-           |  SELECT doc_id, w, sum(s * s) AS e FROM samples GROUP BY doc_id, w
-           |), dlt AS (
-           |  SELECT doc_id, w, e,
-           |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS en
-           |  FROM e
-           |), sh AS (
-           |  SELECT doc_id,
-           |    CAST(coalesce(sum(CASE WHEN en > e
-           |      THEN CAST(CAST(1 AS UBIGINT) << w AS HUGEINT) ELSE 0 END),
-           |      0) AS UBIGINT) AS sh
-           |  FROM dlt WHERE w < 64 GROUP BY doc_id
-           |)
-           |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-           |  CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
-           |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
-           |WHERE bit_count(xor(a.sh, b2.sh)) <= 4""".stripMargin
+        // the per-doc sample→fingerprint chain is doc-local, so it
+        // residue-shards into parallel UNION ALL pipelines (116→17 s
+        // at sf0.01 — see OracleSql.residueSharded); only the pair
+        // join below sees the whole corpus
+        OracleSql.residueSharded(
+          s"""idx AS (
+             |  SELECT doc_id, unnest(range(4160)) AS i FROM documents
+             |), samples AS (
+             |  SELECT doc_id, i // 64 AS w,
+             |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
+             |  FROM (SELECT doc_id, i,
+             |          CAST((($raw + $perturb) & 255) AS BIGINT) AS sv
+             |        FROM idx)
+             |), e AS (
+             |  SELECT doc_id, w, sum(s * s) AS e FROM samples GROUP BY doc_id, w
+             |), dlt AS (
+             |  SELECT doc_id, w, e,
+             |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS en
+             |  FROM e
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CAST(coalesce(sum(CASE WHEN en > e
+             |      THEN CAST(CAST(1 AS UBIGINT) << w AS HUGEINT) ELSE 0 END),
+             |      0) AS UBIGINT) AS sh
+             |  FROM dlt WHERE w < 64 GROUP BY doc_id
+             |)""".stripMargin,
+          outCte = "sh",
+          finalSql =
+            s"""SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               |  CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
+               |FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+               |WHERE bit_count(xor(a.sh, b2.sh)) <= 4""".stripMargin)
       },
       "perceptual audio near-dup: 64-bit energy-delta fingerprint + banded Hamming pairs (fingerprints oracle-recomputed sample-by-sample in SQL)"),
 
@@ -6467,7 +6527,12 @@ object Queries {
         val asv = s"(${OracleSql.mix64("CAST(doc_id * 65536 + i AS UBIGINT)")} & 255)"
         val vbase = s"(${OracleSql.mix64("CAST(doc_id * 1048576 + shot * 4096 + p AS UBIGINT)")} & 255)"
         val vjit = s"CASE WHEN (${OracleSql.mix64("CAST(doc_id * 8191 + f * 64 + p AS UBIGINT)")} & 15) = 0 THEN 16 ELSE 0 END"
-        s"""WITH txt AS (
+        // every modality re-derivation AND the final verdict join are
+        // doc-local → the whole chain residue-shards into parallel
+        // UNION ALL pipelines (the embeddings probe inside a branch
+        // stays whole-table; joining it to a doc-sliced ipv is exact)
+        OracleSql.residueSharded(
+        s"""txt AS (
            |  SELECT doc_id,
            |    len(list_filter(string_split_regex(trim(text), '\\s+'),
            |      t -> t <> '')) BETWEEN 25 AND 100000 AS ok_text
@@ -6562,14 +6627,17 @@ object Queries {
            |    coalesce((SELECT count(*) FROM vsad s
            |              WHERE s.doc_id = d.doc_id AND s.sad >= 2000), 0) >= 3 AS ok_video
            |  FROM vdims d
-           |)
-           |SELECT t.doc_id, t.ok_text,
-           |  coalesce(i.ok_image, false) AS ok_image, au.ok_audio, v.ok_video,
-           |  (t.ok_text AND coalesce(i.ok_image, false) AND au.ok_audio
-           |   AND v.ok_video) AS kept
-           |FROM txt t LEFT JOIN img i USING (doc_id)
-           |JOIN aud au USING (doc_id)
-           |JOIN vid v USING (doc_id)""".stripMargin
+           |), gate AS (
+           |  SELECT t.doc_id, t.ok_text,
+           |    coalesce(i.ok_image, false) AS ok_image, au.ok_audio, v.ok_video,
+           |    (t.ok_text AND coalesce(i.ok_image, false) AND au.ok_audio
+           |     AND v.ok_video) AS kept
+           |  FROM txt t LEFT JOIN img i USING (doc_id)
+           |  JOIN aud au USING (doc_id)
+           |  JOIN vid v USING (doc_id)
+           |)""".stripMargin,
+          outCte = "gate",
+          finalSql = "SELECT * FROM gate")
       },
       "multimodal record gate (text band + image-text alignment + audio activity + video cut-count, all proven operators, one verdict row per record): the LAION assembly step"),
 
@@ -6600,27 +6668,34 @@ object Queries {
             }
             s"{'t': $tid, 'k': $k}"
           }.mkString(",\n           |      ")
-        s"""WITH RECURSIVE idx AS (
-           |  SELECT doc_id, unnest(range(4160)) AS i FROM documents
-           |), samples AS (
-           |  SELECT doc_id, i // 64 AS w,
-           |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
-           |  FROM (SELECT doc_id, i,
-           |          CAST((($raw + $perturb) & 255) AS BIGINT) AS sv
-           |        FROM idx)
-           |), en AS (
-           |  SELECT doc_id, w, sum(s * s) AS e FROM samples GROUP BY doc_id, w
-           |), dlt AS (
-           |  SELECT doc_id, w, e,
-           |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS enx
-           |  FROM en
-           |), sh AS (
-           |  SELECT doc_id,
-           |    CAST(coalesce(sum(CASE WHEN enx > e
-           |      THEN CAST(CAST(1 AS UBIGINT) << w AS HUGEINT) ELSE 0 END),
-           |      0) AS UBIGINT) AS sh
-           |  FROM dlt WHERE w < 64 GROUP BY doc_id
-           |), keyed AS (
+        // doc-local fingerprint rebuild sharded into parallel UNION ALL
+        // pipelines (the q195 pathology — see OracleSql.residueSharded);
+        // band keys, star edges and the recursive closure stay global
+        OracleSql.residueSharded(
+          s"""idx AS (
+             |  SELECT doc_id, unnest(range(4160)) AS i FROM documents
+             |), samples AS (
+             |  SELECT doc_id, i // 64 AS w,
+             |    CASE WHEN sv > 127 THEN sv - 256 ELSE sv END AS s
+             |  FROM (SELECT doc_id, i,
+             |          CAST((($raw + $perturb) & 255) AS BIGINT) AS sv
+             |        FROM idx)
+             |), en AS (
+             |  SELECT doc_id, w, sum(s * s) AS e FROM samples GROUP BY doc_id, w
+             |), dlt AS (
+             |  SELECT doc_id, w, e,
+             |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS enx
+             |  FROM en
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CAST(coalesce(sum(CASE WHEN enx > e
+             |      THEN CAST(CAST(1 AS UBIGINT) << w AS HUGEINT) ELSE 0 END),
+             |      0) AS UBIGINT) AS sh
+             |  FROM dlt WHERE w < 64 GROUP BY doc_id
+             |)""".stripMargin,
+          outCte = "sh",
+          recursive = true,
+          finalSql = s""", keyed AS (
            |  SELECT doc_id, sh, u.t AS t, u.k AS k FROM (
            |    SELECT doc_id, sh, unnest([
            |      $keyStructs]) AS u
@@ -6651,7 +6726,7 @@ object Queries {
            |  CAST(g.cnt AS BIGINT) AS n_members
            |FROM lab l JOIN (
            |  SELECT canonical_id, count(*) AS cnt FROM lab GROUP BY canonical_id) g
-           |USING (canonical_id)""".stripMargin
+           |USING (canonical_id)""".stripMargin)
       },
       "canonical-collapse audio dedup (fingerprint star edges + min-label components): q195's linear-output twin — the canonical machinery is modality-generic"),
 

@@ -78,7 +78,7 @@ object Trainer {
       // z in the score kernel's fold order (compiled dotBuckets loop —
       // same left-to-right association the interpreted HOF fold and the
       // oracle's ordered list_reduce use), then the exact dp/dz chain;
-      // expression shapes are mirrored 1:1 by OracleSql.gdTrainerCtes
+      // expression shapes are mirrored 1:1 by OracleSql.gdTrainerSql
       val z = Exprs.dotBuckets(col("bl"), w) / col("cnt")
       val g = (((lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))) - col("y"))
         * lit(0.5) / ((lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))) / col("cnt")

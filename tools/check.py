@@ -2,7 +2,7 @@
 # value-hash after sorting columns by name). Usage:
 #   python3 tools/check.py <sfDir> <outDir> [q1,q2,...]
 # after `sbt "runMain graft.Verify <sfDir> <outDir>"`.
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 sf, out = sys.argv[1], sys.argv[2]
@@ -10,10 +10,12 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 
 con = duckdb.connect()
-# cap DuckDB's thread pool when sharding checks across processes
-# (e.g. the SCALE.md 10x run): CHECK_THREADS=8 python3 tools/check.py ...
-if os.environ.get("CHECK_THREADS"):
-    con.execute(f"SET threads TO {int(os.environ['CHECK_THREADS'])}")
+# Explicit resource defaults (r13 judge item 1c): right after a Spark JVM
+# exits, DuckDB's %-of-RAM default misreads available memory, and an
+# unbounded thread pool thrashes when the driver runs verify alongside
+# other legs. CHECK_THREADS / CHECK_MEMORY override.
+con.execute(f"SET threads TO {int(os.environ.get('CHECK_THREADS', 16))}")
+con.execute(f"SET memory_limit = '{os.environ.get('CHECK_MEMORY', '48GB')}'")
 def view_sql(t, src):
     # ScaleGen keeps events.ts in the source's ns-as-long layout (a
     # Spark rewrite can't emit TIMESTAMP(NANOS)); rebuild the timestamp
@@ -39,6 +41,7 @@ results = {}   # name -> {"status": PASS|FAIL|WARN, "msg": ...} for CHECK_JSON
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
+    t0 = time.monotonic()
     spark_dir = os.path.join(out, name)
     files = glob.glob(f"{spark_dir}/*.parquet")
     if not files:
@@ -52,7 +55,8 @@ for name, sql in sorted(oracle.items()):
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         fails.append((name, f"err {e}"))
-        results[name] = {"status": "FAIL", "msg": f"err {e}"}
+        results[name] = {"status": "FAIL", "msg": f"err {e}",
+                         "sec": round(time.monotonic() - t0, 2)}
         continue
     # portability lint: the driver's hasher canonicalizes DuckDB HUGEINT
     # (int128) differently from Spark's int64, so an oracle must never
@@ -95,12 +99,20 @@ for name, sql in sorted(oracle.items()):
             if not eq:
                 ok, msg = False, f"values differ in col {c}"
                 break
-    print(("PASS " if ok else "FAIL ") + name + ("" if ok else "  " + msg))
-    results[name] = {"status": "PASS" if ok else "FAIL", "msg": msg}
+    sec = round(time.monotonic() - t0, 2)
+    print(("PASS " if ok else "FAIL ") + name + f"  [{sec}s]"
+          + ("" if ok else "  " + msg))
+    results[name] = {"status": "PASS" if ok else "FAIL", "msg": msg,
+                     "sec": sec}
     if not ok:
         fails.append((name, msg))
 
-print(f"\n{len(fails)} failures" + (": " + ", ".join(n for n, _ in fails) if fails else ""))
+total_sec = round(sum(r.get("sec", 0) for r in results.values()), 1)
+print(f"\n{len(fails)} failures" + (": " + ", ".join(n for n, _ in fails) if fails else "")
+      + f"  (oracle replay {total_sec}s)")
+# per-oracle cost profile, most expensive first (r13 judge item 1a/2)
+slow = sorted(results.items(), key=lambda kv: -kv[1].get("sec", 0))[:10]
+print("slowest: " + ", ".join(f"{n}={r['sec']}s" for n, r in slow if r.get("sec", 0) >= 1))
 # committable per-round artifact (the round-13 handoff armor): the full
 # per-query record in the driver's CORRECTNESS_r{N}.json shape, so an
 # empty driver file is immediately adjudicable against this local twin.
@@ -111,6 +123,7 @@ if os.environ.get("CHECK_JSON"):
         "n_pass": sum(1 for r in results.values() if r["status"] == "PASS"),
         "n_fail": len(fails),
         "sf_dir": sf, "out_dir": out,
+        "oracle_replay_sec": total_sec,
         "queries": results,
     }
     with open(os.environ["CHECK_JSON"], "w") as f:
