@@ -147,11 +147,17 @@ object Queries {
       |         list_distinct([array_to_string(tk[i:i+2], ' ')
       |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
       |  FROM toks WHERE len(tk) > 0
+      |), ex AS MATERIALIZED (
+      |  SELECT doc_id, len(ss) AS n, unnest(ss) AS g FROM sh
       |), pr AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |         len(list_intersect(a.ss, b.ss)) AS c,
-      |         len(a.ss) AS na, len(b.ss) AS nb
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  -- postings hash join, not the O(N^2) list_intersect nested
+      |  -- loop: a pair sharing zero shingles has jaccard 0 < 0.12,
+      |  -- so counting only co-occurring pairs is exact (and 80x
+      |  -- faster in DuckDB at sf0.01)
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
       |), pairs AS (
       |  SELECT id_a, id_b FROM pr WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12
       |), e AS (
@@ -909,11 +915,15 @@ object Queries {
              |         list_distinct([array_to_string(tk[i:i+2], ' ')
              |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
              |  FROM toks WHERE len(tk) > 0
+             |), ex AS MATERIALIZED (
+             |  SELECT doc_id, len(ss) AS n, unnest(ss) AS g FROM sh
              |), pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         len(list_intersect(a.ss, b.ss)) AS c,
-             |         len(a.ss) AS na, len(b.ss) AS nb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  -- postings hash join (zero-overlap pairs can't reach the
+             |  -- 0.12 threshold, so counting co-occurring pairs is exact)
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+             |         any_value(a.n) AS na, any_value(b.n) AS nb
+             |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
              |)
              |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
              |FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12""".stripMargin),
@@ -5059,11 +5069,14 @@ object Queries {
               |         list_distinct([array_to_string(tk[i:i+2], ' ')
               |                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)]) AS ss
               |  FROM toks WHERE len(tk) > 0
+              |), ex AS MATERIALIZED (
+              |  SELECT doc_id, len(ss) AS n, unnest(ss) AS g FROM sh
               |), pr AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |         len(list_intersect(a.ss, b.ss)) AS c,
-              |         len(a.ss) AS na, len(b.ss) AS nb
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  -- postings hash join (zero-overlap pairs can't reach 0.12)
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+              |         any_value(a.n) AS na, any_value(b.n) AS nb
+              |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
               |), pairs AS (
               |  SELECT id_a, id_b FROM pr WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.12
               |), e AS (
