@@ -375,34 +375,34 @@ object OracleSql {
     sb.append(
       s"""vn0 AS (
          |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS le FROM base
-         |), vnn AS (
+         |), vnn AS MATERIALIZED (
          |  SELECT vec_id, CASE WHEN nrm = 0 THEN le ELSE [x / nrm FOR x IN le] END AS vn
          |  FROM (SELECT vec_id, le, sqrt(${foldSum("[x * x FOR x IN le]")}) AS nrm FROM vn0)
-         |), c0 AS (
+         |), c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, vn AS c
          |  FROM vnn ORDER BY vec_id LIMIT $k
          |)""".stripMargin)
     (0 to iters).foreach { i =>
       sb.append(
-        s""", g${i}s0 AS (
+        s""", g${i}s0 AS MATERIALIZED (
            |  SELECT CAST(cluster // $step AS INT) AS gc, c FROM c$i
            |  WHERE cluster % $step = 0 AND cluster // $step < $ccEff
            |)""".stripMargin)
       (0 until cIters).foreach { t =>
         sb.append(
-          s""", g${i}a$t AS (
+          s""", g${i}a$t AS MATERIALIZED (
              |  SELECT cluster, c, gc FROM (
              |    SELECT cluster, c, gc,
              |           row_number() OVER (PARTITION BY cluster ORDER BY d DESC, gc ASC) AS rn
              |    FROM (SELECT f.cluster, f.c, g.gc, $dotFG AS d
              |          FROM c$i f CROSS JOIN g${i}s$t g))
              |  WHERE rn = 1
-             |), g${i}m$t AS (
+             |), g${i}m$t AS MATERIALIZED (
              |  SELECT gc, gi, round(${foldSum("list(x ORDER BY cluster)")} / count(*), 6) AS m
              |  FROM (SELECT gc, cluster, generate_subscripts(c, 1) AS gi, unnest(c) AS x
              |        FROM g${i}a$t)
              |  GROUP BY gc, gi
-             |), g${i}s${t + 1} AS (
+             |), g${i}s${t + 1} AS MATERIALIZED (
              |  SELECT p.gc, coalesce(n.c, p.c) AS c
              |  FROM g${i}s$t p LEFT JOIN (
              |    SELECT gc, CASE WHEN nrm = 0 THEN lm ELSE [x / nrm FOR x IN lm] END AS c
@@ -412,14 +412,14 @@ object OracleSql {
              |)""".stripMargin)
       }
       sb.append(
-        s""", g${i}mem AS (
+        s""", g${i}mem AS MATERIALIZED (
            |  SELECT cluster, gc FROM (
            |    SELECT cluster, gc,
            |           row_number() OVER (PARTITION BY cluster ORDER BY d DESC, gc ASC) AS rn
            |    FROM (SELECT f.cluster, g.gc, $dotFG AS d
            |          FROM c$i f CROSS JOIN g${i}s$cIters g))
            |  WHERE rn = 1
-           |), p$i AS (
+           |), p$i AS MATERIALIZED (
            |  SELECT vec_id, vn, gc FROM (
            |    SELECT vec_id, vn, gc,
            |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, gc ASC) AS rn
@@ -427,7 +427,7 @@ object OracleSql {
            |          FROM vnn v CROSS JOIN (SELECT s.gc, s.c FROM g${i}s$cIters s
            |            WHERE s.gc IN (SELECT DISTINCT gc FROM g${i}mem)) g))
            |  WHERE rn <= $nProbe
-           |), a$i AS (
+           |), a$i AS MATERIALIZED (
            |  SELECT vec_id, vn, cluster, d FROM (
            |    SELECT vec_id, vn, cluster, d,
            |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cluster ASC) AS rn
@@ -438,15 +438,15 @@ object OracleSql {
            |)""".stripMargin)
       if (i < iters) {
         sb.append(
-          s""", m$i AS (
+          s""", m$i AS MATERIALIZED (
              |  SELECT cluster, gi, round(avg(x), 6) AS m
              |  FROM (SELECT cluster, generate_subscripts(vn, 1) AS gi, unnest(vn) AS x FROM a$i)
              |  GROUP BY cluster, gi
-             |), mc$i AS (
+             |), mc$i AS MATERIALIZED (
              |  SELECT cluster, CASE WHEN nrm = 0 THEN lm ELSE [x / nrm FOR x IN lm] END AS c
              |  FROM (SELECT cluster, lm, sqrt(${foldSum("[x * x FOR x IN lm]")}) AS nrm
              |        FROM (SELECT cluster, list(m ORDER BY gi) AS lm FROM m$i GROUP BY cluster))
-             |), c${i + 1} AS (
+             |), c${i + 1} AS MATERIALIZED (
              |  SELECT p.cluster, coalesce(n.c, p.c) AS c
              |  FROM c$i p LEFT JOIN mc$i n ON n.cluster = p.cluster
              |)""".stripMargin)
@@ -527,7 +527,7 @@ object OracleSql {
     * serial part is a cheap scan, not the re-derivation.
     */
   def residueSharded(chain: String, outCte: String, finalSql: String,
-                     k: Int = 16, table: String = "documents",
+                     k: Int = 32, table: String = "documents",
                      key: String = "doc_id",
                      recursive: Boolean = false): String = {
     require(chain.contains(s"FROM $table"), s"chain never scans $table")

@@ -6295,7 +6295,7 @@ object Queries {
            |), fpp AS (
            |  SELECT doc_id, f, f // slen AS shot, unnest(range(64)) AS p
            |  FROM fp
-           |), px AS (
+           |), px AS MATERIALIZED (
            |  SELECT doc_id, f, p,
            |    CAST((($base + $jit) & 255) AS BIGINT) AS px
            |  FROM fpp
@@ -6427,7 +6427,7 @@ object Queries {
            |), fpp AS (
            |  SELECT doc_id, f, f // slen AS shot, unnest(range(64)) AS p
            |  FROM fp
-           |), px AS (
+           |), px AS MATERIALIZED (
            |  SELECT doc_id, f, p,
            |    CAST((($base + $jit) & 255) AS BIGINT) AS px
            |  FROM fpp
@@ -6626,7 +6626,7 @@ object Queries {
            |), vfpp AS (
            |  SELECT doc_id, f, f // slen AS shot, unnest(range(64)) AS p
            |  FROM vfp
-           |), vpx AS (
+           |), vpx AS MATERIALIZED (
            |  SELECT doc_id, f, p,
            |    CAST((($vbase + $vjit) & 255) AS BIGINT) AS px
            |  FROM vfpp
