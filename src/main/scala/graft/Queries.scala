@@ -6781,7 +6781,10 @@ object Queries {
           .select(col("source"), col("m.lang").as("top_lang"),
             round((-col("m.nc")).cast("double") / col("tot").cast("double"), 6)
               .as("top_lang_share"))
-        main.join(broadcast(p50), Seq("source")).join(top, Seq("source"))
+        // LEFT: groupedExactPercentiles drops all-NULL groups, but the
+        // datasheet keeps every source row (p50_chars null there) —
+        // matching the oracle's quantile_cont-inside-main semantics
+        main.join(broadcast(p50), Seq("source"), "left").join(top, Seq("source"))
           .select(col("source"), col("n_docs"), col("n_tokens"),
             col("avg_chars"), col("p50_chars"), col("n_langs"),
             col("top_lang"), col("top_lang_share"))

@@ -213,12 +213,17 @@ object Dedup {
     * refuses past `maxCandidatePairs`, naming the linear-output
     * canonical `twin`. `Long.MaxValue` skips the counting pass.
     */
-  private def guardCandidatePairs(
+  private[operators] def guardCandidatePairs(
       buckets: org.apache.spark.sql.RelationalGroupedDataset,
       maxCandidatePairs: Long, twin: String): Unit =
     if (maxCandidatePairs < Long.MaxValue) {
+      // integer arithmetic throughout: `/` is DOUBLE division in Spark
+      // SQL (approximate past 2^53 — exactly the regime the gate
+      // exists for); halve the even factor before multiplying so the
+      // product stays furthest from Long overflow
       val cand = buckets.agg(count(lit(1)).as("m"))
-        .agg(coalesce(sum(col("m") * (col("m") - lit(1L)) / lit(2L)), lit(0L))
+        .agg(coalesce(sum(expr("CASE WHEN m % 2 = 0 THEN (m div 2) * (m - 1) " +
+          "ELSE m * ((m - 1) div 2) END")), lit(0L))
           .cast("long").as("c"))
         .head().getLong(0)
       require(cand <= maxCandidatePairs,
@@ -473,9 +478,12 @@ object Dedup {
     // enumerate cost is quadratic per group; the approximate canonical
     // twin is linear-output)
     if (maxCandidatePairs < Long.MaxValue) {
+      // same exact-integer C(m,2) as guardCandidatePairs (double
+      // division would go approximate past 2^53 pairs)
       val cand = dfc0
-        .agg(coalesce(sum(col("_df") * (col("_df") - lit(1L)) / lit(2L)),
-          lit(0L)).cast("long").as("c"))
+        .agg(coalesce(sum(expr("CASE WHEN _df % 2 = 0 THEN (_df div 2) * (_df - 1) " +
+          "ELSE _df * ((_df - 1) div 2) END")), lit(0L))
+          .cast("long").as("c"))
         .head().getLong(0)
       require(cand <= maxCandidatePairs,
         s"shingle-index join would enumerate $cand candidate rows " +

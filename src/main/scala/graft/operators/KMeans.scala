@@ -242,12 +242,23 @@ object KMeans {
     */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, iters: Int, minCosine: Double,
-                           probe: Option[Probe] = None): DataFrame = {
+                           probe: Option[Probe] = None,
+                           maxCandidatePairs: Long = 1L << 30): DataFrame = {
     val model = fit(df, idCol, vecCol, k, iters, probe)
     // cluster and vector in ONE narrow scan — no id re-join
     val withV = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       assignScore(Exprs.normalizeD(col(vecCol)), model.centroids, probe)
         .getItem(0).cast("int").as("cluster"))
+    // fixed k densifies quadratically: expected cluster ≈ N/k, so the
+    // within-cluster self-join is ~k·C(N/k, 2) = Θ(N²/k) rows BY
+    // DEFINITION. Fail fast past the cap (Σ C(cluster, 2), exact —
+    // one skinny assignment pass), naming the scale path: the
+    // N-adaptive default overload keeps clusters ~500 so the same
+    // count stays linear in N. Long.MaxValue skips the gate (how that
+    // overload opts out — its bound is by construction).
+    Dedup.guardCandidatePairs(withV.groupBy(col("cluster")), maxCandidatePairs,
+      twin = "semanticNearDupPairs(df, idCol, vecCol, minCosine) — the " +
+        "k∝N scale-safe overload")
     withV.as("a").join(withV.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .select(col("a.cluster").as("cluster"), col("a.id").as("id_a"),
@@ -277,6 +288,11 @@ object KMeans {
       if (k >= IvfAssignThreshold)
         Some(Probe(cc = math.ceil(math.sqrt(k.toDouble)).toInt))
       else None
-    semanticNearDupPairs(df, idCol, vecCol, k, iters = 1, minCosine, probe)
+    // clusters are ~500 by construction → Σ C(cluster,2) ≈ 250·N,
+    // linear in N: the quadratic-densification gate does not apply
+    // (and would wrongly refuse the intended linear growth past ~4M
+    // vectors), so this overload opts out of the counting pass
+    semanticNearDupPairs(df, idCol, vecCol, k, iters = 1, minCosine, probe,
+      maxCandidatePairs = Long.MaxValue)
   }
 }

@@ -90,27 +90,25 @@ object Resample {
     val emptyArr = array().cast(elemT)
     val augmented = df.select((keyCols :+ col(tsCol).as("_ts") :+ pay.as("_pay")): _*)
       .withColumn("_lo", unix_micros(loTs))
-      .withColumn("_hiK", floor((unix_micros(max(col("_ts")).over(wKey)) - col("_lo"))
-        .cast("double") / stepUs).cast("long"))
+      .withColumn("_tsUs", unix_micros(col("_ts")))
+      .withColumn("_maxUs", unix_micros(max(col("_ts")).over(wKey)))
       .withColumn("_nextUs", unix_micros(lead(col("_ts"), 1).over(wOrd)))
       .withColumn("_rn", row_number().over(wOrd))
     // grid indices: this event carries every k in [startK, endK];
-    // startK = ceil((ts − lo)/step) as −floor(−·), endK = the index
-    // strictly before the successor's first index (a grid point ON the
-    // successor belongs to the successor — forwardFill's inclusive-
-    // carry tie), or the key's last index when there is no successor.
-    // The micro deltas stay < 2^53, so the double division is exact
-    // enough for the integral floor (offsets are multiples of 1 µs and
-    // step ≤ years).
+    // startK = ceil((ts − lo)/step), endK = the index strictly before
+    // the successor's first index (a grid point ON the successor
+    // belongs to the successor — forwardFill's inclusive-carry tie),
+    // or the key's last index when there is no successor. Pure long
+    // arithmetic — `div` is exact where a correctly-rounded double
+    // quotient could land ON an integer for deltas near 2^53 µs and
+    // shift the floor by one (deltas are non-negative, so
+    // ceil = (delta + step − 1) div step needs no negative handling).
     val withK = augmented
-      .withColumn("_startK",
-        (-floor((col("_lo") - unix_micros(col("_ts"))).cast("double") / stepUs))
-          .cast("long"))
+      .withColumn("_hiK", expr(s"(_maxUs - _lo) div $stepUs"))
+      .withColumn("_startK", expr(s"(_tsUs - _lo + ${stepUs - 1}) div $stepUs"))
       .withColumn("_endK",
         when(col("_nextUs").isNull, col("_hiK"))
-          .otherwise(
-            (-floor((col("_lo") - col("_nextUs")).cast("double") / stepUs))
-              .cast("long") - 1))
+          .otherwise(expr(s"(_nextUs - _lo + ${stepUs - 1}) div $stepUs") - 1))
     val emitted = withK.select(
       keyCols ++ Seq(col("_lo"),
         explode(concat(

@@ -316,11 +316,22 @@ object Streams {
                           benchmark: DataFrame, benchTextCol: String,
                           shingleK: Int = 3, minOverlap: Double = 0.5,
                           windowDur: String = "1 hour",
-                          watermark: String = "1 hour"): DataFrame = {
+                          watermark: String = "1 hour",
+                          maxBenchShingles: Int = 10000000): DataFrame = {
     import graft.plans.Exprs
     val benchArr: Seq[Long] = benchmark
       .select(explode(Exprs.shingleHashes(col(benchTextCol), shingleK)).as("sh"))
       .distinct().orderBy(col("sh")).collect().map(_.getLong(0)).toSeq
+    // the eval-suite-is-catalog-scale contract, enforced instead of
+    // prose-only: the sorted array rides the plan as one broadcast
+    // literal (8 B/shingle — the 10M default is an ~80 MB literal,
+    // about the practical broadcast ceiling). A corpus-sized
+    // `benchmark` belongs in the batch contaminationRate join, not here
+    require(benchArr.size <= maxBenchShingles,
+      s"benchmark has ${benchArr.size} distinct shingles " +
+        s"(> maxBenchShingles=$maxBenchShingles) — too large to ride the " +
+        "stream plan as a broadcast literal; use the batch " +
+        "Dedup.contaminationRate join, or raise maxBenchShingles explicitly")
     val benchLit = typedLit(benchArr)
     docs.withWatermark(tsCol, watermark)
       .withColumn("_hs", Exprs.shingleHashes(col(textCol), shingleK))
@@ -367,6 +378,19 @@ object Streams {
                            watermark: String = "1 hour"): DataFrame = {
     import graft.plans.Exprs
     require(numPerms % bands == 0, "numPerms must divide into bands")
+    // textCol/idCol are renamed into the plan's working names, but
+    // tsCol rides VERBATIM next to the intermediates — a ts column
+    // named like one of them alias-clashes (ambiguous-column analysis
+    // error at best, a silently wrong join key at worst). Refuse with
+    // the contract spelled out
+    locally {
+      val reserved = Set("band", "bh", "bk", "_sig", "_exsig", "_est",
+        "existing_id", "incoming_id", "est_jaccard")
+      require(!reserved(tsCol),
+        s"tsCol '$tsCol' collides with nearDupAgainstStream's reserved " +
+          s"intermediates (${reserved.toSeq.sorted.mkString(", ")}); " +
+          "rename the timestamp column")
+    }
     val rows = numPerms / bands
     def bandKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       array((0 until bands).map(bi =>
@@ -425,6 +449,17 @@ object Streams {
                            watermark: String = "1 hour"): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.HashFunctions
+    // same verbatim-tsCol contract as nearDupAgainstStream (idCol and
+    // shCol are renamed into the kernel's working names id/sh, so only
+    // the ts column can clash — blockKeyed emits t/k beside it)
+    locally {
+      val reserved = Set("id", "sh", "t", "k", "_exsh", "_insh",
+        "existing_id", "incoming_id", "hamming")
+      require(!reserved(tsCol),
+        s"tsCol '$tsCol' collides with hammingAgainstStream's reserved " +
+          s"intermediates (${reserved.toSeq.sorted.mkString(", ")}); " +
+          "rename the timestamp column")
+    }
     val exKeyed = Dedup.blockKeyed(
         corpus.select(col(corpusIdCol).as("id"), col(corpusShCol).as("sh")),
         maxHamming)

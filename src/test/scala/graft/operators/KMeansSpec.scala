@@ -156,4 +156,23 @@ class KMeansSpec extends SparkSpec {
       .collect()
     all.foreach(r => assert(r.getDouble(3) >= 0.99))
   }
+
+  test("fixed-k pair gate: fails fast past the cap naming the scale-safe twin, cap raise enumerates") {
+    import spark.implicits._
+    val df = vecs(120).toDF("id", "v")
+    // k=2 over 120 vectors → Σ C(cluster,2) ≈ 3.5k pairs ≫ cap=100
+    val e = intercept[IllegalArgumentException] {
+      KMeans.semanticNearDupPairs(df, "id", "v", k = 2, iters = 1,
+        minCosine = 0.0, maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("maxCandidatePairs"))
+    assert(e.getMessage.contains("scale-safe overload"))
+    // explicit raise enumerates the identical frame
+    val n = KMeans.semanticNearDupPairs(df, "id", "v", k = 2, iters = 1,
+      minCosine = 0.0, maxCandidatePairs = Long.MaxValue).count()
+    assert(n > 100L)
+    // the k∝N default overload never counts (bound by construction) —
+    // same corpus, no throw
+    KMeans.semanticNearDupPairs(df, "id", "v", minCosine = 0.99).count()
+  }
 }

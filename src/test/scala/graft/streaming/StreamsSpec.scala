@@ -355,6 +355,49 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("contaminationStream: benchmark past maxBenchShingles is refused, raise enumerates") {
+    import spark.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bid", "text")
+    val docs = Seq((0L, new java.sql.Timestamp(1700000000000L), "alpha beta gamma"))
+      .toDF("doc_id", "ts", "text")
+    // the 6-token benchmark yields 4 distinct 3-shingles > cap 2
+    val e = intercept[IllegalArgumentException] {
+      Streams.contaminationStream(docs, "text", "ts", bench, "text",
+        maxBenchShingles = 2)
+    }
+    assert(e.getMessage.contains("maxBenchShingles"))
+    assert(e.getMessage.contains("contaminationRate"))
+    // explicit raise builds the literal and runs
+    assert(Streams.contaminationStream(docs, "text", "ts", bench, "text",
+      maxBenchShingles = 100).count() >= 1L)
+  }
+
+  test("ingest gates refuse a tsCol that collides with reserved intermediates") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c")).toDF("cid", "text")
+    val in = Seq((2L, new java.sql.Timestamp(0L), "a b c")).toDF("id", "t", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      // tsCol named like blockKeyed's combo-id intermediate
+      Streams.hammingAgainstStream(
+        in.withColumn("sh2", lit(0L)), "t", "id", "sh2",
+        corpus.withColumn("csh", lit(0L)), "cid", "csh", maxHamming = 2)
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.nearDupAgainstStream(
+        in.withColumnRenamed("t", "bh"), "text", "bh", "id",
+        corpus, "text", "cid")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // renamed-away columns stay legal: shCol "sh" / idCol "id" are the
+    // kernel's own working names (the pre-guard contract, still green)
+    val okIn = Seq((2L, new java.sql.Timestamp(0L), 5L)).toDF("id", "ts", "sh")
+    assert(Streams.hammingAgainstStream(okIn, "ts", "id", "sh",
+      corpus.withColumn("csh", lit(5L)), "cid", "csh", maxHamming = 2)
+      .count() >= 0L)
+  }
+
   test("nearDupAgainstStream: planted near-dups flagged at ingest, stream == batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
