@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale A/B harness for the pair-gate price (VERDICT r13 #2): the
+  * q36-shaped `ngramJaccardPairs` with the gate ON (pre-count pass +
+  * counted broadcast prune — the r14 restructure) vs gate OFF
+  * (`maxCandidatePairs = Long.MaxValue`, the pre-r12 plan: no count
+  * pass, shuffled semi-join prune). r13 measured the gate at +28% on
+  * q36 at 100×; the restructure aims to make it ≤ the ungated plan by
+  * shipping the gate-bounded eligible-shingle set as a broadcast
+  * LocalRelation. A digest action first proves both branches
+  * value-identical at the target scale, then each is timed
+  * best-of-`SPARK_GRAFT_RUNS` (default 2) through noop writes.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ABPairGate /tmp/sf10x"
+  */
+object ABPairGate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the q36 catalog shape (shingleK=3, minJaccard=0.12, no prefix)
+    def run(cap: Long, mbs: Long) = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir), "text", "doc_id",
+      shingleK = 3, minJaccard = 0.12, maxCandidatePairs = cap,
+      maxBroadcastShingles = mbs)
+    def digest(cap: Long, mbs: Long) =
+      run(cap, mbs).agg(count(lit(1)),
+        sum(hash(col("id_a"), col("id_b")).cast("long")),
+        sum(round(col("jaccard") * 1e6, 0).cast("long"))).head()
+    val (da, db, dc) = (digest(Long.MaxValue, 0L), digest(1L << 30, 4000000L),
+      digest(1L << 30, 0L))
+    require(da == db && db == dc, s"branches diverge at $sfDir: $da / $db / $dc")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    def time(cap: Long, mbs: Long): Double =
+      (1 to runs).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        run(cap, mbs).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val tOff = time(Long.MaxValue, 0L)  // no gate (pre-r12 plan)
+    val tBc = time(1L << 30, 4000000L)  // gate + broadcast prune
+    val tSh = time(1L << 30, 0L)        // gate + shuffled prune (r13 shape)
+    println(f"""{"sf":"$sfDir","pairs":${da.getLong(0)},"gate_broadcast_sec":$tBc%.2f,"gate_shuffled_sec":$tSh%.2f,"gate_off_sec":$tOff%.2f,"runs":$runs}""")
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -453,7 +453,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.8,
                         maxShingleDf: Long = 1000000L,
-                        maxCandidatePairs: Long = 1L << 30): DataFrame = {
+                        maxCandidatePairs: Long = 1L << 30,
+                        maxBroadcastShingles: Long = 500000L): DataFrame = {
     // sorted distinct shingle hashes via the single-pass codegen kernel
     // (the Column-composition equivalent costs ~1 ms/row interpreted).
     // The projection feeds three DAG branches (inverted index + both
@@ -476,24 +477,57 @@ object Dedup {
     // Σ C(_df, 2) over the surviving shingles — fail fast past the cap
     // (giant duplicate groups share ALL their shingles, so the
     // enumerate cost is quadratic per group; the approximate canonical
-    // twin is linear-output)
-    if (maxCandidatePairs < Long.MaxValue) {
-      // same exact-integer C(m,2) as guardCandidatePairs (double
-      // division would go approximate past 2^53 pairs)
-      val cand = dfc0
-        .agg(coalesce(sum(expr("CASE WHEN _df % 2 = 0 THEN (_df div 2) * (_df - 1) " +
-          "ELSE _df * ((_df - 1) div 2) END")), lit(0L))
-          .cast("long").as("c"))
-        .head().getLong(0)
-      require(cand <= maxCandidatePairs,
-        s"shingle-index join would enumerate $cand candidate rows " +
-          s"(> maxCandidatePairs=$maxCandidatePairs): the corpus holds giant " +
-          "duplicate groups and the pair list itself is quadratic in group " +
-          "size. Use the linear-output canonical twin (Dedup.minhashCanonical" +
-          "), lower maxShingleDf, or raise maxCandidatePairs explicitly to " +
-          "enumerate anyway.")
-    }
-    val dfc = dfc0.select(col("sh"))
+    // twin is linear-output).
+    //
+    // The gate's pre-count pass is made to (nearly) PAY FOR ITSELF
+    // (r13 #2), with the branch cut by measurement (graft.ABPairGate,
+    // q36 shape, best-of-2 noop writes):
+    //  - eligible set ≤ maxBroadcastShingles: ONE bounded collect
+    //    fetches the eligible (sh, df) rows — the same action yields
+    //    BOTH the exact Σ C(df,2) (BigInt driver-side, immune to the
+    //    2^53 double and Long-overflow traps) AND the prune key-set,
+    //    which ships as a broadcast LocalRelation. 10×: gated 4.8 s vs
+    //    ungated 5.5 s — the gate pays for itself outright.
+    //  - bigger eligible set: agg-only gate + the SHUFFLED semi-join.
+    //    Broadcasting a multi-million-key set was measured 2× WORSE at
+    //    100× (43.0 vs 21.1 s): the broadcast prune destroys the hash
+    //    partitioning the downstream self-join reuses, so the saved
+    //    shuffle reappears twice. The shuffled gate price at 100×:
+    //    21.09 vs 20.34 s ungated — +3.7% (r13's shape paid +28%).
+    // NO persist anywhere: caching dfc0 measured strictly worse at
+    // 100× (cache-build tax on a frame the plan then barely reuses —
+    // the q189 r12 lesson again).
+    val dfc: DataFrame =
+      if (maxCandidatePairs < Long.MaxValue) {
+        val mbs = math.min(maxBroadcastShingles, Int.MaxValue - 2L)
+        val eligible = dfc0.limit(mbs.toInt + 1).collect()
+        def refuse(cand: BigInt): Unit =
+          require(cand <= maxCandidatePairs,
+            s"shingle-index join would enumerate $cand candidate rows " +
+              s"(> maxCandidatePairs=$maxCandidatePairs): the corpus holds giant " +
+              "duplicate groups and the pair list itself is quadratic in group " +
+              "size. Use the linear-output canonical twin (Dedup.minhashCanonical" +
+              "), lower maxShingleDf, or raise maxCandidatePairs explicitly to " +
+              "enumerate anyway.")
+        if (eligible.length <= mbs) {
+          refuse(eligible.foldLeft(BigInt(0)) { (acc, r) =>
+            val m = BigInt(r.getLong(1)); acc + m * (m - 1) / 2
+          })
+          val spark = df.sparkSession
+          import spark.implicits._
+          broadcast(spark.createDataset(eligible.map(_.getLong(0)).toSeq)
+            .toDF("sh"))
+        } else {
+          // exact-integer C(m,2) in SQL (div, even factor halved first
+          // — '/' is DOUBLE division, approximate past 2^53)
+          refuse(BigInt(dfc0
+            .agg(coalesce(sum(expr("CASE WHEN _df % 2 = 0 THEN (_df div 2) * (_df - 1) " +
+              "ELSE _df * ((_df - 1) div 2) END")), lit(0L))
+              .cast("long").as("c"))
+            .head().getLong(0)))
+          dfc0.select(col("sh"))
+        }
+      } else dfc0.select(col("sh"))
     val pruned = inv.join(dfc, "sh")
     val joined = pruned.as("a").join(pruned.as("b"),
       col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -377,6 +377,24 @@ class DedupSpec extends SparkSpec {
       maxCandidatePairs = Long.MaxValue).count() === 40L * 39 / 2)
   }
 
+  test("ngram gate's broadcast and shuffled prune branches emit identical pairs") {
+    import spark.implicits._
+    // varied texts so the eligible-shingle set is non-trivial
+    val docs = (0L until 30L).map { i =>
+      (i, if (i % 3 == 0) base else s"$base extra${i % 5} tail${i % 7}")
+    }.toDF("doc_id", "text")
+    def pairs(mbs: Long) =
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", minJaccard = 0.2,
+          maxBroadcastShingles = mbs)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = pairs(1000000L) // eligible set fits → LocalRelation prune
+    val viaShuffle = pairs(0L)         // forced agg-gate + shuffled semi-join
+    assert(viaBroadcast === viaShuffle)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("q37 oracle: embedding LSH finds planted near-duplicates") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
