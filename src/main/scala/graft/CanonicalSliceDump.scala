@@ -96,7 +96,18 @@ object CanonicalSliceDump {
         .select(col("id").cast("long").as("id"),
           col("canonical_id").cast("long").as("canonical_id"),
           col("n_members").cast("long").as("n_members"))
-      case m => sys.error(s"unknown mode $m (image|audio|vad|scenecut|keyframes|text)")
+      // q200's verified star-edge list (r13 judge #7): the closure
+      // input for sampled_check.py's FULL-closure leg at 100× — run
+      // with nRes=200 (no slice) so the edges cover the whole corpus;
+      // the edge set is linear-output by construction (O(members) per
+      // band bucket), so the dump is affordable at any scale
+      case "textedges" => operators.Dedup.minhashStarEdges(
+          docs.select(col("doc_id").as("id"),
+            graft.plans.Exprs.minhashSig(col("text"), 3, 64).as("sig")),
+          numPerms = 64, bands = 16, threshold = 0.2)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      case m => sys.error(s"unknown mode $m (image|audio|vad|scenecut|keyframes|text|textedges)")
     }
     out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/slice")
     Files.write(Paths.get(s"$outDir/residues.json"),
