@@ -6898,7 +6898,72 @@ object Queries {
           col("canonical_id").cast("long").as("canonical_id"),
           col("n_members").cast("long").as("n_members")),
       Some(minhashCanonicalOracleSql(0.2)),
-      "canonical-collapse MinHash text dedup (band star edges + min-label components): q34/q64's linear-output twin for giant duplicate groups — never materializes the quadratic pair list")
+      "canonical-collapse MinHash text dedup (band star edges + min-label components): q34/q64's linear-output twin for giant duplicate groups — never materializes the quadratic pair list"),
+
+    Q("q201_repetition_profile",
+      // the Gopher REPETITION rules (Rae et al. 2021 Table A1's
+      // within-document half — q181 covers the document rules):
+      // duplicate-line fraction / duplicate-line CHAR fraction over
+      // the deterministic q80 re-lining, plus the top word-2-gram's
+      // character coverage, each at its published threshold
+      // (0.30 / 0.20 / 0.20) and the conjunction as `kept`. Line
+      // metrics are pure in-row array arithmetic (no shuffle); only
+      // the top-2-gram takes the corpus-standard doc-keyed agg
+      (s, d) => Curation.repetitionProfile(documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"),
+          col("dup_line_frac"), col("dup_char_frac"),
+          col("top_bigram"), col("top_bigram_cov"), col("kept")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |      t -> t <> '') AS tk
+             |  FROM documents
+             |), lined AS (
+             |  SELECT doc_id, tk,
+             |    CASE WHEN len(tk) = 0 THEN ['']
+             |    ELSE [array_to_string(tk[i*8+1 : i*8+8], ' ')
+             |          FOR i IN range(0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1))]
+             |    END AS lines
+             |  FROM toks
+             |), lm AS (
+             |  SELECT doc_id, tk,
+             |    CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct,
+             |    CAST(coalesce(list_sum(list_transform(lines,
+             |      l -> CAST(length(l) AS BIGINT))), 0) AS BIGINT) AS c_total,
+             |    CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+             |      l -> CAST(length(l) AS BIGINT))), 0) AS BIGINT) AS c_distinct
+             |  FROM lined
+             |), bc AS (
+             |  SELECT doc_id, g, count(*) AS c FROM (
+             |    SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+             |                           FOR i IN range(1, len(tk))]) AS g
+             |    FROM toks WHERE len(tk) >= 2)
+             |  GROUP BY doc_id, g
+             |), tp AS (
+             |  SELECT doc_id, g AS top_bigram,
+             |    CAST(c * length(g) AS BIGINT) AS top_chars
+             |  FROM (SELECT doc_id, g, c,
+             |          row_number() OVER (PARTITION BY doc_id
+             |                             ORDER BY c DESC, g ASC) AS rn
+             |        FROM bc) WHERE rn = 1
+             |), fr AS (
+             |  SELECT m.doc_id, m.n_lines,
+             |    round(CAST(m.n_lines - m.n_distinct AS DOUBLE)
+             |      / greatest(m.n_lines, 1), 6) AS dup_line_frac,
+             |    round(CAST(m.c_total - m.c_distinct AS DOUBLE)
+             |      / greatest(m.c_total, 1), 6) AS dup_char_frac,
+             |    t.top_bigram,
+             |    round(CAST(coalesce(t.top_chars, 0) AS DOUBLE)
+             |      / greatest(m.c_total, 1), 6) AS top_bigram_cov
+             |  FROM lm m LEFT JOIN tp t USING (doc_id)
+             |)
+             |SELECT doc_id, n_lines, dup_line_frac, dup_char_frac,
+             |  top_bigram, top_bigram_cov,
+             |  (dup_line_frac <= 0.30 AND dup_char_frac <= 0.20
+             |   AND top_bigram_cov <= 0.20) AS kept
+             |FROM fr""".stripMargin),
+      "Gopher repetition rules (duplicate-line fraction, duplicate-char fraction, top-2-gram coverage — Rae et al. Table A1): the within-document repetition gate, line metrics shuffle-free in-row")
   )
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -144,4 +144,67 @@ object Curation {
         (col("ok_text") && okImg && col("ok_audio") &&
           col("ok_video")).as("kept"))
   }
+
+  /** The Gopher REPETITION rules (Rae et al. 2021, Table A1's second
+    * half — the within-document half q181's document rules leave out):
+    * duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    * the top word-2-gram's character coverage, each with its published
+    * threshold (0.30 / 0.20 / 0.20) and the conjunction as `kept`.
+    *
+    * Line structure re-derives deterministically from the single-line
+    * corpus exactly like q80/q190 (newline after every 8th token via
+    * the chunkTokens kernel). Scale shape: the line metrics are pure
+    * in-row array arithmetic (no shuffle at all — `array_distinct` +
+    * ordered length folds); only the top-2-gram needs the corpus-
+    * standard (doc, gram) count, whose doc-keyed aggregation, window
+    * and join-back all share one hash partitioning. Ties on the top
+    * count break (count DESC, gram ASC) so the reported coverage is
+    * deterministic and the oracle replays it with the same
+    * row_number ordering. Fractions are integer-count ratios rounded
+    * to 6 dp — bit-identical cross-engine.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
+                        lineTokens: Int = 8,
+                        maxDupLineFrac: Double = 0.30,
+                        maxDupCharFrac: Double = 0.20,
+                        maxTopBigramCov: Double = 0.20): DataFrame = {
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"),
+      (x: Column) => x =!= "")
+    val lines = split(graft.plans.Exprs.chunkTokens(col(textCol), lineTokens), "\n")
+    def chars(arr: Column): Column =
+      aggregate(transform(arr, l => length(l).cast("long")),
+        lit(0L), (a, v) => a + v)
+    val base = df.select(col(idCol).as("id"), tk.as("tk"), lines.as("ls"))
+      .withColumn("n_lines", size(col("ls")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("ls"))).cast("long"))
+      .withColumn("c_total", chars(col("ls")))
+      .withColumn("c_distinct", chars(array_distinct(col("ls"))))
+    val grams = base.select(col("id"),
+        explode(when(size(col("tk")) >= 2,
+            transform(sequence(lit(1), size(col("tk")) - 1),
+              i => concat_ws(" ", element_at(col("tk"), i),
+                element_at(col("tk"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    val top = grams
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("c").desc, col("g").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("g").as("top_bigram"),
+        (col("c") * length(col("g"))).cast("long").as("top_chars"))
+    base.join(top, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        round((col("n_lines") - col("n_distinct")).cast("double") /
+          greatest(col("n_lines"), lit(1L)).cast("double"), 6).as("dup_line_frac"),
+        round((col("c_total") - col("c_distinct")).cast("double") /
+          greatest(col("c_total"), lit(1L)).cast("double"), 6).as("dup_char_frac"),
+        col("top_bigram"),
+        round(coalesce(col("top_chars"), lit(0L)).cast("double") /
+          greatest(col("c_total"), lit(1L)).cast("double"), 6).as("top_bigram_cov"))
+      .withColumn("kept",
+        col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_char_frac") <= maxDupCharFrac &&
+          col("top_bigram_cov") <= maxTopBigramCov)
+  }
 }

@@ -121,4 +121,35 @@ class CurationSpec extends SparkSpec {
       assert(!kept, s"doc $i without an embedding must not be kept")
     }
   }
+
+  test("repetitionProfile: hand-computed Gopher repetition metrics and thresholds") {
+    import spark.implicits._
+    // doc 1: 16 tokens forming two IDENTICAL 8-token lines
+    //   -> dup_line_frac = 1/2, dup_char_frac = 15/30, both over 0.30/0.20
+    // doc 2: 12 distinct tokens, every bigram unique -> all metrics low,
+    //   kept (note a SHORT doc of long words can legitimately trip the
+    //   0.20 coverage rule: 8 tokens of "alpha bravo ..." score 11/49)
+    // doc 3: "x y" * 12 -> top bigram "x y" dominates coverage
+    val rep = (1 to 2).map(_ => "a b c d e f g h").mkString(" ")
+    val clean = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    val stuffed = (1 to 12).map(_ => "x y").mkString(" ")
+    val df = Seq((1L, rep), (2L, clean), (3L, stuffed)).toDF("doc_id", "text")
+    val got = Curation.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getString(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val (n1, dl1, dc1, _, _, k1) = got(1L)
+    assert(n1 === 2L && dl1 === 0.5 && dc1 === 0.5 && !k1)
+    val (n2, dl2, dc2, tb2, cov2, k2) = got(2L)
+    // 12 tokens -> 2 distinct lines (23 + 11 chars); 11 distinct
+    // bigrams all count 1, ties break lexicographically: "aa bb"
+    assert(n2 === 2L && dl2 === 0.0 && dc2 === 0.0 && k2)
+    assert(tb2 === "aa bb")
+    assert(cov2 === math.rint(5.0 / 34.0 * 1e6) / 1e6)
+    val (_, _, _, tb3, cov3, k3) = got(3L)
+    // 24 tokens = 3 lines ("x y"*4 = 8 tokens/line, identical): "x y"
+    // occurs 12 times as a bigram out of 23; chars/line = 15, total 45
+    assert(tb3 === "x y" && cov3 === math.rint(12 * 3.0 / 45.0 * 1e6) / 1e6)
+    assert(!k3, "top-bigram coverage 0.8 must trip the 0.20 threshold")
+  }
 }
