@@ -152,8 +152,16 @@ object Curation {
     * threshold (0.30 / 0.20 / 0.20) and the conjunction as `kept`.
     *
     * Line structure re-derives deterministically from the single-line
-    * corpus exactly like q80/q190 (newline after every 8th token via
-    * the chunkTokens kernel). Scale shape: the line metrics are pure
+    * corpus exactly like q80/q190 (a line break after every
+    * `lineTokens`-th token), but the lines are built FROM the same
+    * `\s+`-split token array the bigram metrics use — not from the
+    * chunkTokens kernel, whose `Character.isWhitespace` splitter
+    * diverges from regex `\s` on Unicode whitespace (U+2028, U+001C:
+    * isWhitespace but not ASCII `\s`) and would desync the line
+    * metrics both from the bigram metrics within one row and from the
+    * DuckDB oracle's `string_split_regex` re-lining (r14 advisor).
+    * Zero tokens ⇒ one empty line (chunkTokens' behavior, and the
+    * oracle's). Scale shape: the line metrics are pure
     * in-row array arithmetic (no shuffle at all — `array_distinct` +
     * ordered length folds); only the top-2-gram needs the corpus-
     * standard (doc, gram) count, whose doc-keyed aggregation, window

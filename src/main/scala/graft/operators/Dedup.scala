@@ -219,15 +219,25 @@ object Dedup {
     if (maxCandidatePairs < Long.MaxValue) {
       // integer arithmetic throughout: `/` is DOUBLE division in Spark
       // SQL (approximate past 2^53 — exactly the regime the gate
-      // exists for); halve the even factor before multiplying so the
-      // product stays furthest from Long overflow
-      val cand = buckets.agg(count(lit(1)).as("m"))
-        .agg(coalesce(sum(expr("CASE WHEN m % 2 = 0 THEN (m div 2) * (m - 1) " +
-          "ELSE m * ((m - 1) div 2) END")), lit(0L))
-          .cast("long").as("c"))
-        .head().getLong(0)
-      require(cand <= maxCandidatePairs,
-        s"banded join would enumerate $cand candidate pairs " +
+      // exists for); halve the even factor before multiplying, and SUM
+      // on decimal(38,0) — a LongType sum wraps SILENTLY in non-ANSI
+      // mode, and a wrapped-negative/small total would sail through
+      // the `<=` check in exactly the giant-group regime the gate
+      // guards (r14 advisor). decimal(38,0) holds C(m,2) for any Long
+      // m (≤ ~4.3e37); a cross-row decimal overflow yields null in
+      // non-ANSI mode, which is refused too (null sum with a nonzero
+      // bucket count ⇒ total past 1e38 — past any sane cap).
+      val row = buckets.agg(count(lit(1)).as("m"))
+        .agg(sum(expr(
+            "CASE WHEN m % 2 = 0 THEN (m div 2) * cast(m - 1 AS decimal(38,0)) " +
+            "ELSE m * cast((m - 1) div 2 AS decimal(38,0)) END")).as("c"),
+          count(lit(1)).as("nb"))
+        .head()
+      val overflowed = row.isNullAt(0) && row.getLong(1) > 0L
+      val cand: BigInt =
+        if (row.isNullAt(0)) BigInt(0) else BigInt(row.getDecimal(0).toBigInteger)
+      require(!overflowed && cand <= maxCandidatePairs,
+        s"banded join would enumerate ${if (overflowed) "> 1e38" else cand} candidate pairs " +
           s"(> maxCandidatePairs=$maxCandidatePairs): the corpus holds giant " +
           "duplicate groups and the pair list itself is quadratic in group " +
           s"size. Use the linear-output canonical twin ($twin), or " +
@@ -519,12 +529,23 @@ object Dedup {
             .toDF("sh"))
         } else {
           // exact-integer C(m,2) in SQL (div, even factor halved first
-          // — '/' is DOUBLE division, approximate past 2^53)
-          refuse(BigInt(dfc0
-            .agg(coalesce(sum(expr("CASE WHEN _df % 2 = 0 THEN (_df div 2) * (_df - 1) " +
-              "ELSE _df * ((_df - 1) div 2) END")), lit(0L))
-              .cast("long").as("c"))
-            .head().getLong(0)))
+          // — '/' is DOUBLE division, approximate past 2^53), SUMMED
+          // on decimal(38,0): a LongType sum wraps silently in
+          // non-ANSI mode and a wrapped total would falsely pass the
+          // gate in exactly the giant-duplicate-group regime it
+          // guards (r14 advisor). A cross-row decimal overflow (null
+          // sum, nonzero shingle count) is likewise refused.
+          val row = dfc0
+            .agg(sum(expr(
+                "CASE WHEN _df % 2 = 0 THEN (_df div 2) * cast(_df - 1 AS decimal(38,0)) " +
+                "ELSE _df * cast((_df - 1) div 2 AS decimal(38,0)) END")).as("c"),
+              count(lit(1)).as("nsh"))
+            .head()
+          refuse(
+            if (row.isNullAt(0))
+              if (row.getLong(1) == 0L) BigInt(0)
+              else BigInt(10).pow(38) // decimal(38,0) sum overflowed
+            else BigInt(row.getDecimal(0).toBigInteger))
           dfc0.select(col("sh"))
         }
       } else dfc0.select(col("sh"))

@@ -319,19 +319,29 @@ object Streams {
                           watermark: String = "1 hour",
                           maxBenchShingles: Int = 10000000): DataFrame = {
     import graft.plans.Exprs
-    val benchArr: Seq[Long] = benchmark
-      .select(explode(Exprs.shingleHashes(col(benchTextCol), shingleK)).as("sh"))
-      .distinct().orderBy(col("sh")).collect().map(_.getLong(0)).toSeq
     // the eval-suite-is-catalog-scale contract, enforced instead of
     // prose-only: the sorted array rides the plan as one broadcast
     // literal (8 B/shingle — the 10M default is an ~80 MB literal,
     // about the practical broadcast ceiling). A corpus-sized
-    // `benchmark` belongs in the batch contaminationRate join, not here
-    require(benchArr.size <= maxBenchShingles,
-      s"benchmark has ${benchArr.size} distinct shingles " +
-        s"(> maxBenchShingles=$maxBenchShingles) — too large to ride the " +
-        "stream plan as a broadcast literal; use the batch " +
-        "Dedup.contaminationRate join, or raise maxBenchShingles explicitly")
+    // `benchmark` belongs in the batch contaminationRate join, not
+    // here. The guard bounds the COLLECT itself, not just the literal
+    // (r14 advisor: an unbounded collect would OOM the driver before
+    // any require fires) — the same fused bounded-collect the ngram
+    // pair gate uses: ONE limit(max+1) action both proves the bound
+    // and yields the whole set; the sort happens driver-side (≤ 10M
+    // longs) instead of a cluster-wide orderBy whose result a refusal
+    // would discard anyway.
+    val probe = benchmark
+      .select(explode(Exprs.shingleHashes(col(benchTextCol), shingleK)).as("sh"))
+      .distinct()
+      .limit(math.min(maxBenchShingles.toLong, Int.MaxValue - 2L).toInt + 1)
+      .collect()
+    require(probe.length <= maxBenchShingles,
+      s"benchmark has > maxBenchShingles=$maxBenchShingles distinct " +
+        "shingles — too large to ride the stream plan as a broadcast " +
+        "literal; use the batch Dedup.contaminationRate join, or raise " +
+        "maxBenchShingles explicitly")
+    val benchArr: Seq[Long] = probe.map(_.getLong(0)).sorted.toSeq
     val benchLit = typedLit(benchArr)
     docs.withWatermark(tsCol, watermark)
       .withColumn("_hs", Exprs.shingleHashes(col(textCol), shingleK))

@@ -1,0 +1,110 @@
+# Mechanical round close (r14 judge #1): two consecutive rounds of green
+# engineering each shipped with an artifact-hygiene miss (r13: no driver
+# correctness file adjudication; r14: BENCH_r14_full.json +
+# CORRECTNESS_local_r14.json engineered but never committed, and
+# SCALE.md claimed one of them WAS committed). This script makes the
+# close checklist executable and FAILS LOUDLY if any artifact is
+# missing, so "done" means "committed", not "engineered".
+#
+#   python3 tools/close_round.py <N>
+#
+# Checks (performing the purely mechanical ones itself):
+#   1. BENCH_r{N}_full.json exists — if not, promotes bench_full.json
+#      when its canary sits in the quiet band [0.47, 0.92]s; otherwise
+#      prints the re-capture command and fails.
+#   2. CORRECTNESS_local_r{N}.json exists, n_fail == 0, and the oracle
+#      replay stayed inside its budget (the r12/r13 empty-driver-file
+#      root cause was silent replay growth past the driver's budget).
+#   3. Runs bench_diff vs round N-1 and writes ab/bench_diff_r{N}.txt;
+#      SCALE.md must cite that artifact by name (paste or reference).
+#   4. Every BENCH_*/CORRECTNESS_* artifact SCALE.md mentions actually
+#      exists — the exact falsehood class the r14 verdict flagged
+#      (SCALE.md:1137 cited a file that was never committed).
+#   5. All required artifacts are git-tracked (committed or staged).
+import json, os, re, shutil, subprocess, sys
+
+CANARY_BAND = (0.47, 0.92)
+
+if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+    sys.exit("usage: python3 tools/close_round.py <round-number>")
+n = int(sys.argv[1])
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.chdir(repo)
+errs = []
+
+def fail(msg, fix):
+    errs.append(f"MISSING: {msg}\n    fix: {fix}")
+
+# 1. per-query bench capture, canary-gated ------------------------------
+bench = f"BENCH_r{n:02d}_full.json"
+recapture = ("SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 "
+             "java -Xmx96g -cp 'target/scala-2.13/classes:/opt/spark/jars/*' "
+             f"graft.Bench && cp bench_full.json {bench}")
+if not os.path.exists(bench):
+    if os.path.exists("bench_full.json"):
+        c = json.load(open("bench_full.json")).get("canary_sec")
+        if c is not None and CANARY_BAND[0] <= c <= CANARY_BAND[1]:
+            shutil.copy("bench_full.json", bench)
+            print(f"promoted bench_full.json -> {bench} (canary {c}s in band)")
+        else:
+            fail(f"{bench}: bench_full.json canary {c}s outside quiet band "
+                 f"{CANARY_BAND} — noisy capture, not promotable", recapture)
+    else:
+        fail(f"{bench} (no bench_full.json to promote either)", recapture)
+if os.path.exists(bench):
+    c = json.load(open(bench)).get("canary_sec")
+    if c is None or not (CANARY_BAND[0] <= c <= CANARY_BAND[1]):
+        fail(f"{bench} canary {c}s outside quiet band {CANARY_BAND}", recapture)
+
+# 2. local correctness twin, green + in-budget --------------------------
+corr = f"CORRECTNESS_local_r{n:02d}.json"
+corr_cmd = (f"sbt 'runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_r{n}' && "
+            f"CHECK_JSON={corr} python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_r{n}")
+if not os.path.exists(corr):
+    fail(corr, corr_cmd)
+else:
+    d = json.load(open(corr))
+    if d.get("n_fail", 1) != 0:
+        fail(f"{corr} has n_fail={d.get('n_fail')} — round must close green", corr_cmd)
+    if d.get("replay_over_budget"):
+        fail(f"{corr}: oracle replay {d.get('oracle_replay_sec')}s exceeded its "
+             f"budget of {d.get('replay_budget_sec')}s",
+             "trim the slowest oracles (check.py prints them) before closing")
+
+# 3. bench_diff artifact vs the previous round --------------------------
+prev = f"BENCH_r{n - 1:02d}_full.json"
+diff_art = f"ab/bench_diff_r{n:02d}.txt"
+if os.path.exists(prev) and os.path.exists(bench):
+    os.makedirs("ab", exist_ok=True)
+    r = subprocess.run([sys.executable, "tools/bench_diff.py", prev, bench],
+                       capture_output=True, text=True)
+    open(diff_art, "w").write(r.stdout + r.stderr)
+    print(f"wrote {diff_art} ({len(r.stdout.splitlines())} lines)")
+elif not os.path.exists(prev):
+    print(f"note: {prev} absent — skipping bench_diff leg")
+scale = open("SCALE.md").read() if os.path.exists("SCALE.md") else ""
+if os.path.exists(diff_art) and os.path.basename(diff_art) not in scale:
+    fail(f"SCALE.md does not cite {diff_art}",
+         f"paste or reference {diff_art} in the round-{n} SCALE.md section")
+
+# 4. no phantom artifacts in SCALE.md -----------------------------------
+cited = set(re.findall(r"\b(?:BENCH|CORRECTNESS)[A-Za-z0-9_]*\.json\b", scale))
+for f in sorted(cited):
+    if not os.path.exists(f):
+        fail(f"SCALE.md cites {f} but it does not exist in the tree",
+             "create the artifact or correct the SCALE.md sentence")
+
+# 5. everything above must be git-tracked -------------------------------
+tracked = set(subprocess.run(["git", "ls-files"], capture_output=True,
+                             text=True).stdout.split())
+staged = set(subprocess.run(["git", "diff", "--cached", "--name-only"],
+                            capture_output=True, text=True).stdout.split())
+for f in [bench, corr, diff_art]:
+    if os.path.exists(f) and f not in tracked and f not in staged:
+        fail(f"{f} exists but is not git-tracked", f"git add {f} && git commit")
+
+if errs:
+    print(f"\nround {n} close: {len(errs)} problem(s)\n")
+    print("\n".join(errs))
+    sys.exit(1)
+print(f"\nround {n} close: all artifacts present, green, in-band, and tracked")
