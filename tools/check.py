@@ -130,13 +130,19 @@ print(f"\n{len(fails)} failures" + (": " + ", ".join(n for n, _ in fails) if fai
       + f"  (oracle replay {total_sec}s)")
 # replay-budget regression guard (r14 judge #4): the r12/r13 empty-driver-
 # file incident was silent replay-cost growth past the driver's verify
-# budget. Budget stated in SCALE.md (§round-15); WARN here — and
+# budget. Budget stated in SCALE.md (§round-16); WARN here — and
 # tools/close_round.py FAILS the round close — when a full-catalog run
 # exceeds it, so the next heavy oracle can't regrow the problem unnoticed.
-# Scaled down proportionally when a name filter ran only a subset.
+# Scaled down proportionally when a name filter ran only a subset (the
+# r15 advisor flagged that this sentence used to be false: filtered runs
+# were silently exempt). Proportional is a blunt yardstick — one slow
+# oracle in a small subset can WARN spuriously — but a WARN is advisory;
+# only the full-catalog number gates the round close.
 budget = float(os.environ.get("CHECK_BUDGET_SEC", 600))
 full_catalog = only is None
-over_budget = full_catalog and total_sec > budget
+if not full_catalog:
+    budget = round(budget * len(results) / max(1, len(oracle)), 1)
+over_budget = total_sec > budget
 if over_budget:
     print(f"WARN replay budget exceeded: {total_sec}s > {budget}s "
           f"(CHECK_BUDGET_SEC) — trim the slowest oracles before the "
@@ -151,6 +157,8 @@ print("slowest: " + ", ".join(f"{n}={r['sec']}s" for n, r in slow if r.get("sec"
 if os.environ.get("CHECK_JSON"):
     payload = {
         "n_checked": len(results),
+        "n_catalog": len(oracle),
+        "full_catalog": full_catalog,
         "n_pass": sum(1 for r in results.values() if r["status"] == "PASS"),
         "n_fail": len(fails),
         "sf_dir": sf, "out_dir": out,

@@ -37,18 +37,47 @@ def fail(msg, fix):
 
 # 1. per-query bench capture, canary-gated ------------------------------
 bench = f"BENCH_r{n:02d}_full.json"
+# -Xmx8g, NOT 96g: the committed in-band captures (r12/r13) ran via
+# `sbt runMain` whose forked JVM uses -Xmx8g (build.sbt SPARK_DRIVER_MEM
+# default); the 96g this command prescribed in r14/r15 inflates the
+# canary ~1.4x through late-run G1 mixed collections — the measured
+# root cause of three rounds of "out-of-band" captures (SCALE.md
+# §round-16 canary forensics table).
 recapture = ("SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 "
-             "java -Xmx96g -cp 'target/scala-2.13/classes:/opt/spark/jars/*' "
+             "java -Xmx8g -cp 'target/scala-2.13/classes:/opt/spark/jars/*' "
              f"graft.Bench && cp bench_full.json {bench}")
+def _prev_bench_commit_unix():
+    # commit time of the previous round's bench artifacts — any capture
+    # stamped before this moment predates the current round and must
+    # not be promoted as round N's (r15 advisor: a stale in-band
+    # bench_full.json would otherwise be silently promoted)
+    r = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--",
+         f"BENCH_r{n - 1:02d}_full.json", f"BENCH_r{n - 1:02d}.json"],
+        capture_output=True, text=True).stdout.strip()
+    return int(r) if r else 0
+
 if not os.path.exists(bench):
     if os.path.exists("bench_full.json"):
-        c = json.load(open("bench_full.json")).get("canary_sec")
-        if c is not None and CANARY_BAND[0] <= c <= CANARY_BAND[1]:
-            shutil.copy("bench_full.json", bench)
-            print(f"promoted bench_full.json -> {bench} (canary {c}s in band)")
-        else:
+        payload = json.load(open("bench_full.json"))
+        c = payload.get("canary_sec")
+        stamp = payload.get("captured_unix")  # emitted by graft.Bench since r16
+        floor_unix = _prev_bench_commit_unix()
+        if c is None or not (CANARY_BAND[0] <= c <= CANARY_BAND[1]):
             fail(f"{bench}: bench_full.json canary {c}s outside quiet band "
                  f"{CANARY_BAND} — noisy capture, not promotable", recapture)
+        elif stamp is None:
+            fail(f"{bench}: bench_full.json has no captured_unix stamp — "
+                 "pre-r16 capture of unknown provenance, not promotable",
+                 recapture)
+        elif stamp < floor_unix:
+            fail(f"{bench}: bench_full.json captured_unix {stamp} predates "
+                 f"round {n - 1}'s bench commit ({floor_unix}) — stale "
+                 "capture from an earlier round, not promotable", recapture)
+        else:
+            shutil.copy("bench_full.json", bench)
+            print(f"promoted bench_full.json -> {bench} "
+                  f"(canary {c}s in band, stamp {stamp} fresh)")
     else:
         fail(f"{bench} (no bench_full.json to promote either)", recapture)
 if os.path.exists(bench):
@@ -83,16 +112,25 @@ if os.path.exists(prev) and os.path.exists(bench):
 elif not os.path.exists(prev):
     print(f"note: {prev} absent — skipping bench_diff leg")
 scale = open("SCALE.md").read() if os.path.exists("SCALE.md") else ""
-if os.path.exists(diff_art) and os.path.basename(diff_art) not in scale:
-    fail(f"SCALE.md does not cite {diff_art}",
+# the round-N section: from its `## Round N …` heading to the next `## `
+# heading (r15 advisor: scanning ALL of SCALE.md trips on historical
+# prose that *narrates* a file as never committed — the gate is that the
+# CURRENT round's section makes no phantom claims)
+m = re.search(rf"^## Round {n}\b.*?(?=^## |\Z)", scale, re.M | re.S)
+section = m.group(0) if m else ""
+if not m:
+    fail(f"SCALE.md has no `## Round {n}` section",
+         f"write the round-{n} narrative section in SCALE.md")
+if os.path.exists(diff_art) and os.path.basename(diff_art) not in section:
+    fail(f"SCALE.md round-{n} section does not cite {diff_art}",
          f"paste or reference {diff_art} in the round-{n} SCALE.md section")
 
-# 4. no phantom artifacts in SCALE.md -----------------------------------
-cited = set(re.findall(r"\b(?:BENCH|CORRECTNESS)[A-Za-z0-9_]*\.json\b", scale))
+# 4. no phantom artifacts in the round-N SCALE.md section ---------------
+cited = set(re.findall(r"\b(?:BENCH|CORRECTNESS)[A-Za-z0-9_]*\.json\b", section))
 for f in sorted(cited):
     if not os.path.exists(f):
-        fail(f"SCALE.md cites {f} but it does not exist in the tree",
-             "create the artifact or correct the SCALE.md sentence")
+        fail(f"SCALE.md round-{n} section cites {f} but it does not exist "
+             "in the tree", "create the artifact or correct the sentence")
 
 # 5. everything above must be git-tracked -------------------------------
 tracked = set(subprocess.run(["git", "ls-files"], capture_output=True,
