@@ -131,10 +131,16 @@ object Bench {
     // nothing. The printed line stays under that window by carrying the
     // 20 slowest queries (the ones a perf reader actually wants) plus the
     // aggregate; everything else is in benchDetailPath.
-    val detailPath = "bench_full.json"
+    // SPARK_GRAFT_BENCH_OUT makes the capture path collision-proof
+    // (r15: an untracked bench_full.json holding the round's detail was
+    // silently overwritten by a later Bench invocation); captured_unix
+    // stamps provenance so tools/close_round.py can refuse to promote a
+    // stale capture left over from an earlier round as round N's.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val capturedUnix = System.currentTimeMillis() / 1000
     val canaryList = canaries.map(c => math.rint(c * 1000) / 1000).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"captured_unix":$capturedUnix,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes("UTF-8"))
@@ -142,7 +148,7 @@ object Bench {
     val slowest = results.filter(_._3).sortBy(-_._2).take(20)
       .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._3)},"queries":$slowest,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._3)},"queries":$slowest,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"captured_unix":$capturedUnix,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

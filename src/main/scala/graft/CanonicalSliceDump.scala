@@ -91,6 +91,16 @@ object CanonicalSliceDump {
       // the residue slice is itself a complete corpus for both engines;
       // 20 residues of /tmp/sf1x = 5,000 docs — 10× the sf0.01 oracle
       // volume at an affordable DuckDB replay cost)
+      // the exact q201 catalog configuration (Gopher repetition rules)
+      // on the sliced corpus: the line/char metrics are map-only in-row
+      // arithmetic and the top-bigram agg is doc-local, so an id-level
+      // residue slice cannot desync anything — both engines see the
+      // same complete per-document computation
+      case "repetition" => operators.Curation.repetitionProfile(
+          docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"),
+          col("dup_line_frac"), col("dup_char_frac"),
+          col("top_bigram"), col("top_bigram_cov"), col("kept"))
       case "text" => operators.Dedup.minhashCanonical(docs, "text", "doc_id",
           shingleK = 3, numPerms = 64, bands = 16, threshold = 0.2)
         .select(col("id").cast("long").as("id"),
@@ -107,7 +117,7 @@ object CanonicalSliceDump {
           numPerms = 64, bands = 16, threshold = 0.2)
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
-      case m => sys.error(s"unknown mode $m (image|audio|vad|scenecut|keyframes|text|textedges)")
+      case m => sys.error(s"unknown mode $m (image|audio|vad|scenecut|keyframes|repetition|text|textedges)")
     }
     out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/slice")
     Files.write(Paths.get(s"$outDir/residues.json"),

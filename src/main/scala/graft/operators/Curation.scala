@@ -178,7 +178,11 @@ object Curation {
                         maxTopBigramCov: Double = 0.20): DataFrame = {
     val tk = filter(split(lower(trim(col(textCol))), "\\s+"),
       (x: Column) => x =!= "")
-    val lines = split(graft.plans.Exprs.chunkTokens(col(textCol), lineTokens), "\n")
+    val lines = when(size(tk) === 0, array(lit("")))
+      .otherwise(transform(
+        sequence(lit(0),
+          ceil(size(tk).cast("double") / lineTokens).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * lineTokens + 1, lit(lineTokens)))))
     def chars(arr: Column): Column =
       aggregate(transform(arr, l => length(l).cast("long")),
         lit(0L), (a, v) => a + v)

@@ -331,10 +331,19 @@ object Streams {
     // and yields the whole set; the sort happens driver-side (≤ 10M
     // longs) instead of a cluster-wide orderBy whose result a refusal
     // would discard anyway.
+    // refuse an un-boundable cap up front rather than clamping: a clamp
+    // below max+1 would let an over-cap benchmark PASS the require while
+    // the collected set is silently truncated — contamination
+    // under-detection instead of refusal (r15 advisor). The collect
+    // couldn't hold more than Int.MaxValue rows anyway.
+    require(maxBenchShingles <= Int.MaxValue - 2,
+      s"maxBenchShingles=$maxBenchShingles cannot be bound-checked by a " +
+        "driver collect (limit is Int-sized); a benchmark that large " +
+        "belongs in the batch Dedup.contaminationRate join")
     val probe = benchmark
       .select(explode(Exprs.shingleHashes(col(benchTextCol), shingleK)).as("sh"))
       .distinct()
-      .limit(math.min(maxBenchShingles.toLong, Int.MaxValue - 2L).toInt + 1)
+      .limit(maxBenchShingles + 1)
       .collect()
     require(probe.length <= maxBenchShingles,
       s"benchmark has > maxBenchShingles=$maxBenchShingles distinct " +

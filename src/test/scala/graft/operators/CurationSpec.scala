@@ -152,4 +152,42 @@ class CurationSpec extends SparkSpec {
     assert(tb3 === "x y" && cov3 === math.rint(12 * 3.0 / 45.0 * 1e6) / 1e6)
     assert(!k3, "top-bigram coverage 0.8 must trip the 0.20 threshold")
   }
+
+  test("repetitionProfile: Unicode whitespace — lines share the bigrams' " +
+      "regex-\\s tokenization (U+2028 glues, U+000B splits), zero tokens " +
+      "is one empty line") {
+    import spark.implicits._
+    // U+2028 (LINE SEPARATOR) is Character.isWhitespace but NOT regex
+    // `\s` in either Java or DuckDB's RE2 — it must stay INSIDE a token,
+    // in the line metrics exactly as in the bigram metrics (the r14/r15
+    // advisor desync: a chunkTokens-based re-lining split here while
+    // the bigrams and the oracle did not). U+000B (vertical tab) IS
+    // `\s` in both engines and must split.
+    val glued = "A\u2028b c d"                        // tk = [a U+2028 b, c, d]
+    val vtab = Array.fill(8)("P\u000bQ").mkString(" ") // tk = 16 of p,q
+    val blank = "   "                                  // zero tokens
+    val df = Seq((1L, glued), (2L, vtab), (3L, blank)).toDF("doc_id", "text")
+    val got = Curation.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getString(4), r.getDouble(5),
+          r.getBoolean(6))).toMap
+    // doc 1: 3 tokens -> ONE 7-char line (U+2028 inside
+    // the first token); the two bigrams tie at count 1, gram-ASC
+    // tiebreak picks the a-leading 5-char bigram -> coverage 5/7
+    val (n1, dl1, dc1, tb1, cov1, k1) = got(1L)
+    assert(n1 === 1L && dl1 === 0.0 && dc1 === 0.0)
+    assert(tb1 === "a\u2028b c", "U+2028 must stay inside the token")
+    assert(cov1 === math.rint(5.0 / 7.0 * 1e6) / 1e6 && !k1)
+    // doc 2: 16 tokens (U+000B splits in BOTH engines) -> two identical
+    // 8-token lines of 15 chars; top bigram "p q" x8 of 15 -> 24/30
+    val (n2, dl2, dc2, tb2, cov2, k2) = got(2L)
+    assert(n2 === 2L && dl2 === 0.5 && dc2 === 0.5)
+    assert(tb2 === "p q" && cov2 === 0.8 && !k2)
+    // doc 3: zero tokens -> exactly one EMPTY line (the oracle's
+    // CASE len(tk)=0 branch): no dup, no bigram, kept
+    val (n3, dl3, dc3, tb3, cov3, k3) = got(3L)
+    assert(n3 === 1L && dl3 === 0.0 && dc3 === 0.0)
+    assert(tb3 === null && cov3 === 0.0 && k3)
+  }
 }

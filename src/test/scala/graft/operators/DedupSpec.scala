@@ -776,4 +776,31 @@ class DedupSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(j - exactJaccard(base, base + " tonight", 3)) < 1e-9)
   }
+
+  test("sumPairCombinations: exact past the 2^53 and Long-wrap regimes; " +
+      "cross-row decimal overflow returns the refuse sentinel") {
+    import spark.implicits._
+    // single count whose C(m,2) exceeds Long.MaxValue — a LongType sum
+    // would wrap silently in non-ANSI mode and a double is approximate
+    // past 2^53; the decimal fold must be exact
+    val m1 = 1L << 33
+    assert(Dedup.sumPairCombinations(Seq(m1).toDF("m"), "m") ===
+      BigInt(m1) * (BigInt(m1) - 1) / 2)
+    // even/odd/zero/one mix vs a BigInt brute force (exercises both
+    // halve-the-even-factor branches of the CASE)
+    val ms = Seq(0L, 1L, 2L, 3L, 1000003L, (1L << 62) + 5L)
+    assert(Dedup.sumPairCombinations(ms.toDF("m"), "m") ===
+      ms.map(m => BigInt(m) * (BigInt(m) - 1) / 2).sum)
+    // empty counts frame: null sum with ZERO rows means "no buckets",
+    // not overflow — must be 0, not the sentinel
+    assert(Dedup.sumPairCombinations(Seq.empty[Long].toDF("m"), "m") ===
+      BigInt(0))
+    // cross-row decimal(38,0) overflow (the r14-advisor refuse branch,
+    // unreachable from real buckets because count(*) is bounded by the
+    // row count): 11 rows of C(4.5e18, 2) ≈ 1.01e37 sum past 10^38−1,
+    // so the decimal sum nulls in non-ANSI mode and the fold must
+    // return the sentinel every `<=` cap refuses
+    val over = Seq.fill(11)(4500000000000000000L).toDF("m")
+    assert(Dedup.sumPairCombinations(over, "m") === Dedup.PairCountOverflow)
+  }
 }
