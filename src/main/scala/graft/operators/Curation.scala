@@ -153,15 +153,17 @@ object Curation {
     *
     * Line structure re-derives deterministically from the single-line
     * corpus exactly like q80/q190 (a line break after every
-    * `lineTokens`-th token), but the lines are built FROM the same
-    * `\s+`-split token array the bigram metrics use — not from the
-    * chunkTokens kernel, whose `Character.isWhitespace` splitter
-    * diverges from regex `\s` on Unicode whitespace (U+2028, U+001C:
-    * isWhitespace but not ASCII `\s`) and would desync the line
-    * metrics both from the bigram metrics within one row and from the
-    * DuckDB oracle's `string_split_regex` re-lining (r14 advisor).
-    * Zero tokens ⇒ one empty line (chunkTokens' behavior, and the
-    * oracle's). Scale shape: the line metrics are pure
+    * `lineTokens`-th token), via [[graft.plans.Kernels.chunkTokensWs]]
+    * — the regex-`\s` variant of the chunkTokens kernel, so the lines
+    * tokenize EXACTLY like the bigram metrics' `\s+`-split `tk` array
+    * in the same row and like the DuckDB oracle's
+    * `string_split_regex` re-lining. (Plain chunkTokens splits on
+    * `Character.isWhitespace`, which diverges from regex `\s` on
+    * U+001C–U+001F and Unicode spaces such as U+2028 — the r14/r15
+    * advisor desync; CurationSpec pins the contract with U+2028 and
+    * U+000B fixtures.) Zero tokens ⇒ one empty line (the kernel's
+    * zero-tokens → "" contract, and the oracle's CASE branch).
+    * Scale shape: the line metrics are pure
     * in-row array arithmetic (no shuffle at all — `array_distinct` +
     * ordered length folds); only the top-2-gram needs the corpus-
     * standard (doc, gram) count, whose doc-keyed aggregation, window
@@ -178,11 +180,13 @@ object Curation {
                         maxTopBigramCov: Double = 0.20): DataFrame = {
     val tk = filter(split(lower(trim(col(textCol))), "\\s+"),
       (x: Column) => x =!= "")
-    val lines = when(size(tk) === 0, array(lit("")))
-      .otherwise(transform(
-        sequence(lit(0),
-          ceil(size(tk).cast("double") / lineTokens).cast("int") - 1),
-        i => concat_ws(" ", slice(tk, i * lineTokens + 1, lit(lineTokens)))))
+    // single-pass codegen re-lining on the regex-`\s` splitter — the
+    // SAME tokenization as `tk` above and the oracle's
+    // string_split_regex (an in-row transform/sequence/slice regroup of
+    // `tk` is bit-identical but allocates O(lines) arrays per row and
+    // measured 1.4x slower at sf0.1)
+    val lines = split(
+      graft.plans.Exprs.chunkTokensWs(col(textCol), lineTokens), "\n")
     def chars(arr: Column): Column =
       aggregate(transform(arr, l => length(l).cast("long")),
         lit(0L), (a, v) => a + v)

@@ -266,6 +266,23 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** [[ChunkTokens]] on the regex-`\s` splitter (see
+    * [[Kernels.chunkTokensWs]]) — re-lining that stays bit-consistent
+    * with regex-tokenized metrics in the same row and with a DuckDB
+    * `string_split_regex('\s+')` oracle on non-ASCII whitespace. */
+  case class ChunkTokensWs(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "chunk_tokens_ws"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.chunkTokensWs(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.chunkTokensWs($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ChunkTokensWs =
+      copy(child = newChild)
+  }
+
   case class ChunkWindows(child: Expression, n: Int, stride: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -662,6 +679,7 @@ object Exprs {
   def prefixTokens(c: Column, n: Int): Column = col(PrefixTokens(ex(c), n))
   def scanTokens(c: Column): Column = col(ScanTokens(ex(c)))
   def chunkTokens(c: Column, n: Int): Column = col(ChunkTokens(ex(c), n))
+  def chunkTokensWs(c: Column, n: Int): Column = col(ChunkTokensWs(ex(c), n))
   def chunkWindows(c: Column, n: Int, stride: Int): Column =
     col(ChunkWindows(ex(c), n, stride))
   def bloomContains(c: Column, words: Array[Long], mBits: Int, k: Int): Column =

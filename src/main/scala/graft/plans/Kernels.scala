@@ -498,6 +498,37 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** [[chunkTokens]] with the regex-`\s` splitter ([[isRegexWs]] —
+    * identical in Java regex and DuckDB's RE2) instead of
+    * `Character.isWhitespace`: for consumers whose sibling metrics
+    * tokenize by regex `\s` IN THE SAME ROW and whose DuckDB oracle
+    * re-lines from `string_split_regex('\s+')` tokens
+    * ([[graft.operators.Curation.repetitionProfile]], q201). The two
+    * splitters agree on every ASCII-text corpus but diverge on
+    * U+001C–U+001F and Unicode spaces (U+2028, U+3000…): isWhitespace
+    * splits there, regex `\s` does not — so a chunkTokens re-lining
+    * desyncs against regex-tokenized bigram metrics (r15 advisor).
+    * Same single pass, same zero-tokens → "" contract.
+    */
+  def chunkTokensWs(text: UTF8String, n: Int): UTF8String = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var tok = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isRegexWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isRegexWs(s.charAt(i))) i += 1
+      if (i > start) {
+        if (tok > 0) sb.append(if (tok % n == 0) '\n' else ' ')
+        sb.append(s, start, i)
+        tok += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Overlapping token windows (RAG / long-context chunking): lowercase
     * whitespace tokens grouped into windows of `n` tokens advancing by
     * `stride` (stride < n ⇒ overlap), each window joined by single
