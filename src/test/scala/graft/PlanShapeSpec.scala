@@ -635,4 +635,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(bc.length === 8 && bc.forall(_.getLong(1) == 21L),
       s"K8: every node participates in C(7,2)=21 triangles, got ${bc.mkString(", ")}")
   }
+
+  test("q201: line metrics ride the codegen kernel; every window doc-keyed") {
+    val p = plan("q201_repetition_profile")
+    // the re-lining must be the single-pass chunk_tokens_ws kernel, not
+    // plain chunk_tokens (Character.isWhitespace — the r15 Unicode
+    // desync) and not an in-row array regroup (O(lines) allocations)
+    assert(p.contains("chunk_tokens_ws"),
+      s"q201 must re-line via the regex-\\s kernel:\n$p")
+    assert(!p.contains("chunk_tokens("),
+      s"plain chunkTokens must not appear in q201:\n$p")
+    // the line metrics are in-row arithmetic: the only shuffles allowed
+    // are the top-bigram path's (doc,gram) agg, its doc-keyed window,
+    // and the id join-back — nothing global-ordered
+    assert(!hasGlobalWindow(p), s"q201 planned a global window:\n$p")
+  }
 }
