@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object ABPairGate {
   def main(args: Array[String]): Unit = {
+    // pin the JVM default locale: Spark's non-ASCII lowercase path
+    // reads it while the kernels use Locale.ROOT explicitly — a
+    // non-ROOT default (tr-TR 'I'→'ı') would desync the two (r16
+    // advisor); ROOT is what every committed hash was captured under
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -34,6 +34,11 @@ object CanonicalSliceDump {
         graft.plans.Kernels.mix64(r + 0xB7)))).take(n)
 
   def main(args: Array[String]): Unit = {
+    // pin the JVM default locale: Spark's non-ASCII lowercase path
+    // reads it while the kernels use Locale.ROOT explicitly — a
+    // non-ROOT default (tr-TR 'I'→'ı') would desync the two (r16
+    // advisor); ROOT is what every committed hash was captured under
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val (sfDir, outDir, nRes) = (args(0), args(1), args(2))
     // "image" (q189, default) or "audio" (q197) — the canonical
     // machinery is modality-generic, and so is this harness. Round 13

@@ -1862,7 +1862,7 @@ object Queries {
         // the sub-capacity error bound (n/capacity) is unit-tested in
         // SketchesSpec for the general case.
         val toks = documents(s, d).select(
-            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+            explode(split(lower(trim(col("text"))), graft.plans.Kernels.WsRun)).as("term"))
           .filter(length(col("term")) > 0)
         Sketches.heavyHitters(toks, "term", capacity = 64, topN = 10)
       },
@@ -2203,7 +2203,7 @@ object Queries {
         // language gate → exact dedup (hash-first) → fingerprint, one
         // lazy DAG — each stage is individually oracle-checked by
         // q40/q41/q47/q42; this query checks their composition
-        val toks = split(lower(trim(col("text"))), "\\s+")
+        val toks = split(lower(trim(col("text"))), graft.plans.Kernels.WsRun)
         val tokVals = transform(toks,
           x => (length(x).cast("long") * 7 + ascii(x).cast("long")))
         val scored = documents(s, d).select(col("doc_id"), col("text"),
@@ -2401,7 +2401,7 @@ object Queries {
 
     Q("q42_fingerprint",
       (s, d) => {
-        val toks = split(lower(trim(col("text"))), "\\s+")
+        val toks = split(lower(trim(col("text"))), graft.plans.Kernels.WsRun)
         val tokVals = transform(toks,
           x => (length(x).cast("long") * 7 + ascii(x).cast("long")))
         documents(s, d).select(col("doc_id"),
@@ -5624,7 +5624,7 @@ object Queries {
       // per-rule flags plus the conjunction, so a pipeline can both
       // gate and audit WHY a doc fell
       (s, d) => {
-        val tk = filter(split(trim(col("text")), "\\s+"),
+        val tk = filter(split(trim(col("text")), graft.plans.Kernels.WsRun),
           (x: Column) => x =!= "")
         val n = size(tk)
         val meanLen = aggregate(transform(tk, t => length(t).cast("long")),

@@ -61,6 +61,11 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
+    // pin the JVM default locale: Spark's non-ASCII lowercase path
+    // reads it while the kernels use Locale.ROOT explicitly — a
+    // non-ROOT default (tr-TR 'I'→'ı') would desync the two (r16
+    // advisor); ROOT is what every committed hash was captured under
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(src, dst, factorS) = args
     val factor = factorS.toInt
     require(factor >= 1)

@@ -20,6 +20,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // pin the JVM default locale: Spark's non-ASCII lowercase path
+    // reads it while the kernels use Locale.ROOT explicitly — a
+    // non-ROOT default (tr-TR 'I'→'ı') would desync the two (r16
+    // advisor); ROOT is what every committed hash was captured under
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -212,6 +212,8 @@ object GeoFunctions {
     } else {
       val from = i
       while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != ')') i += 1
+      // WKT-grammar whitespace (our writers emit single spaces) — not
+      // the text-tokenizer contract (graft.plans.Kernels.isRegexWs)
       val nums = s.substring(from, i).trim.split("\\s+")
       (WPair(s"[${nums.mkString(",")}]"), i)
     }

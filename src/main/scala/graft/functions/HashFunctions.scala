@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object HashFunctions {
 
   /** Lowercased whitespace tokens. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def tokens(text: Column): Column = split(lower(trim(text)), graft.plans.Kernels.WsRun)
 
   /** Word k-shingles: overlapping k-grams of whitespace tokens, joined by
     * a single space. `"a b c d"`, k=2 → `["a b", "b c", "c d"]`. Texts

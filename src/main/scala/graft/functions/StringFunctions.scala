@@ -48,7 +48,8 @@ object StringFunctions {
 
   /** Collapse runs of whitespace to single spaces and trim (reference
     * helper notebooks/index.Rmd:291-295). */
-  def squishWhitespace(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+  def squishWhitespace(c: Column): Column =
+    trim(regexp_replace(c, graft.plans.Kernels.WsRun, " "))
 
   /** SQL string literal: null → the text "null", else single-quoted
     * (reference export_in_obis.R:10). Escapes embedded quotes, which the

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * lambdas) evaluate their lambdas interpreted per element, which costs
   * ~1 ms/row on real documents. Each function stays a pure
   * `Column → Column` so it composes with any filter/projection and the
-  * text scan keeps its pushdown; semantics (including Java
-  * `split("\\s+")` edge cases) are unchanged and oracle-pinned.
+  * text scan keeps its pushdown; semantics (including the
+  * split-with-limit-(-1) edge cases on the engine whitespace class
+  * [[graft.plans.Kernels.WsRun]]) are unchanged and oracle-pinned.
   */
 object TextFunctions {
 
@@ -100,7 +101,7 @@ object TextFunctions {
 
   /** Character trigrams of the lowercased, whitespace-squashed text. */
   def charTrigrams(text: Column): Column = {
-    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val s = regexp_replace(lower(trim(text)), graft.plans.Kernels.WsRun, " ")
     transform(sequence(lit(1), greatest(length(s) - 2, lit(1))),
       i => s.substr(i, lit(3)))
   }
@@ -126,7 +127,7 @@ object TextFunctions {
 
   /** Collapse whitespace runs to single spaces and trim. */
   def normalizeWhitespace(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, graft.plans.Kernels.WsRun, " "))
 
   /** Remove URLs (http/https through the next whitespace). */
   def stripUrls(text: Column): Column =

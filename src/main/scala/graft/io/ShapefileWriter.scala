@@ -53,6 +53,8 @@ object ShapefileWriter {
     } else {
       val from = i
       while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != ')') i += 1
+      // WKT-grammar whitespace (our writers emit single spaces) — not
+      // the text-tokenizer contract (graft.plans.Kernels.isRegexWs)
       val nums = s.substring(from, i).trim.split("\\s+")
       (P(java.lang.Double.parseDouble(nums(0)), java.lang.Double.parseDouble(nums(1))), i)
     }

@@ -21,7 +21,7 @@ object Aggregators {
     */
   def concatDistinctSorted(c: Column, sep: String = "; "): Column =
     array_join(
-      array_sort(array_distinct(collect_list(trim(regexp_replace(c, "\\s+", " "))))),
+      array_sort(array_distinct(collect_list(trim(regexp_replace(c, graft.plans.Kernels.WsRun, " "))))),
       sep)
 
   /** Boolean OR aggregate over a nullable flag column (reference
@@ -56,7 +56,7 @@ object Aggregators {
     def zero: OrderedBuf = OrderedBuf(Vector.empty)
     def reduce(b: OrderedBuf, a: (Long, String)): OrderedBuf =
       if (a._2 == null) b
-      else OrderedBuf(insert(b.items, KeyedVal(a._1, a._2.trim.replaceAll("\\s+", " "))))
+      else OrderedBuf(insert(b.items, KeyedVal(a._1, a._2.trim.replaceAll(graft.plans.Kernels.WsRun, " "))))
     def merge(x: OrderedBuf, y: OrderedBuf): OrderedBuf = {
       // linear merge of two k-sorted runs
       val out = Vector.newBuilder[KeyedVal]

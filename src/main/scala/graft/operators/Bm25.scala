@@ -44,7 +44,7 @@ object Bm25 {
       sum(Exprs.scanTokens(col(textCol)).cast("long")).as("toks"))
     val qterms = queries
       .flatMap { case (qid, q) =>
-        q.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+        q.toLowerCase(java.util.Locale.ROOT).split(graft.plans.Kernels.WsRun).filter(_.nonEmpty).distinct.map(t => (qid, t))
       }.toDF("query_id", "term")
     val scored = tf
       .join(broadcast(qterms), "term")

@@ -34,7 +34,7 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     var cur = df.select(concat(lit(" "),
-      regexp_replace(trim(lower(col(textCol))), "\\s+", " "), lit(" ")).as("t"))
+      regexp_replace(trim(lower(col(textCol))), graft.plans.Kernels.WsRun, " "), lit(" ")).as("t"))
     // each round's corpus is persisted before its argmax action:
     // without the cache round i's scan re-applies all i−1 earlier
     // replaces from the raw input — a QUADRATIC recompute in k (and k
@@ -82,7 +82,7 @@ object Bpe {
       .select(col("step"), col("pair"), col("merged"))
       .collect().sortBy(_.getLong(0))
     val norm = concat(lit(" "),
-      regexp_replace(trim(lower(col(textCol))), "\\s+", " "), lit(" "))
+      regexp_replace(trim(lower(col(textCol))), graft.plans.Kernels.WsRun, " "), lit(" "))
     val encoded = merges.foldLeft(norm) { (t, m) =>
       replace(t, lit(" " + m.getString(1) + " "), lit(" " + m.getString(2) + " "))
     }

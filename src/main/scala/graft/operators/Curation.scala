@@ -41,7 +41,7 @@ object Curation {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(langCol).as("lang"), col(srcCol).as("source"))
     // stage 1: rule gate (q181's non-degenerate document rules)
-    val tk = filter(split(trim(col("text")), "\\s+"), (x: Column) => x =!= "")
+    val tk = filter(split(trim(col("text")), graft.plans.Kernels.WsRun), (x: Column) => x =!= "")
     val n = size(tk)
     val alphaFrac = size(filter(tk, (t: Column) => t.rlike("[A-Za-z]")))
       .cast("double") / greatest(n, lit(1)).cast("double")
@@ -117,7 +117,7 @@ object Curation {
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"), col(imgCol).as("img"),
       col(audCol).as("aud"), col(vidCol).as("vid"))
-    val tk = filter(split(trim(col("text")), "\\s+"), (x: Column) => x =!= "")
+    val tk = filter(split(trim(col("text")), graft.plans.Kernels.WsRun), (x: Column) => x =!= "")
     val txt = base.select(col("id"),
       (size(tk) >= minTokens && size(tk) <= maxTokens).as("ok_text"))
     val img = Multimodal.alignmentGate(base.select(col("id"), col("img")),
@@ -154,14 +154,16 @@ object Curation {
     * Line structure re-derives deterministically from the single-line
     * corpus exactly like q80/q190 (a line break after every
     * `lineTokens`-th token), via [[graft.plans.Kernels.chunkTokensWs]]
-    * — the regex-`\s` variant of the chunkTokens kernel, so the lines
-    * tokenize EXACTLY like the bigram metrics' `\s+`-split `tk` array
-    * in the same row and like the DuckDB oracle's
-    * `string_split_regex` re-lining. (Plain chunkTokens splits on
-    * `Character.isWhitespace`, which diverges from regex `\s` on
-    * U+001C–U+001F and Unicode spaces such as U+2028 — the r14/r15
-    * advisor desync; CurationSpec pins the contract with U+2028 and
-    * U+000B fixtures.) Zero tokens ⇒ one empty line (the kernel's
+    * — the engine whitespace class ([[graft.plans.Kernels.isRegexWs]],
+    * = DuckDB RE2 `\s`), so the lines tokenize EXACTLY like the bigram
+    * metrics' [[graft.plans.Kernels.WsRun]]-split `tk` array in the
+    * same row and like the DuckDB oracle's `string_split_regex`
+    * re-lining — on any corpus, including U+000B and Unicode
+    * whitespace, where Java `\s` / `Character.isWhitespace` disagree
+    * with RE2 (the r14–r16 advisor desyncs; CurationSpec pins the
+    * contract with U+2028 and U+000B fixtures, and since r17 every
+    * kernel in the engine shares this one class).
+    * Zero tokens ⇒ one empty line (the kernel's
     * zero-tokens → "" contract, and the oracle's CASE branch).
     * Scale shape: the line metrics are pure
     * in-row array arithmetic (no shuffle at all — `array_distinct` +
@@ -178,9 +180,9 @@ object Curation {
                         maxDupLineFrac: Double = 0.30,
                         maxDupCharFrac: Double = 0.20,
                         maxTopBigramCov: Double = 0.20): DataFrame = {
-    val tk = filter(split(lower(trim(col(textCol))), "\\s+"),
+    val tk = filter(split(lower(trim(col(textCol))), graft.plans.Kernels.WsRun),
       (x: Column) => x =!= "")
-    // single-pass codegen re-lining on the regex-`\s` splitter — the
+    // single-pass codegen re-lining on the engine ws class — the
     // SAME tokenization as `tk` above and the oracle's
     // string_split_regex (an in-row transform/sequence/slice regroup of
     // `tk` is bit-identical but allocates O(lines) arrays per row and

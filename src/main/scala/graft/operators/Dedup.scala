@@ -613,7 +613,7 @@ object Dedup {
                      k: Int = 5, w: Int = 4, minShared: Int = 2,
                      maxFingerprintDf: Long = 1000000L): DataFrame = {
     require(k >= 1 && w >= 1 && minShared >= 1)
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+    val toks = filter(split(lower(trim(col(textCol))), graft.plans.Kernels.WsRun),
       (x: org.apache.spark.sql.Column) => x =!= "")
     val base = df.select(col(idCol).as("id"), toks.as("tk"))
       .filter(size(col("tk")) >= k + w - 1)
@@ -773,9 +773,10 @@ object Dedup {
     require(L >= 2, s"span length L must be >= 2, got $L")
     // same single-pass kernel index as [[dupSpanStats]]; the rebuild
     // token array comes from [[Exprs.wsTokens]] — the SAME
-    // Locale.ROOT/isWhitespace scan the hash kernel runs — so removal
-    // positions index the rebuild array by construction (a regex-split
-    // rebuild desyncs on Unicode whitespace and removes wrong tokens)
+    // Locale.ROOT/isRegexWs scan the hash kernel runs — so removal
+    // positions index the rebuild array by construction (two
+    // independently-written tokenizers can desync; one shared scan
+    // cannot)
     val base = df.select(col(idCol).as("id"), Exprs.wsTokens(col(textCol)).as("tk"))
       .select(col("id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
     val nTok = size(Exprs.shingleHashesPos(col(textCol), 1))

@@ -266,10 +266,13 @@ object Exprs {
       copy(child = newChild)
   }
 
-  /** [[ChunkTokens]] on the regex-`\s` splitter (see
+  /** [[ChunkTokens]]' sibling on the engine whitespace class (see
     * [[Kernels.chunkTokensWs]]) — re-lining that stays bit-consistent
     * with regex-tokenized metrics in the same row and with a DuckDB
-    * `string_split_regex('\s+')` oracle on non-ASCII whitespace. */
+    * `string_split_regex('\s+')` oracle on non-ASCII whitespace.
+    * Since the r17 tokenizer unification the two expressions compute
+    * the same function; both names stay because PlanShapeSpec pins
+    * them in different plans. */
   case class ChunkTokensWs(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = StringType

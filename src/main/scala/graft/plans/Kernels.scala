@@ -32,9 +32,9 @@ object Kernels {
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         var h = 1125899906842597L
         var j = start
@@ -69,9 +69,9 @@ object Kernels {
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == tokStarts.length) {
           tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
@@ -131,9 +131,9 @@ object Kernels {
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == tokStarts.length) {
           tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
@@ -186,9 +186,9 @@ object Kernels {
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == tokStarts.length) {
           tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
@@ -217,14 +217,13 @@ object Kernels {
   }
 
   /** The token ARRAY behind [[shingleHashesPos]] — the identical
-    * `Locale.ROOT` lowercase + `Character.isWhitespace` scan, returned
-    * as the tokens themselves instead of shingle hashes. Span-dedup
-    * trimming needs both the hash stream (to find duplicated spans)
-    * and the token stream (to rebuild the trimmed text); deriving them
-    * from ONE tokenizer makes position desync impossible — a
-    * `split("\\s+")` rebuild (ASCII-only `\s`, UTF8String lowercase)
-    * silently removes the WRONG tokens on Unicode whitespace
-    * (U+2028, U+3000) or under a non-ROOT default locale.
+    * `Locale.ROOT` lowercase + [[isRegexWs]] scan, returned as the
+    * tokens themselves instead of shingle hashes. Span-dedup trimming
+    * needs both the hash stream (to find duplicated spans) and the
+    * token stream (to rebuild the trimmed text); deriving them from
+    * ONE tokenizer makes position desync impossible — a Spark-side
+    * `split` rebuild (UTF8String lowercase) could silently remove the
+    * WRONG tokens under a non-ROOT default locale.
     */
   def wsTokens(text: UTF8String): ArrayData = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
@@ -233,9 +232,9 @@ object Kernels {
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2)
         toks(nTok) = UTF8String.fromString(s.substring(start, i))
@@ -248,13 +247,42 @@ object Kernels {
   // ------------------------------------------------------- text metrics
   // Single-pass kernels behind graft.functions.TextFunctions. Each
   // reproduces the exact semantics of the Column chain it replaced —
-  // including Java `split("\\s+")` edge cases (a leading whitespace run
-  // after the space-only trim yields an empty first token; an
-  // all-space string yields [""]), because the DuckDB oracles pin those.
+  // including the split-with-limit-(-1) edge cases (a leading
+  // whitespace run after the space-only trim yields an empty first
+  // token; an all-space string yields [""]), because the DuckDB
+  // oracles' string_split_regex pins those.
 
-  /** Java-regex `\s` (ASCII-only, unlike Character.isWhitespace). */
-  @inline private def isRegexWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  /** The engine-wide tokenizer whitespace class — RE2 `\s` exactly as
+    * shipped in DuckDB 1.0.0: `[ \t\n\f\r]`. Pinned EMPIRICALLY against
+    * the oracle engine: DuckDB `regexp_matches(chr(11), '\s')` is
+    * FALSE, so U+000B (vertical tab) is NOT whitespace here — unlike
+    * Java regex `\s` (which adds U+000B) and `Character.isWhitespace`
+    * (which adds U+000B, U+001C–U+001F and Unicode spaces
+    * U+2028/U+3000/U+1680…). Every token scanner in this file and
+    * every Spark-side tokenizing regex ([[WsRun]]/[[UrlRun]]) shares
+    * this ONE class, so Spark tokenization replays bit-for-bit under
+    * the oracles' `string_split_regex('\s+')` on any corpus, ASCII or
+    * not. (History: through r16 this predicate was Java `\s` — a
+    * latent U+000B desync — and most kernels below scanned with
+    * `Character.isWhitespace`, diverging on the whole list above;
+    * both were green only because the driver corpora are
+    * printable-ASCII.)
+    */
+  @inline def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  /** [[isRegexWs]] as a token-splitting Java regex for Spark-side
+    * `split`/`regexp_replace` calls: spelled as an explicit class
+    * because writing `\s+` in a JAVA regex would silently re-admit
+    * U+000B and desync from the DuckDB oracles' RE2 `\s+`.
+    */
+  val WsRun: String = "[ \t\n\f\r]+"
+
+  /** RE2 `https?://\S+` as a Java regex (`\S` complements
+    * [[isRegexWs]] — a Java-regex `\S` would STOP a URL at U+000B
+    * while RE2's runs through it).
+    */
+  val UrlRun: String = "https?://[^ \t\n\f\r]+"
 
   /** (start, end) after Spark `trim` semantics: strips ' ' only. */
   @inline private def spaceTrim(s: String): (Int, Int) = {
@@ -265,7 +293,7 @@ object Kernels {
     (a, b)
   }
 
-  /** (nTokens, sumTokenLen, nStopwords) of `split(trim(s), "\\s+")` —
+  /** (nTokens, sumTokenLen, nStopwords) of `split(trim(s), WsRun)` —
     * one scan, no array. Spark's `split` runs with limit −1, so BOTH a
     * leading and a trailing whitespace run (after the space-only trim)
     * contribute an empty token; an empty trimmed string is the `[""]`
@@ -426,10 +454,11 @@ object Kernels {
   }
 
   /** Total token count under the SHINGLE tokenizer ([[minhash]] /
-    * [[shingleHashes]] semantics: `Character.isWhitespace` boundaries,
-    * empty tokens skipped — NOT the `split("\\s+")` edge-case semantics
-    * of [[tokenCount]]). The denominator for positional n-gram
-    * statistics: nShingles(k) = max(1, scanTokens − k + 1) when > 0.
+    * [[shingleHashes]] semantics: [[isRegexWs]] boundaries, empty
+    * tokens skipped — NOT the split-with-limit-(-1) edge-case
+    * semantics of [[tokenCount]], which keeps leading/trailing empty
+    * tokens). The denominator for positional n-gram statistics:
+    * nShingles(k) = max(1, scanTokens − k + 1) when > 0.
     */
   def scanTokens(text: UTF8String): Int = {
     val s = text.toString
@@ -437,9 +466,9 @@ object Kernels {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) n += 1
     }
     n
@@ -459,9 +488,9 @@ object Kernels {
     var tok = 0
     val len = s.length
     while (i < len && tok < n) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (tok > 0) sb.append(' ')
         sb.append(s, start, i)
@@ -474,41 +503,25 @@ object Kernels {
   /** Lowercased whitespace tokens joined by single spaces with a
     * newline after every `n`-th token — re-lines unstructured text to a
     * fixed token granularity for line-level operators
-    * ([[graft.operators.Dedup.lineDedup]]). Single pass like
-    * [[prefixTokens]]; no tokens → "". (A backtracking-regex
-    * formulation of the same transform measured ~0.4 ms/doc — this
-    * kernel is linear.)
+    * ([[graft.operators.Dedup.lineDedup]]). Since the r17 tokenizer
+    * unification this IS [[chunkTokensWs]] — both names kept because
+    * the `chunk_tokens` / `chunk_tokens_ws` expressions are pinned
+    * separately by PlanShapeSpec gates.
     */
-  def chunkTokens(text: UTF8String, n: Int): UTF8String = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    var tok = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) {
-        if (tok > 0) sb.append(if (tok % n == 0) '\n' else ' ')
-        sb.append(s, start, i)
-        tok += 1
-      }
-    }
-    UTF8String.fromString(sb.toString)
-  }
+  def chunkTokens(text: UTF8String, n: Int): UTF8String =
+    chunkTokensWs(text, n)
 
-  /** [[chunkTokens]] with the regex-`\s` splitter ([[isRegexWs]] —
-    * identical in Java regex and DuckDB's RE2) instead of
-    * `Character.isWhitespace`: for consumers whose sibling metrics
-    * tokenize by regex `\s` IN THE SAME ROW and whose DuckDB oracle
-    * re-lines from `string_split_regex('\s+')` tokens
-    * ([[graft.operators.Curation.repetitionProfile]], q201). The two
-    * splitters agree on every ASCII-text corpus but diverge on
-    * U+001C–U+001F and Unicode spaces (U+2028, U+3000…): isWhitespace
-    * splits there, regex `\s` does not — so a chunkTokens re-lining
-    * desyncs against regex-tokenized bigram metrics (r15 advisor).
-    * Same single pass, same zero-tokens → "" contract.
+  /** Re-lining on the engine whitespace class ([[isRegexWs]] — RE2
+    * `\s` as shipped in DuckDB 1.0.0; NOT Java `\s`, which adds
+    * U+000B): for consumers whose sibling metrics tokenize by regex
+    * `\s` IN THE SAME ROW and whose DuckDB oracle re-lines from
+    * `string_split_regex('\s+')` tokens
+    * ([[graft.operators.Curation.repetitionProfile]], q201). Single
+    * pass like [[prefixTokens]]; zero tokens → "". (A backtracking-
+    * regex formulation measured ~0.4 ms/doc; an in-row
+    * transform/sequence/slice regroup of the token array measured
+    * 1.4× slower at sf0.1 — this kernel is linear and allocation-
+    * light.)
     */
   def chunkTokensWs(text: UTF8String, n: Int): UTF8String = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
@@ -545,9 +558,9 @@ object Kernels {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == tokStarts.length) {
           tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
@@ -594,9 +607,9 @@ object Kernels {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         var h = 1125899906842597L
         var j = start
@@ -857,7 +870,7 @@ object Kernels {
   }
 
   /** Per-document term frequencies in ONE row-local pass: lowercase
-    * whitespace tokens (the `split(lower(trim(s)), "\\s+")` +
+    * whitespace tokens (the `split(lower(trim(s)), WsRun)` +
     * nonempty-filter semantics) → insertion-ordered term→count map.
     * Exploding this map replaces the corpus-wide `(doc, term)`
     * count aggregation — the first and biggest shuffle of TF-IDF —
@@ -893,8 +906,8 @@ object Kernels {
   }
 
   /** Per-document adjacent-token-PAIR frequencies in one row-local
-    * pass ([[termCounts]]'s bigram sibling; same `\\s+` tokenizer,
-    * pairs joined by a single space). Exploding this map keeps
+    * pass ([[termCounts]]'s bigram sibling; same [[isRegexWs]]
+    * tokenizer, pairs joined by a single space). Exploding this map keeps
     * bigram-model training shuffles distinct-pair-per-doc sized —
     * pair multiplicity never crosses the wire.
     */
@@ -1136,9 +1149,9 @@ object Kernels {
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == tokStarts.length) {
           tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
@@ -1194,9 +1207,9 @@ object Kernels {
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == tokStarts.length) {
           tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)

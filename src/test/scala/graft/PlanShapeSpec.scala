@@ -638,9 +638,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q201: line metrics ride the codegen kernel; every window doc-keyed") {
     val p = plan("q201_repetition_profile")
-    // the re-lining must be the single-pass chunk_tokens_ws kernel, not
-    // plain chunk_tokens (Character.isWhitespace — the r15 Unicode
-    // desync) and not an in-row array regroup (O(lines) allocations)
+    // the re-lining must be the single-pass chunk_tokens_ws kernel and
+    // not an in-row array regroup (O(lines) allocations). Since the r17
+    // tokenizer unification chunk_tokens computes the same function,
+    // but q201's plan stays pinned to the _ws name — the kernel whose
+    // contract (engine ws class = RE2 \s) the r15/r16 advisors audited
     assert(p.contains("chunk_tokens_ws"),
       s"q201 must re-line via the regex-\\s kernel:\n$p")
     assert(!p.contains("chunk_tokens("),

@@ -13,6 +13,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // pin the JVM default locale: Spark's String.toLowerCase non-ASCII
+    // path reads it, the kernels use Locale.ROOT explicitly — under a
+    // non-ROOT default (tr-TR: 'I'→'ı') the two lowerings desync
+    // (r16 advisor)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -261,7 +261,7 @@ class FunctionsSpec extends SparkSpec {
   test("text kernels match the original higher-order Column chains") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // adversarial inputs for the split("\\s+") edge cases the kernels
+    // adversarial inputs for the split(graft.plans.Kernels.WsRun) edge cases the kernels
     // must reproduce: leading/trailing spaces, non-space whitespace,
     // punctuation runs, empties
     val samples = Seq(
@@ -273,17 +273,17 @@ class FunctionsSpec extends SparkSpec {
     val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val legacy = df.select(col("id"),
       when(trim(col("text")) === "" || col("text").isNull, lit(0))
-        .otherwise(size(split(trim(col("text")), "\\s+"))).as("tc"),
+        .otherwise(size(split(trim(col("text")), graft.plans.Kernels.WsRun))).as("tc"),
       size(filter(split(col("text"), "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
         t => trim(t) =!= "")).as("sw"),
-      (size(filter(split(lower(trim(col("text"))), "\\s+"),
+      (size(filter(split(lower(trim(col("text"))), graft.plans.Kernels.WsRun),
         t => t.isInCollection(TextFunctions.Stopwords))).cast("double") /
-        greatest(size(split(lower(trim(col("text"))), "\\s+")), lit(1)).cast("double")).as("sr"),
-      ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
+        greatest(size(split(lower(trim(col("text"))), graft.plans.Kernels.WsRun)), lit(1)).cast("double")).as("sr"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 \t\n\f\r]", "")))
         .cast("double") / greatest(length(col("text")), lit(1)).cast("double")).as("pr"),
-      (aggregate(split(trim(col("text")), "\\s+"), lit(0L), (acc, t) => acc + length(t))
+      (aggregate(split(trim(col("text")), graft.plans.Kernels.WsRun), lit(0L), (acc, t) => acc + length(t))
         .cast("double") /
-        greatest(size(split(trim(col("text")), "\\s+")), lit(1)).cast("double")).as("mtl"),
+        greatest(size(split(trim(col("text")), graft.plans.Kernels.WsRun)), lit(1)).cast("double")).as("mtl"),
       aggregate(transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
         lit(0L), (acc, c) => acc * lit(31L) + c).as("fp"))
       .collect().map(r => r.getLong(0) ->
@@ -306,7 +306,7 @@ class FunctionsSpec extends SparkSpec {
   test("repeatedNgramFraction: brute-force equality and edge cases") {
     import spark.implicits._
     def brute(text: String, k: Int): Double = {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val toks = text.toLowerCase.split(graft.plans.Kernels.WsRun).filter(_.nonEmpty).toSeq
       if (toks.isEmpty) return 0.0
       val total = math.max(toks.size - k + 1, 1)
       val grams = (0 until total).map(i => toks.slice(i, i + k).mkString(" "))
@@ -361,7 +361,7 @@ class FunctionsSpec extends SparkSpec {
       (s.next, r :: acc)
     }.drop(200).next()._2
     def toks(t: String): Seq[String] =
-      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      t.toLowerCase.split(graft.plans.Kernels.WsRun).filter(_.nonEmpty).toSeq
     val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val got = df.select(col("id"),
         graft.plans.Exprs.scanTokens(col("text")).as("n"),
@@ -379,8 +379,10 @@ class FunctionsSpec extends SparkSpec {
       val wantTts = if (tk.isEmpty) 0.0
         else tk.groupBy(identity).values.map(_.size).max.toDouble / tk.size
       val (gn, gct, gcw, gtts) = got(i.toLong)
-      // Character.isWhitespace vs regex \s agree on this whole
-      // alphabet: VT is whitespace in both, NBSP a token char in both
+      // the alphabet exercises the engine ws class (RE2 \s) where it
+      // DISAGREES with Java \s and Character.isWhitespace: VT (U+000B)
+      // is a token char here (DuckDB regexp_matches(chr(11), '\s') is
+      // false); NBSP is a token char everywhere
       assert(gn === tk.size, s"scanTokens on ${t.map(_.toInt)}")
       assert(gct === wantChunk, s"chunkTokens on ${t.map(_.toInt)}")
       assert(gcw === wantWin, s"chunkWindows on ${t.map(_.toInt)}")
@@ -559,5 +561,96 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextFunctions.blocklistHits(col("t"), Seq.empty) }
     intercept[IllegalArgumentException] { TextFunctions.blocklistHits(col("t"), Seq("a", "A")) }
     intercept[IllegalArgumentException] { TextFunctions.blocklistHits(col("t"), Seq("")) }
+  }
+
+  test("r17 whitespace contract: every token kernel treats U+000B / " +
+      "U+001C-U+001F / U+2028 / U+3000 as TOKEN characters (= DuckDB RE2 \\s)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.Kernels
+    def u(t: String) = UTF8String.fromString(t)
+    // each char below is Character.isWhitespace (and U+000B is even
+    // Java-regex \s) yet NOT RE2 \s as shipped in DuckDB 1.0.0 — the
+    // engine class must keep ALL of them inside tokens, in every
+    // kernel of the family (the r16 verdict's named round-17 task)
+    val gluers = Seq(0x000B, 0x001C, 0x001D, 0x001E, 0x001F,
+                     0x2028, 0x2029, 0x3000, 0x2000, 0x1680).map(_.toChar)
+    for (w <- gluers) {
+      val g = s"A${w}b"        // ONE token under the engine class
+      val t = s"$g c $g c"     // 4 tokens: [a<w>b, c, a<w>b, c]
+      val lg = g.toLowerCase(java.util.Locale.ROOT)
+      assert(Kernels.scanTokens(u(t)) === 4, s"scanTokens U+${w.toInt}")
+      assert(Kernels.tokenCount(u(t)) === 4, s"tokenCount U+${w.toInt}")
+      assert(Kernels.meanTokenLen(u(g)) === 3.0, s"meanTokenLen U+${w.toInt}")
+      assert(Kernels.punctRatio(u(g)) === (1.0 / 3),
+        s"punctRatio: U+${w.toInt} is NOT \\s, counts as punct")
+      assert(Kernels.prefixTokens(u(t), 1).toString === lg,
+        s"prefixTokens U+${w.toInt}")
+      assert(Kernels.chunkTokens(u(t), 1).toString === s"$lg\nc\n$lg\nc",
+        s"chunkTokens U+${w.toInt}")
+      assert(Kernels.chunkTokensWs(u(t), 1).toString === s"$lg\nc\n$lg\nc",
+        s"chunkTokensWs U+${w.toInt}")
+      assert(Kernels.wsTokens(u(t)).numElements === 4, s"wsTokens U+${w.toInt}")
+      assert(Kernels.chunkWindows(u(t), 2, 2).numElements === 2,
+        s"chunkWindows U+${w.toInt}")
+      assert(Kernels.topTokenShare(u(t)) === 0.5, s"topTokenShare U+${w.toInt}")
+      assert(Kernels.termCounts(u(t)).numElements === 2, s"termCounts U+${w.toInt}")
+      assert(Kernels.pairCounts(u(t)).numElements === 2,
+        s"pairCounts: distinct pairs [lg c] and [c lg], U+${w.toInt}")
+      assert(Kernels.termBuckets(u(t), 1024).numElements === 7,
+        s"termBuckets: 4 unigrams + 3 bigrams, U+${w.toInt}")
+      assert(Kernels.shingleHashes(u(t), 1).numElements === 2,
+        s"shingleHashes k=1 distinct tokens, U+${w.toInt}")
+      assert(Kernels.shingleHashesPos(u(t), 1).numElements === 4,
+        s"shingleHashesPos U+${w.toInt}")
+      // the glued pair must hash as ONE token everywhere: the same
+      // text with the char REPLACED by a real separator hashes apart
+      assert(Kernels.simhash(u(t)) !== Kernels.simhash(u("a b c a b c")),
+        s"simhash must NOT split at U+${w.toInt}")
+      assert(Kernels.minhash(u(t), 2, 8).toLongArray.toSeq !==
+        Kernels.minhash(u("a b c a b c"), 2, 8).toLongArray.toSeq,
+        s"minhash must NOT split at U+${w.toInt}")
+      val wts = Array.tabulate(1024)(i => (i % 7) * 0.001)
+      assert(Kernels.linearTextScore(u(t), wts) !==
+        Kernels.linearTextScore(u("a b c a b c"), wts),
+        s"linearTextScore must NOT split at U+${w.toInt}")
+    }
+  }
+
+  test("r17 case-folding parity: Spark lower() and the kernels' " +
+      "Locale.ROOT lowering agree on U+0130 / U+1E9E / U+03A3") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.Kernels
+    // the three classic one-way foldings: U+0130 (Turkish dotted
+    // capital I), U+1E9E (capital sharp s), U+03A3 (capital sigma —
+    // context-sensitive final form in full case mapping). The kernels
+    // lower via String.toLowerCase(Locale.ROOT); Spark's lower() must
+    // agree or per-row metrics desync from kernel tokenization (r16
+    // advisor low — the harness also pins the JVM default locale to
+    // ROOT in SparkSpec/Verify/Bench). DuckDB boundary (pinned
+    // empirically, documented in SCALE.md): lower(U+1E9E)=U+00DF and
+    // non-final lower(U+03A3)=U+03C3 agree with the JVM; U+0130 does
+    // NOT (DuckDB 'i' = 1 cp, JVM 'i'+U+0307 = 2 cp) and word-FINAL
+    // U+03A3 does NOT (DuckDB simple mapping keeps U+03C3, the JVM's
+    // full mapping emits final-form U+03C2) — so uppercase U+0130 and
+    // U+03A3 never enter fabricated corpora; this fixture pins the
+    // INTRA-ENGINE agreement that keeps Spark self-consistent.
+    val words = Seq("İSTANBUL", "STRAẞE", "ΣOΦOΣ")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val sparkLower = df.select(col("id"), lower(col("text")).as("lo"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      val kernelLower = Kernels.prefixTokens(UTF8String.fromString(w), 1).toString
+      assert(sparkLower(i.toLong) === kernelLower,
+        s"Spark lower() vs kernel Locale.ROOT lowering on $w")
+      assert(kernelLower === w.toLowerCase(java.util.Locale.ROOT))
+    }
+    // chunkTokensWs + shingleHashes run the same lowering: a document
+    // whose only difference is pre-folded case hashes identically
+    val a = UTF8String.fromString("STRAẞE ΣIGMA")
+    val b = UTF8String.fromString("straße σigma")
+    assert(Kernels.chunkTokensWs(a, 8).toString === Kernels.chunkTokensWs(b, 8).toString)
+    assert(Kernels.shingleHashes(a, 2).toLongArray.toSeq ===
+      Kernels.shingleHashes(b, 2).toLongArray.toSeq)
   }
 }

@@ -154,18 +154,22 @@ class CurationSpec extends SparkSpec {
   }
 
   test("repetitionProfile: Unicode whitespace — lines share the bigrams' " +
-      "regex-\\s tokenization (U+2028 glues, U+000B splits), zero tokens " +
+      "engine-ws tokenization (U+2028 AND U+000B glue), zero tokens " +
       "is one empty line") {
     import spark.implicits._
     // U+2028 (LINE SEPARATOR) is Character.isWhitespace but NOT regex
     // `\s` in either Java or DuckDB's RE2 — it must stay INSIDE a token,
     // in the line metrics exactly as in the bigram metrics (the r14/r15
     // advisor desync: a chunkTokens-based re-lining split here while
-    // the bigrams and the oracle did not). U+000B (vertical tab) IS
-    // `\s` in both engines and must split.
-    val glued = "A\u2028b c d"                        // tk = [a U+2028 b, c, d]
-    val vtab = Array.fill(8)("P\u000bQ").mkString(" ") // tk = 16 of p,q
-    val blank = "   "                                  // zero tokens
+    // the bigrams and the oracle did not). U+000B (vertical tab) is
+    // Java-`\s` but NOT RE2 `\s` as shipped in DuckDB 1.0.0
+    // (regexp_matches(chr(11), '\s') is FALSE — pinned empirically,
+    // r16 advisor): the engine class (Kernels.isRegexWs = RE2 `\s`)
+    // keeps it inside the token too. tools/unicode_corpus.py plants
+    // both characters in a full-corpus oracle replay.
+    val glued = "A\u2028b c d" // tk = [a U+2028 b, c, d]
+    val vtab = "A\u000bb c d"  // tk = [a U+000B b, c, d] — same shape
+    val blank = "   "          // zero tokens
     val df = Seq((1L, glued), (2L, vtab), (3L, blank)).toDF("doc_id", "text")
     val got = Curation.repetitionProfile(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -179,11 +183,13 @@ class CurationSpec extends SparkSpec {
     assert(n1 === 1L && dl1 === 0.0 && dc1 === 0.0)
     assert(tb1 === "a\u2028b c", "U+2028 must stay inside the token")
     assert(cov1 === math.rint(5.0 / 7.0 * 1e6) / 1e6 && !k1)
-    // doc 2: 16 tokens (U+000B splits in BOTH engines) -> two identical
-    // 8-token lines of 15 chars; top bigram "p q" x8 of 15 -> 24/30
+    // doc 2: identical shape with U+000B — one 7-char line, top
+    // bigram [a U+000B b, c] covering 5/7
     val (n2, dl2, dc2, tb2, cov2, k2) = got(2L)
-    assert(n2 === 2L && dl2 === 0.5 && dc2 === 0.5)
-    assert(tb2 === "p q" && cov2 === 0.8 && !k2)
+    assert(n2 === 1L && dl2 === 0.0 && dc2 === 0.0)
+    assert(tb2 === "a\u000bb c",
+      "U+000B must stay inside the token (RE2 \\s excludes it)")
+    assert(cov2 === math.rint(5.0 / 7.0 * 1e6) / 1e6 && !k2)
     // doc 3: zero tokens -> exactly one EMPTY line (the oracle's
     // CASE len(tk)=0 branch): no dup, no bigram, kept
     val (n3, dl3, dc3, tb3, cov3, k3) = got(3L)

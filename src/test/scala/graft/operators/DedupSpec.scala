@@ -230,10 +230,12 @@ class DedupSpec extends SparkSpec {
   test("dupSpanTrim: Unicode whitespace — positions and rebuild share one tokenizer") {
     import spark.implicits._
     val planted = (1 to 10).map(i => s"p$i").mkString(" ")
-    // U+3000 ideographic space and U+2028 line separator are whitespace
-    // to Character.isWhitespace (the hash kernel's tokenizer) but NOT
-    // to Java-regex \s — a regex-split rebuild desyncs its positions
-    // against the kernel's and silently removes the WRONG tokens
+    // U+3000 ideographic space is whitespace to Character.isWhitespace
+    // but NOT to the engine class (Kernels.isRegexWs = DuckDB RE2 \s,
+    // r17 unification): it stays INSIDE a token, identically in the
+    // hash stream and the rebuild stream — one shared scan makes a
+    // position desync impossible, and the oracles'
+    // string_split_regex('\s+') tokenizes the same way
     val docs = Seq(
       (0L, s"alpha　beta $planted gamma"),
       (1L, s"x1 x2　x3 $planted y1 y2"))
@@ -241,13 +243,16 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.dupSpanTrim(df, "text", "doc_id", L = 8)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
-    assert(got(0L)._1 === 13L && got(1L)._1 === 15L)
+    // "alpha　beta" and "x1 x2　x3" are ONE token each now
+    assert(got(0L)._1 === 12L && got(1L)._1 === 13L)
     // doc 0 (lowest id) owns the planted run; doc 1 loses exactly the
     // 10 planted tokens and keeps every x/y token intact
     assert(got(0L)._2 === 0L)
-    assert(got(0L)._3 === s"alpha beta $planted gamma")
+    assert(got(0L)._3 === s"alpha　beta $planted gamma")
     assert(got(1L)._2 === 10L)
-    assert(got(1L)._3 === "x1 x2 x3 y1 y2")
+    // the raw U+2028 between x1/x2 and the U+3000 between x2/x3 both
+    // stay inside one token — nothing is re-spaced
+    assert(got(1L)._3 === "x1 x2　x3 y1 y2")
     // n_tokens agrees with dupSpanStats — same kernel on both sides
     val st = Dedup.dupSpanStats(df, "text", "doc_id", L = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
