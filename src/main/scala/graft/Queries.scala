@@ -1856,15 +1856,17 @@ object Queries {
 
     Q("q79_heavy_hitters",
       (s, d) => {
-        // corpus-wide top-10 tokens via Misra–Gries. Capacity 64
-        // exceeds this corpus's distinct-token count, so the sketch is
-        // provably exact here and the oracle checks true frequencies;
-        // the sub-capacity error bound (n/capacity) is unit-tested in
-        // SketchesSpec for the general case.
+        // corpus-wide top-10 tokens via Misra–Gries. Capacity 4096
+        // exceeds the distinct-token count of every verify corpus
+        // (sf0.01 = 31; the r17 Unicode twin's glue-planting mints
+        // ~566), so the sketch is provably exact here and the oracle
+        // checks true frequencies; the sub-capacity error bound
+        // (n/capacity) is unit-tested in SketchesSpec for the general
+        // case.
         val toks = documents(s, d).select(
             explode(split(lower(trim(col("text"))), graft.plans.Kernels.WsRun)).as("term"))
           .filter(length(col("term")) > 0)
-        Sketches.heavyHitters(toks, "term", capacity = 64, topN = 10)
+        Sketches.heavyHitters(toks, "term", capacity = 4096, topN = 10)
       },
       Some("""SELECT term, count(*) AS est_count,
              |CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS BIGINT) AS rank

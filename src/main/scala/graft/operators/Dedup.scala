@@ -110,6 +110,15 @@ object Dedup {
     * |len(a)−len(b)| ≤ maxDist prefilter. Texts are fetched by
     * joining back on id — candidate rows never carry two documents
     * through the banding shuffle.
+    *
+    * Distance unit: UTF-8 BYTES, not code points — DuckDB (the oracle
+    * engine) ships a byte-based `levenshtein`, so the lowered text is
+    * re-viewed byte-per-char (`decode(encode(·,'UTF-8'),'ISO-8859-1')`)
+    * before Spark's code-point levenshtein, making both engines count
+    * the same unit (pinned on the r17 Unicode corpus: DuckDB
+    * levenshtein('é','e') = 2). The two units coincide on ASCII; the
+    * length prefilter uses the same byte view so it can never cut a
+    * pair the byte distance would keep.
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
                         maxDist: Int, shingleK: Int = 3, numPerms: Int = 64,
@@ -119,7 +128,8 @@ object Dedup {
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numPerms,
         bands, candThreshold, maxCandidatePairs)
       .select(col("id_a"), col("id_b"))
-    val txt = df.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+    val txt = df.select(col(idCol).as("id"),
+      decode(encode(lower(col(textCol)), "UTF-8"), "ISO-8859-1").as("t"))
     cand
       .join(txt.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
