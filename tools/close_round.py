@@ -57,29 +57,35 @@ def _prev_bench_commit_unix():
         capture_output=True, text=True).stdout.strip()
     return int(r) if r else 0
 
+# the capture file to promote: honor SPARK_GRAFT_BENCH_OUT exactly like
+# graft.Bench does (r16 advisor: validating the hardcoded default path
+# while a fresh capture went to the env path would leave an older
+# same-round default-path file silently promotable — the stamped file
+# this gate validates must be the one the capture actually wrote)
+capture_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
 if not os.path.exists(bench):
-    if os.path.exists("bench_full.json"):
-        payload = json.load(open("bench_full.json"))
+    if os.path.exists(capture_path):
+        payload = json.load(open(capture_path))
         c = payload.get("canary_sec")
         stamp = payload.get("captured_unix")  # emitted by graft.Bench since r16
         floor_unix = _prev_bench_commit_unix()
         if c is None or not (CANARY_BAND[0] <= c <= CANARY_BAND[1]):
-            fail(f"{bench}: bench_full.json canary {c}s outside quiet band "
+            fail(f"{bench}: {capture_path} canary {c}s outside quiet band "
                  f"{CANARY_BAND} — noisy capture, not promotable", recapture)
         elif stamp is None:
-            fail(f"{bench}: bench_full.json has no captured_unix stamp — "
+            fail(f"{bench}: {capture_path} has no captured_unix stamp — "
                  "pre-r16 capture of unknown provenance, not promotable",
                  recapture)
         elif stamp < floor_unix:
-            fail(f"{bench}: bench_full.json captured_unix {stamp} predates "
+            fail(f"{bench}: {capture_path} captured_unix {stamp} predates "
                  f"round {n - 1}'s bench commit ({floor_unix}) — stale "
                  "capture from an earlier round, not promotable", recapture)
         else:
-            shutil.copy("bench_full.json", bench)
-            print(f"promoted bench_full.json -> {bench} "
+            shutil.copy(capture_path, bench)
+            print(f"promoted {capture_path} -> {bench} "
                   f"(canary {c}s in band, stamp {stamp} fresh)")
     else:
-        fail(f"{bench} (no bench_full.json to promote either)", recapture)
+        fail(f"{bench} (no {capture_path} to promote either)", recapture)
 if os.path.exists(bench):
     c = json.load(open(bench)).get("canary_sec")
     if c is None or not (CANARY_BAND[0] <= c <= CANARY_BAND[1]):
@@ -103,7 +109,16 @@ else:
 # 3. bench_diff artifact vs the previous round --------------------------
 prev = f"BENCH_r{n - 1:02d}_full.json"
 diff_art = f"ab/bench_diff_r{n:02d}.txt"
-if os.path.exists(prev) and os.path.exists(bench):
+def _git_tracked(path):
+    return subprocess.run(["git", "ls-files", "--error-unmatch", path],
+                          capture_output=True).returncode == 0
+if os.path.exists(diff_art) and _git_tracked(diff_art):
+    # committed artifacts are immutable history: a re-run of this gate
+    # (same round or a later round's adjudication) must VALIDATE them,
+    # never regenerate them (r16 verdict #4 — the r15 close rewrote
+    # ab/bench_diff_r16.txt, byte-identical only by luck of determinism)
+    print(f"{diff_art} already committed — validating, not regenerating")
+elif os.path.exists(prev) and os.path.exists(bench):
     os.makedirs("ab", exist_ok=True)
     r = subprocess.run([sys.executable, "tools/bench_diff.py", prev, bench],
                        capture_output=True, text=True)
