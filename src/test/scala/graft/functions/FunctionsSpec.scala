@@ -653,4 +653,108 @@ class FunctionsSpec extends SparkSpec {
     assert(Kernels.shingleHashes(a, 2).toLongArray.toSeq ===
       Kernels.shingleHashes(b, 2).toLongArray.toSeq)
   }
+
+  test("r17 tokenizer property: every kernel equals the WsRun-regex " +
+      "model on random Unicode text (fixed fixtures generalized)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.Kernels
+    def u(t: String) = UTF8String.fromString(t)
+    // The reference model is built ONLY from Java-regex operations on
+    // the explicit class Kernels.WsRun ([ \t\n\f\r]+) — an explicit
+    // class means Java regex and DuckDB's RE2 agree char-for-char, so
+    // "kernel == model" here IS the cross-engine tokenizer contract,
+    // over arbitrary input rather than the fixed glue fixtures above.
+    def lo(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def refToks(s: String): Vector[String] =
+      s.split(Kernels.WsRun).toVector.filter(_.nonEmpty)
+    // Spark split(trim(s), WsRun) model: space-only trim, limit −1
+    // (leading/trailing runs keep an empty token; all-space → [""])
+    def refSplitTrimmed(s: String): Vector[String] = {
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      if (t.isEmpty) Vector("") else t.split(Kernels.WsRun, -1).toVector
+    }
+    def strings(a: org.apache.spark.sql.catalyst.util.ArrayData): Vector[String] =
+      (0 until a.numElements).map(a.getUTF8String(_).toString).toVector
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+    val weights = Array.tabulate(1024)(i => ((i * 37) % 11) * 0.01)
+    // alphabet: engine separators, every char class where the OLD
+    // splitters disagreed (VT, FS..US, LS/PS, ideographic/NBSP/ogham
+    // spaces), ASCII alnum, non-ASCII lowercase-stable letters, punct
+    val alphabet = Gen.frequency(
+      (8, Gen.oneOf(' ', '\t', '\n', '\f', '\r')),
+      (6, Gen.oneOf('\u000B', '\u001C', '\u001D', '\u001E', '\u001F',
+        '\u2028', '\u2029', '\u3000', '\u00A0', '\u1680', '\u2008')),
+      (20, Gen.alphaNumChar),
+      (4, Gen.oneOf('ß', 'σ', 'é', 'ı', 'ж', 'ö')),
+      (3, Gen.oneOf('.', ',', '/', '-', '_', '(', ')')))
+    val genText = Gen.chooseNum(0, 80)
+      .flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+    val edges = Seq("", " ", "  \t\n", "\u000B", "a", " a ", "\ta\rb\n",
+      "a\u2028b \u3000 c", "x".*(5))
+    var checked = 0
+    def checkOne(s: String): Unit = {
+      checked += 1
+      val raw = refToks(s)            // un-lowered tokens
+      val lt = refToks(lo(s))         // lowered tokens (kernel order)
+      val st = refSplitTrimmed(s)     // split(trim(s)) with empties
+      assert(Kernels.scanTokens(u(s)) === raw.length, s"scanTokens '$s'")
+      assert(Kernels.tokenCount(u(s)) ===
+        (if (s.forall(_ == ' ')) 0 else st.length), s"tokenCount '$s'")
+      assert(Kernels.meanTokenLen(u(s)) ===
+        st.map(cp).sum.toDouble / math.max(st.length, 1), s"meanTokenLen '$s'")
+      // punct model: code points surviving removal of alnum + engine ws
+      assert(Kernels.punctRatio(u(s)) ===
+        cp(s.replaceAll("[A-Za-z0-9 \t\n\f\r]", "")).toDouble / math.max(cp(s), 1),
+        s"punctRatio '$s'")
+      assert(strings(Kernels.wsTokens(u(s))) === lt, s"wsTokens '$s'")
+      assert(Kernels.prefixTokens(u(s), 3).toString ===
+        lt.take(3).mkString(" "), s"prefixTokens '$s'")
+      assert(Kernels.chunkTokensWs(u(s), 3).toString ===
+        lt.grouped(3).map(_.mkString(" ")).mkString("\n"), s"chunkTokensWs '$s'")
+      assert(Kernels.chunkTokens(u(s), 3).toString ===
+        Kernels.chunkTokensWs(u(s), 3).toString, s"chunkTokens alias '$s'")
+      val windows = Iterator.range(0, lt.length, 2)
+        .map(off => lt.slice(off, off + 4).mkString(" ")).toVector
+      assert(strings(Kernels.chunkWindows(u(s), 4, 2)) === windows,
+        s"chunkWindows '$s'")
+      val tc = Kernels.termCounts(u(s))
+      val tcMap = (0 until tc.numElements).map(i =>
+        tc.keyArray.getUTF8String(i).toString -> tc.valueArray.getInt(i)).toMap
+      assert(tcMap === lt.groupBy(identity).map { case (k, v) => k -> v.size },
+        s"termCounts '$s'")
+      val pc = Kernels.pairCounts(u(s))
+      val pcMap = (0 until pc.numElements).map(i =>
+        pc.keyArray.getUTF8String(i).toString -> pc.valueArray.getInt(i)).toMap
+      val refPairs = lt.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toVector
+      assert(pcMap === refPairs.groupBy(identity).map { case (k, v) => k -> v.size },
+        s"pairCounts '$s'")
+      assert(Kernels.termBuckets(u(s), 1024).numElements ===
+        lt.length + math.max(0, lt.length - 1), s"termBuckets '$s'")
+      assert(Kernels.shingleHashes(u(s), 1).numElements === lt.distinct.length,
+        s"shingleHashes k=1 '$s'")
+      assert(Kernels.shingleHashesPos(u(s), 1).numElements === lt.length,
+        s"shingleHashesPos k=1 '$s'")
+      assert(Kernels.topTokenShare(u(s)) === (if (lt.isEmpty) 0.0
+        else lt.groupBy(identity).values.map(_.size).max.toDouble / lt.length),
+        s"topTokenShare '$s'")
+      // separator invariance: rejoining the raw tokens with plain
+      // spaces must be invisible to every hash/score kernel (only
+      // token CONTENT may matter, never which separator split them)
+      val rejoined = raw.mkString(" ")
+      assert(Kernels.simhash(u(s)) === Kernels.simhash(u(rejoined)),
+        s"simhash separator invariance '$s'")
+      assert(Kernels.minhash(u(s), 2, 8).toLongArray.toSeq ===
+        Kernels.minhash(u(rejoined), 2, 8).toLongArray.toSeq,
+        s"minhash separator invariance '$s'")
+      assert(Kernels.shingleHashes(u(s), 3).toLongArray.toSeq ===
+        Kernels.shingleHashes(u(rejoined), 3).toLongArray.toSeq,
+        s"shingleHashes separator invariance '$s'")
+      assert(Kernels.linearTextScore(u(s), weights) ===
+        Kernels.linearTextScore(u(rejoined), weights),
+        s"linearTextScore separator invariance '$s'")
+    }
+    edges.foreach(checkOne)
+    forAllSampled(genText, n = 300)(checkOne)
+    assert(checked >= 200, s"generator must actually produce samples, got $checked")
+  }
 }
