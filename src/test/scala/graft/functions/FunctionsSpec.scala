@@ -706,6 +706,10 @@ class FunctionsSpec extends SparkSpec {
       assert(Kernels.punctRatio(u(s)) ===
         cp(s.replaceAll("[A-Za-z0-9 \t\n\f\r]", "")).toDouble / math.max(cp(s), 1),
         s"punctRatio '$s'")
+      val stl = refSplitTrimmed(lo(s))
+      assert(Kernels.stopwordRatio(u(s)) ===
+        stl.count(TextFunctions.Stopwords.contains).toDouble / math.max(stl.length, 1),
+        s"stopwordRatio '$s'")
       assert(strings(Kernels.wsTokens(u(s))) === lt, s"wsTokens '$s'")
       assert(Kernels.prefixTokens(u(s), 3).toString ===
         lt.take(3).mkString(" "), s"prefixTokens '$s'")
