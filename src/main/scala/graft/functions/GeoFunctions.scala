@@ -193,6 +193,12 @@ object GeoFunctions {
   private case class WPair(json: String) extends W
   private case class WList(items: Seq[W]) extends W
 
+  // FORMAT whitespace (WKT/JSON grammar separators), deliberately NOT
+  // Kernels.isRegexWs: the r17 tokenizer contract governs document-text
+  // tokenization against string_split_regex oracles; no oracle ever
+  // tokenizes WKT/GeoJSON text, whose inputs are this engine's own
+  // writers plus the reference's ASCII files. isWhitespace is the
+  // lenient superset parse.
   private def parseWkt(s: String, start: Int): (W, Int) = {
     var i = start
     while (i < s.length && s.charAt(i).isWhitespace) i += 1

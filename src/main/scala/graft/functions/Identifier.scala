@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions.udf
   * wrapped in a UDF for the DataFrame surface. At reference scale (627
   * rows) a codegen `Expression` buys nothing; the pure function keeps the
   * door open (SURVEY §7 "custom vs built-in").
+  *
+  * Whitespace-class boundary (deliberate, outside the r17 tokenizer
+  * contract): step 4 uses Java `\s` while the reference's stringr runs
+  * ICU regex, whose `\s` adds Unicode spaces (NBSP, U+2028, U+3000…).
+  * The inputs are the reference's own portal CSVs — ASCII whitespace
+  * only, pinned by the golden-identifier tests — so the classes never
+  * diverge on real data; and this function's authority is REFERENCE
+  * parity (R, golden-pinned), not the DuckDB oracle tokenizer, which
+  * never sees identifiers. The em-dash in the fold class is a
+  * documented superset of the reference's `[\s-–]+` (its em-dashes
+  * reach iconv instead; ours fold — asserted in FunctionsSpec).
   */
 object Identifier {
   private val Punct = "[()\":',&/.;]"

@@ -34,6 +34,9 @@ object ShapefileWriter {
   private case class P(x: Double, y: Double) extends T
   private case class L(items: Seq[T]) extends T
 
+  // FORMAT whitespace (WKT grammar separators), deliberately NOT
+  // Kernels.isRegexWs — see the note on GeoFunctions.parseWkt: the
+  // tokenizer contract governs document text, not geometry formats.
   private def parseTree(s: String, start: Int): (T, Int) = {
     var i = start
     while (i < s.length && s.charAt(i).isWhitespace) i += 1
