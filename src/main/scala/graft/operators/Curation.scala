@@ -45,8 +45,9 @@ object Curation {
     val n = size(tk)
     val alphaFrac = size(filter(tk, (t: Column) => t.rlike("[A-Za-z]")))
       .cast("double") / greatest(n, lit(1)).cast("double")
-    val s1 = base.filter(n >= minTokens && n <= maxTokens &&
-      alphaFrac >= minAlphaFrac)
+    val rulePass = n >= minTokens && n <= maxTokens &&
+      alphaFrac >= minAlphaFrac
+    val s1 = base.filter(rulePass)
     // stage 2: exact dedup, keep-lowest-id. PERSISTED: consumed by the
     // trim, the metadata join back, AND its funnel count — without the
     // cache each of those re-runs the rule scan + dedup shuffle.
@@ -68,13 +69,25 @@ object Curation {
           .join(s3.select(col("doc_id"), col("source")), "doc_id")
         def cnt(x: DataFrame, name: String) =
           x.groupBy(col("source")).agg(count(lit(1)).cast("long").as(name))
-        Ckpt.toLocal(cnt(base, "n_docs")
-          .join(cnt(s1, "n1"), Seq("source"), "left")
+        // n_docs and n_rules fold in ONE aggregation (conditional
+        // count) instead of two aggregations joined on source. The
+        // byte win is small — the old n_docs scan was column-pruned
+        // to `source` alone — but the plan drops one scan, one
+        // shuffle, and one join, and the anchor row set is now the
+        // full source domain by construction rather than via
+        // left-join+coalesce. Values are identical: count(when(rule))
+        // per source == count(*) of the rule-filtered frame,
+        // including 0-survivor sources. (Measured A/B at sf0.1:
+        // wall and input bytes unchanged within noise — this is a
+        // plan simplification, not a claimed speedup.)
+        val anchor = base.groupBy(col("source")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          count(when(rulePass, 1)).cast("long").as("n_rules"))
+        Ckpt.toLocal(anchor
           .join(cnt(s2, "n2"), Seq("source"), "left")
           .join(cnt(s3, "n3"), Seq("source"), "left")
           .join(cnt(s4, "n4"), Seq("source"), "left")
-          .select(col("source"), col("n_docs"),
-            coalesce(col("n1"), lit(0L)).as("n_rules"),
+          .select(col("source"), col("n_docs"), col("n_rules"),
             coalesce(col("n2"), lit(0L)).as("n_exact"),
             coalesce(col("n3"), lit(0L)).as("n_trim"),
             coalesce(col("n4"), lit(0L)).as("n_lm")))
