@@ -23,6 +23,15 @@ training, terciles is re-derived BY the oracle from the same restricted
 corpus, so parity is exact). A query joining documents against another
 table by id would see a consistent but thinner join — still exact
 parity, since both engines read the same slice dir.
+
+Second boundary, found the hard way (r17): slicing bounds the CORPUS,
+not the ORACLE'S plan — q178's full-six-iteration gdTrainer CTE chain
+OOMs DuckDB even at 80GB on a 25k-doc slice (the macro-expanded
+iteration chain, not the data, is the cost). For that class use the
+per-iteration decomposition instead (graft.TrainerDump +
+tools/q178_scale_check.py — each update independently replayed with
+the engine's w_t injected; PASS at the full 100x corpus, 500k scores
+exact).
 """
 import shutil
 import sys
