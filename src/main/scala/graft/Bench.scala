@@ -85,6 +85,25 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // spill accounting (r17 verdict #4 — the memory-pressure leg):
+    // onTaskEnd sums executor spill bytes so a deliberately starved
+    // heap run (SPARK_DRIVER_MEM=3g) can DEMONSTRATE spill-not-OOM and
+    // record the volume. Always on (a per-task long add); per-query
+    // deltas land in the detail JSON's "spill_mem"/"spill_disk" maps.
+    // Listener delivery is async — deltas are snapshotted after the
+    // post-query GC with a short bus-drain pause, so attribution is
+    // per-query-slot accurate, not task-exact.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
     // optional comma-separated name filter for single-query iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // per-query best-of-N (default 2): the min discards one-off GC/
@@ -115,16 +134,26 @@ object Bench {
           None
         }
       }
+      Thread.sleep(80) // listener-bus drain before the spill snapshot
+      val (dm, dd) = (spillMem.getAndSet(0L), spillDisk.getAndSet(0L))
       // ok = at least one run completed: a one-off OOM/GC abort on one
       // of the N runs shouldn't discard a valid min timing, and a
       // never-succeeding query must NOT appear in the queries map at
       // all (a 0.0 entry reads as a 0-second pass to a naive consumer)
-      (q.name, if (times.isEmpty) 0.0 else times.min, times.nonEmpty)
+      (q.name, if (times.isEmpty) 0.0 else times.min, times.nonEmpty, dm, dd)
     }
     canaries += canaryOnce()
     val canarySec = canaries.sorted.apply(canaries.size / 2)
-    val qs = results.filter(_._3).map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.filter(_._3).map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query spill deltas (bytes), only for queries that spilled —
+    // on an 8g heap these maps are empty; the starved-heap leg reads them
+    def spillMap(pick: ((String, Double, Boolean, Long, Long)) => Long) =
+      results.filter(r => r._3 && pick(r) > 0L)
+        .map(r => "\"" + r._1 + "\":" + pick(r)).mkString("{", ",", "}")
+    val spillMemJson = spillMap(_._4)
+    val spillDiskJson = spillMap(_._5)
+    val spillTotals = s""""spill_mem_total":${results.filter(_._3).map(_._4).sum},"spill_disk_total":${results.filter(_._3).map(_._5).sum}"""
     // failed queries are listed explicitly so a broken query can't
     // masquerade as a fast pass; their time-to-failure is excluded
     // from the headline total
@@ -145,15 +174,15 @@ object Bench {
     val capturedUnix = System.currentTimeMillis() / 1000
     val canaryList = canaries.map(c => math.rint(c * 1000) / 1000).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"captured_unix":$capturedUnix,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"spill_mem":$spillMemJson,"spill_disk":$spillDiskJson,$spillTotals,"captured_unix":$capturedUnix,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val slowest = results.filter(_._3).sortBy(-_._2).take(20)
-      .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._3)},"queries":$slowest,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,"captured_unix":$capturedUnix,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_ok":${results.count(_._3)},"queries":$slowest,"failed":$failed,"canary_sec":${math.rint(canarySec * 1000) / 1000},"canary_runs":$canaryList,"runs_per_query":$runsPerQuery,$spillTotals,"captured_unix":$capturedUnix,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

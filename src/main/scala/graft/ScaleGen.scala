@@ -30,11 +30,82 @@ import org.apache.spark.sql.functions._
   *    while cross-replica neighbors decorrelate.
   *  - dimensions (`region nation customer supplier part`): byte-copied.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <factor>
+  *  - NON-ASCII PLANTING (r18, default ON): after the cipher, each
+  *    document's text gets the same deterministic contract-relevant
+  *    character planting as `tools/unicode_corpus.py` (a pure function
+  *    of the FINAL offset doc_id — byte-stable across regenerations):
+  *    mid-text token glues from {U+000B, U+001C, U+2028, U+3000} (the
+  *    exact characters where Java `\s` / `Character.isWhitespace`
+  *    disagree with the engine class `Kernels.isRegexWs` = DuckDB RE2
+  *    `\s`) plus case-stable non-ASCII letter tokens (ß σ é ı). The
+  *    `n_chars = length(text)` invariant is recomputed after planting.
+  *    Every at-scale evidence channel (sampled-pair, residue-slice,
+  *    heavy curves, stream parity) therefore runs on a corpus where
+  *    the whitespace/case contracts actually bite, instead of
+  *    inheriting them from the sf0.01 twin alone. `SPARK_GRAFT_ASCII=1`
+  *    restores the r17 printable-ASCII behavior. Uppercase U+0130 and
+  *    word-final U+03A3 stay EXCLUDED here — they are the documented
+  *    DuckDB simple-vs-JVM-full case-mapping boundary, covered by the
+  *    dedicated case twin (`tools/unicode_corpus.py case`) against the
+  *    one oracle that folds the mapping in (q79, see its scaladoc).
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <factor> [depthFactor [brandSplit]]
+  *
+  * The two optional args fabricate the BASKET-DEPTH growth axis that
+  * plain replication never probes (r17 verdict #2: q129's in-row pair
+  * generation is quadratic in per-order distinct-brand count, but
+  * `factor`× replication keeps basket depth CONSTANT, so its pair
+  * volume only ever grew linearly):
+  *  - `depthFactor` k > 1 additionally unions k copies of each
+  *    replica's lineitem with l_partkey rotated by a coprime stride —
+  *    same orders, k× the lines per order, so per-order distinct-part
+  *    (and distinct-brand) sets deepen toward the brand-dimension cap.
+  *  - `brandSplit` m > 1 rewrites `part` with p_brand subdivided into
+  *    m sub-brands (`p_brand || '#' || p_partkey % m`), raising the
+  *    cap itself (25 → 25m) so Σ|basket|² genuinely explodes instead
+  *    of saturating at C(25,2) per order.
   */
 object ScaleGen {
   private val lowerDigits = "abcdefghijklmnopqrstuvwxyz0123456789"
   private val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  // ---- non-ASCII planting: the unicode_corpus.py functions, ported
+  // verbatim (same moduli, same glue/word tables, same offsets) so the
+  // scaled corpora and the sf0.01 twin exercise the identical contract
+  private val Gluers = Array('\u000B', '\u001C', '\u2028', '\u3000')
+  private val Words = Array("straße", "σigma", "café", "ırmak")
+
+  /** Replace the n-th (1-based) ' ' of `text` with `repl`; no-op if the
+    * text has fewer spaces. */
+  private def replaceNthSpace(text: String, n: Int, repl: Char): String = {
+    var seen = 0
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == ' ') {
+        seen += 1
+        if (seen == n) return text.substring(0, i) + repl + text.substring(i + 1)
+      }
+      i += 1
+    }
+    text
+  }
+
+  /** Pure function of the final (offset) doc_id — tools/unicode_corpus
+    * .py `plant()` bit-for-bit (nonnegative ids, so Python % == Scala %). */
+  def plant(docId: Long, text0: String): String = {
+    var text = text0
+    if (docId % 3 != 2)
+      text = replaceNthSpace(text, (3 + docId % 7).toInt, Gluers((docId % 4).toInt))
+    if (docId % 2 == 0)
+      text = replaceNthSpace(text, (11 + docId % 5).toInt, Gluers(((docId / 2) % 4).toInt))
+    if (docId % 3 == 0) {
+      val w = Words((docId % 4).toInt)
+      val w2 = Words(((docId / 3) % 4).toInt)
+      text = s"$text $w $w2\u000Btail"
+    }
+    if (docId % 7 == 0) text = s"fs\u001Clead $text"
+    text
+  }
 
   /** Per-replica SEEDED Fisher–Yates permutation of an alphabet — the
     * round-12 fix for the rotation cipher's period: `rotated(s, i)`
@@ -66,9 +137,12 @@ object ScaleGen {
     // non-ROOT default (tr-TR 'I'→'ı') would desync the two (r16
     // advisor); ROOT is what every committed hash was captured under
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val Array(src, dst, factorS) = args
+    val (src, dst, factorS) = (args(0), args(1), args(2))
     val factor = factorS.toInt
-    require(factor >= 1)
+    val depthFactor = if (args.length > 3) args(3).toInt else 1
+    val brandSplit = if (args.length > 4) args(4).toInt else 1
+    require(factor >= 1 && depthFactor >= 1 && brandSplit >= 1)
+    val plantNonAscii = !sys.env.get("SPARK_GRAFT_ASCII").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -86,9 +160,25 @@ object ScaleGen {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
+    // max partkey, read once on the driver, keys the depth rotation
     val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxPart: Long =
+      if (depthFactor > 1)
+        spark.read.parquet(s"$src/part.parquet")
+          .agg(max(col("p_partkey"))).head().getLong(0)
+      else 0L
+    // depth copies rotate l_partkey by j·7919 (prime, coprime to any
+    // realistic part count unless it divides it — then j alone): same
+    // order keys, k× the lines, per-order distinct-part sets deepen
+    def deepen(d: DataFrame): DataFrame =
+      if (depthFactor == 1) d
+      else (0 until depthFactor).map { j =>
+        d.withColumn("l_partkey",
+          pmod(col("l_partkey") - 1 + lit(j.toLong * (if (maxPart % 7919L == 0L) 1L else 7919L)),
+            lit(maxPart)) + 1)
+      }.reduce(_ unionByName _)
     write(replicate(li)((d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * offset))), "lineitem")
+      deepen(d).withColumn("l_orderkey", col("l_orderkey") + lit(i * offset))), "lineitem")
 
     val ord = spark.read.parquet(s"$src/orders.parquet")
     write(replicate(ord)((d, i) =>
@@ -109,6 +199,7 @@ object ScaleGen {
         .withColumn("user_id", col("user_id") + lit(i * offset))), "events")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    val plantUdf = udf((id: Long, t: String) => plant(id, t))
     write(replicate(docs) { (d, i) =>
       val from = lowerDigits + upper
       // replica 0 is the base corpus verbatim; each other replica gets
@@ -116,8 +207,16 @@ object ScaleGen {
       val to =
         if (i == 0) from
         else permuted(lowerDigits, i.toLong) + permuted(upper, i.toLong + 500000L)
-      d.withColumn("doc_id", col("doc_id") + lit(i * offset))
+      val ciphered = d.withColumn("doc_id", col("doc_id") + lit(i * offset))
         .withColumn("text", translate(col("text"), from, to))
+      // planting runs AFTER the cipher, keyed by the FINAL doc_id, so
+      // the scaled corpus is exactly "cipher replica + unicode twin";
+      // n_chars recomputes to keep the source invariant (Spark length()
+      // = code points = Python len() — all planted chars are BMP)
+      if (!plantNonAscii) ciphered
+      else ciphered
+        .withColumn("text", plantUdf(col("doc_id"), col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
     // embeddings replicate under a per-replica SIGNED PERMUTATION of
@@ -151,14 +250,23 @@ object ScaleGen {
     // driver's nanosecond timestamps, read as longs under
     // `nanosAsLong`, come back out as plain BIGINT) and the DuckDB
     // oracle side then sees a different schema than at the source SF
-    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+    // brandSplit rewrites part's brand dimension (25 → 25·m) so the
+    // q129 basket axis can genuinely explode; part carries no nanos
+    // timestamps, so the Spark round-trip is schema-safe here
+    if (brandSplit > 1)
+      write(spark.read.parquet(s"$src/part.parquet")
+        .withColumn("p_brand",
+          concat(col("p_brand"), lit("#"),
+            pmod(col("p_partkey"), lit(brandSplit.toLong)).cast("string"))), "part")
+    for (t <- Seq("region", "nation", "customer", "supplier") ++
+           (if (brandSplit > 1) Nil else Seq("part"))) {
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       if (java.nio.file.Files.exists(from))
         java.nio.file.Files.copy(from,
           java.nio.file.Paths.get(s"$dst/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"""{"scaled":"$dst","factor":$factor}""")
+    println(s"""{"scaled":"$dst","factor":$factor,"depth_factor":$depthFactor,"brand_split":$brandSplit,"non_ascii":$plantNonAscii}""")
     spark.stop()
   }
 }

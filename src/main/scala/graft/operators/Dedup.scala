@@ -111,25 +111,37 @@ object Dedup {
     * joining back on id — candidate rows never carry two documents
     * through the banding shuffle.
     *
-    * Distance unit: UTF-8 BYTES, not code points — DuckDB (the oracle
-    * engine) ships a byte-based `levenshtein`, so the lowered text is
-    * re-viewed byte-per-char (`decode(encode(·,'UTF-8'),'ISO-8859-1')`)
-    * before Spark's code-point levenshtein, making both engines count
-    * the same unit (pinned on the r17 Unicode corpus: DuckDB
-    * levenshtein('é','e') = 2). The two units coincide on ASCII; the
-    * length prefilter uses the same byte view so it can never cut a
-    * pair the byte distance would keep.
+    * Distance unit — `unit` parameter (r17 verdict #3):
+    *  - `"bytes"` (default): UTF-8 byte edits. DuckDB (the oracle
+    *    engine) ships a byte-based `levenshtein`, so the lowered text
+    *    is re-viewed byte-per-char
+    *    (`decode(encode(·,'UTF-8'),'ISO-8859-1')`) before Spark's
+    *    code-point levenshtein, making both engines count the same
+    *    unit (pinned on the r17 Unicode corpus: DuckDB
+    *    levenshtein('é','e') = 2 — one byte deleted, one substituted).
+    *  - `"codepoints"`: Unicode code-point edits (levenshtein('é','e')
+    *    = 1), Spark's native unit — what a text-quality consumer
+    *    usually means; no byte re-view. NOT DuckDB-oracle-parity on
+    *    non-ASCII text.
+    * The two units coincide on ASCII. The length prefilter uses the
+    * same view as the distance, so it can never cut a pair the chosen
+    * unit's distance would keep. DedupSpec pins both units on 'é'.
     */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
                         maxDist: Int, shingleK: Int = 3, numPerms: Int = 64,
                         bands: Int = 16,
                         candThreshold: Double = 0.2,
-                        maxCandidatePairs: Long = 1L << 30): DataFrame = {
+                        maxCandidatePairs: Long = 1L << 30,
+                        unit: String = "bytes"): DataFrame = {
+    require(unit == "bytes" || unit == "codepoints",
+      s"""unit must be "bytes" or "codepoints", got "$unit"""")
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numPerms,
         bands, candThreshold, maxCandidatePairs)
       .select(col("id_a"), col("id_b"))
-    val txt = df.select(col(idCol).as("id"),
-      decode(encode(lower(col(textCol)), "UTF-8"), "ISO-8859-1").as("t"))
+    val view =
+      if (unit == "bytes") decode(encode(lower(col(textCol)), "UTF-8"), "ISO-8859-1")
+      else lower(col(textCol))
+    val txt = df.select(col(idCol).as("id"), view.as("t"))
     cand
       .join(txt.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("t").as("tb")), "id_b")

@@ -654,6 +654,29 @@ class FunctionsSpec extends SparkSpec {
       Kernels.shingleHashes(b, 2).toLongArray.toSeq)
   }
 
+  test("r18 case-boundary closure: Spark lower() on the case-twin " +
+      "plantings equals the q79 oracle's pre-folded DuckDB form") {
+    import spark.implicits._
+    // q79's oracle folds the two divergent full-case mappings into the
+    // text before DuckDB's simple-map lower(): İ → i+U+0307 and
+    // word-final Σ → ς. This pins the ENGINE side of that contract:
+    // Spark's lower() (JVM full mapping under the ROOT default pinned
+    // in SparkSpec) produces exactly the strings the replaced oracle
+    // lowers to — so a green q79 hash on the case twin
+    // (tools/unicode_corpus.py <src> <dst> case) is engine evidence,
+    // not coincidence. DuckDB-side pins (captured empirically,
+    // duckdb 1.x): lower('İ')='i' (1 cp), lower('ΟΔΥΣΣΕΥΣ') keeps a
+    // non-final 'σ' at word end.
+    val df = Seq((0L, "before İstanbul ΟΔΥΣΣΕΥΣ"), (1L, "Σ alone ΑΣ end"))
+      .toDF("id", "text")
+    val lo = df.select(col("id"), lower(col("text")).as("lo"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lo(0L) === "before i\u0307stanbul οδυσσευς",
+      "İ must full-lower to i+U+0307 and final Σ to ς")
+    // standalone Σ (no preceding cased letter) is NOT final-form; ΑΣ is
+    assert(lo(1L) === "σ alone ας end")
+  }
+
   test("r17 tokenizer property: every kernel equals the WsRun-regex " +
       "model on random Unicode text (fixed fixtures generalized)") {
     import org.apache.spark.unsafe.types.UTF8String

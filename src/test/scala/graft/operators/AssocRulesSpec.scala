@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class AssocRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tables(baskets: Seq[(Long, Seq[Long])], brandOf: Long => String)
+      : (DataFrame, DataFrame) = {
+    val li = baskets.flatMap { case (ok, parts) => parts.map(p => (ok, p)) }
+      .toDF("l_orderkey", "l_partkey")
+    val pt = baskets.flatMap(_._2).distinct.map(p => (p, brandOf(p)))
+      .toDF("p_partkey", "p_brand")
+    (li, pt)
+  }
+
+  /** Brute-force reference: distinct-brand baskets, all b1 < b2 pairs,
+    * integer micro conf/lift — the q129 oracle's algebra in Scala. */
+  private def reference(baskets: Seq[(Long, Seq[Long])], brandOf: Long => String,
+                        minSupport: Long): Seq[(String, String, Long, Double, Double)] = {
+    val sets = baskets.map { case (_, ps) => ps.map(brandOf).distinct.sorted }
+    val n = sets.size.toLong
+    val bc = sets.flatten.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val pc = sets.flatMap(_.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    pc.filter(_._2 >= minSupport).toSeq
+      .map { case ((b1, b2), cab) =>
+        val confM = 1000000L * cab / bc(b1)
+        val liftM = 1000000L * cab * n / (bc(b1) * bc(b2))
+        (b1, b2, cab, confM, liftM)
+      }
+      .sortBy { case (b1, b2, _, _, lm) => (-lm, b1, b2) }
+      .map { case (b1, b2, s, cm, lm) => (b1, b2, s, cm / 1e6, lm / 1e6) }
+  }
+
+  private def collectRules(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4))).toSeq
+
+  test("brandRules matches the brute-force reference (support/conf/lift)") {
+    // 6 baskets over 5 brands; dup lines inside a basket exercise the
+    // collect_set distinct; minSupport 2 keeps several pairs
+    val baskets = Seq(
+      1L -> Seq(1L, 2L, 3L, 1L),
+      2L -> Seq(1L, 2L),
+      3L -> Seq(2L, 3L, 4L),
+      4L -> Seq(1L, 3L),
+      5L -> Seq(4L, 5L),
+      6L -> Seq(1L, 2L, 4L))
+    val brandOf = (p: Long) => s"B${p % 5}"
+    val (li, pt) = tables(baskets, brandOf)
+    val got = collectRules(AssocRules.brandRules(li, pt, minSupport = 2L, topN = 100))
+    assert(got === reference(baskets, brandOf, 2L))
+  }
+
+  test("pack base follows the brand dimension: >1024 brands decode exactly") {
+    // the old inline packing (x*1024+y) would collide here: brands at
+    // indices straddling 1024 in the sorted order
+    val parts = Seq(5L, 600L, 1500L, 2400L, 2499L)
+    val baskets = Seq(
+      1L -> parts, 2L -> parts, 3L -> Seq(5L, 2499L))
+    val brandOf = (p: Long) => f"BR$p%04d" // 2500-wide brand space naming
+    val (li, pt0) = tables(baskets, brandOf)
+    // a part table carrying the FULL 2500-brand dimension, so the
+    // dictionary (and pack base) really is > 1024 entries
+    val pt = (0L until 2500L).map(p => (p + 10000L, brandOf(p)))
+      .toDF("p_partkey", "p_brand").unionByName(pt0)
+    val got = collectRules(AssocRules.brandRules(li, pt, minSupport = 2L, topN = 100))
+    assert(got === reference(baskets, brandOf, 2L))
+    assert(got.exists { case (b1, b2, s, _, _) => b1 == "BR0005" && b2 == "BR2499" && s == 3L })
+  }
+
+  test("apriori prune admits a basket set the unpruned gate would refuse") {
+    // each basket: 2 shared frequent brands + 5 singleton brands.
+    // Unpruned Sum C(7,2) = 3*21 = 63; post-prune Sum C(2,2) = 3.
+    // maxPairCombos=3 passes ONLY because infrequent items are pruned
+    // before the estimate — and the output is the reference's.
+    val baskets = (1L to 3L).map(ok =>
+      ok -> (Seq(9001L, 9002L) ++ (1L to 5L).map(j => ok * 100L + j)))
+    val brandOf = (p: Long) => s"B$p"
+    val (li, pt) = tables(baskets, brandOf)
+    val got = collectRules(
+      AssocRules.brandRules(li, pt, minSupport = 3L, topN = 100, maxPairCombos = 3L))
+    assert(got === reference(baskets, brandOf, 3L))
+    assert(got.map(r => (r._1, r._2)) === Seq(("B9001", "B9002")))
+  }
+
+  test("pair-volume gate refuses past maxPairCombos with guidance") {
+    val baskets = Seq(1L -> (1L to 10L).toSeq, 2L -> (1L to 10L).toSeq)
+    val brandOf = (p: Long) => s"B$p"
+    val (li, pt) = tables(baskets, brandOf)
+    val e = intercept[IllegalArgumentException](
+      AssocRules.brandRules(li, pt, minSupport = 1L, maxPairCombos = 10L))
+    assert(e.getMessage.contains("maxPairCombos"))
+    assert(e.getMessage.contains("minSupport"))
+    // Long.MaxValue skips the gate entirely (the q162 contract)
+    val got = collectRules(AssocRules.brandRules(li, pt, minSupport = 1L,
+      topN = 1000, maxPairCombos = Long.MaxValue))
+    assert(got.size === 45)
+  }
+}

@@ -489,6 +489,24 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("editDistancePairs unit: bytes = DuckDB byte edits, codepoints = Spark native") {
+    // the pair differs ONLY by é→e: 1 code-point substitution, but 2
+    // byte edits ('é' is 2 UTF-8 bytes — pinned on DuckDB 1.0.0:
+    // levenshtein('é','e') = 2). unit="bytes" (default) keeps oracle
+    // parity; unit="codepoints" is the text-quality consumer's unit.
+    val a = "the quick brown fox jumps over the lazy dog near the café door tonight"
+    val b = "the quick brown fox jumps over the lazy dog near the cafe door tonight"
+    val df = docsDf(Seq(a, b))
+    def dists(unit: String) = Dedup.editDistancePairs(df, "text", "doc_id",
+        maxDist = 8, candThreshold = 0.2, unit = unit)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dists("bytes")((0L, 1L)) === 2L, "byte unit must count UTF-8 bytes")
+    assert(dists("codepoints")((0L, 1L)) === 1L, "codepoint unit must count chars")
+    val e = intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(df, "text", "doc_id", maxDist = 8, unit = "chars"))
+    assert(e.getMessage.contains("codepoints"))
+  }
+
   test("exactDupsAgainst flags only incoming docs whose content exists in the corpus") {
     import spark.implicits._
     val corpus = docsDf(Seq(base, "corpus only text here"))

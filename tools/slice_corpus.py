@@ -51,10 +51,20 @@ def mix64(x: int) -> int:
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print("usage: slice_corpus.py <srcDir> <dstDir> [nRes=10]",
+              file=sys.stderr)
+        sys.exit(2)
     src = Path(sys.argv[1])
     dst = Path(sys.argv[2])
     n_res = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    residues = set(sorted(range(200), key=mix64)[:n_res])
+    # (r + 0xB7) matches CanonicalSliceDump.residues / q189_scale_check
+    # exactly (r18 advisor fix: the offset was missing, so this tool
+    # sampled a DIFFERENT mix64-ranked set than the one it claimed to
+    # share — parity on the slice was still exact since both engines
+    # read the same slice dir, but cross-tool residue comparisons would
+    # have silently mismatched; r17 slice artifacts used the old set)
+    residues = set(sorted(range(200), key=lambda r: mix64(r + 0xB7))[:n_res])
     dst.mkdir(parents=True, exist_ok=True)
     for f in sorted(src.glob("*.parquet")):
         if f.name == "documents.parquet":

@@ -24,12 +24,22 @@ runs. The `n_chars = len(text)` invariant of the source corpus is
 preserved (recomputed after planting). All other tables are copied
 verbatim.
 
-Usage: python3 tools/unicode_corpus.py [srcDir] [dstDir]
+Usage: python3 tools/unicode_corpus.py [srcDir] [dstDir] [case]
        (defaults: /root/testdata/sf0.01 -> /tmp/sfni)
 
 Then replay the full catalog on it:
   SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify /tmp/sfni /tmp/verify_out_ni"
   CHECK_JSON=CORRECTNESS_unicode_r17.json python3 tools/check.py /tmp/sfni /tmp/verify_out_ni
+
+The optional third arg `case` ADDITIONALLY plants the two case-mapping-
+boundary characters (U+0130 İ and word-final U+03A3 Σ — where DuckDB's
+simple lowercase map diverges from the JVM's full mapping) into ~1/5 of
+docs. A case twin supports replaying ONLY the oracle that folds the
+mapping in (q79_heavy_hitters, r18 — see its scaladoc):
+  SPARK_GRAFT_ONLY=q79_heavy_hitters sbt -batch "runMain graft.Verify /tmp/sfcase /tmp/v_case"
+  python3 tools/check.py /tmp/sfcase /tmp/v_case q79_heavy_hitters
+Every OTHER text oracle diverges on such a corpus by the documented
+boundary — that is exactly why the default mode excludes İ/Σ.
 """
 import shutil
 import sys
@@ -59,6 +69,17 @@ def replace_nth_space(text: str, n: int, repl: str) -> str:
     return text
 
 
+def plant_case_boundary(doc_id: int, text: str) -> str:
+    """`case` mode: İ (full-lower = i + U+0307, simple = i) and ΟΔΥΣΣΕΥΣ
+    (medial ΣΣ → σσ in both engines, word-final Σ → ς only under the
+    JVM's full mapping). Planted in EVERY doc at multiplicity 2 so both
+    tokens DOMINATE q79's corpus-wide top-10 — the check is then
+    discriminating: without the oracle's pre-fold, DuckDB's top terms
+    read 'istanbul'/'οδυσσευσ' against Spark's 'i̇stanbul'/'οδυσσευς'
+    and the hash breaks (verified r18). Pure function of doc_id."""
+    return f"{text} İstanbul ΟΔΥΣΣΕΥΣ İstanbul ΟΔΥΣΣΕΥΣ"
+
+
 def plant(doc_id: int, text: str) -> str:
     # ~2/3 of docs get a mid-text glue: two ASCII tokens fuse into one
     # token containing a char isWhitespace would (wrongly) split at
@@ -83,6 +104,7 @@ def plant(doc_id: int, text: str) -> str:
 def main() -> None:
     src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
     dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfni")
+    case_mode = len(sys.argv) > 3 and sys.argv[3] == "case"
     dst.mkdir(parents=True, exist_ok=True)
     for f in sorted(src.glob("*.parquet")):
         if f.name != "documents.parquet":
@@ -90,6 +112,9 @@ def main() -> None:
     t = pq.read_table(src / "documents.parquet")
     cols = {name: t.column(name).to_pylist() for name in t.column_names}
     planted = [plant(i, s) for i, s in zip(cols["doc_id"], cols["text"])]
+    if case_mode:
+        planted = [plant_case_boundary(i, s)
+                   for i, s in zip(cols["doc_id"], planted)]
     changed = sum(a != b for a, b in zip(planted, cols["text"]))
     cols["text"] = planted
     cols["n_chars"] = [len(s) for s in planted]  # preserve the invariant
