@@ -60,7 +60,20 @@ object AssocRules {
 
   def brandRules(lineitem: DataFrame, part: DataFrame,
                  minSupport: Long = 50L, topN: Int = 25,
-                 maxPairCombos: Long = 1L << 31): DataFrame = {
+                 maxPairCombos: Long = 1L << 31,
+                 maxBrands: Int = 100000): DataFrame = {
+    // the dictionary collect is bounded BEFORE it runs: the config-
+    // scale contract is enforced with a cheap distinct count, not
+    // assumed — a data-scale dimension here would otherwise OOM the
+    // driver silently at corpus scale (the same refuse-don't-explode
+    // posture as the pair gate below)
+    val nbCount = part.select(col("p_brand")).distinct().count()
+    require(nbCount <= maxBrands,
+      s"brand dimension has $nbCount distinct values (> maxBrands=$maxBrands): " +
+        "the dictionary-encode path collects and broadcasts the dimension, " +
+        "which is only sound for a config-scale dimension. For a data-scale " +
+        "item dimension, dictionary-encode via a join against a persisted " +
+        "index instead, or raise maxBrands explicitly.")
     val brands = part.select(col("p_brand")).distinct()
       .orderBy(col("p_brand")).collect().map(_.getString(0)).toSeq
     val nb = brands.size.toLong

@@ -86,6 +86,14 @@ class AssocRulesSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)) === Seq(("B9001", "B9002")))
   }
 
+  test("dictionary guard refuses a data-scale brand dimension before collecting it") {
+    val baskets = Seq(1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L))
+    val (li, pt) = tables(baskets, (p: Long) => s"B$p")
+    val e = intercept[IllegalArgumentException](
+      AssocRules.brandRules(li, pt, minSupport = 1L, maxBrands = 1))
+    assert(e.getMessage.contains("maxBrands"))
+  }
+
   test("pair-volume gate refuses past maxPairCombos with guidance") {
     val baskets = Seq(1L -> (1L to 10L).toSeq, 2L -> (1L to 10L).toSeq)
     val brandOf = (p: Long) => s"B$p"
