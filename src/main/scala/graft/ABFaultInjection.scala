@@ -90,7 +90,31 @@ object ABFaultInjection {
     require(fLate._3 >= 1, "late injection never fired — vacuous run")
     require(clean._2 == fScan._2 && clean._2 == fLate._2,
       s"recovery diverged: clean=${clean._2} scan=${fScan._2} late=${fLate._2}")
-    println(s"""{"sf":"$sfDir","digest":"${clean._2}","clean_failed_tasks":${clean._3},"fail_scan_failed_tasks":${fScan._3},"fail_late_failed_tasks":${fLate._3},"digests_identical":true}""")
+
+    // fourth leg: the CACHE-FILL path. Curation.funnel persists two
+    // MEMORY_AND_DISK frames; a task failing mid-fill exercises
+    // CacheManager recomputation (a lost executor also loses its
+    // cached blocks — this is the local analogue). The injection sits
+    // below both persists, so the retried partition re-runs the rule
+    // scan into the cache.
+    def funnelDigest(inject: Boolean): Any = {
+      var docs = Tables.documents(spark, sfDir)
+      if (inject) docs = docs.filter(failOnce() === 1)
+      graft.operators.Curation.funnel(docs)
+        .agg(count(lit(1)), sum(xxhash64(col("source"))),
+          sum(col("n_docs") + col("n_rules") + col("n_exact") +
+            col("n_trim") + col("n_lm"))).head()
+    }
+    failedTasks.set(0L)
+    val cleanF = funnelDigest(inject = false)
+    failedTasks.set(0L)
+    val injF = funnelDigest(inject = true)
+    Thread.sleep(100)
+    val fCache = failedTasks.get()
+    require(fCache >= 1, "cache-path injection never fired — vacuous run")
+    require(cleanF == injF, s"funnel recovery diverged: $cleanF vs $injF")
+
+    println(s"""{"sf":"$sfDir","digest":"${clean._2}","clean_failed_tasks":${clean._3},"fail_scan_failed_tasks":${fScan._3},"fail_late_failed_tasks":${fLate._3},"funnel_cache_failed_tasks":$fCache,"funnel_digest":"$cleanF","digests_identical":true}""")
     spark.stop()
   }
 }
