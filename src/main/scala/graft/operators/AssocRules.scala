@@ -62,20 +62,26 @@ object AssocRules {
                  minSupport: Long = 50L, topN: Int = 25,
                  maxPairCombos: Long = 1L << 31,
                  maxBrands: Int = 100000): DataFrame = {
-    // the dictionary collect is bounded BEFORE it runs: the config-
-    // scale contract is enforced with a cheap distinct count, not
-    // assumed — a data-scale dimension here would otherwise OOM the
-    // driver silently at corpus scale (the same refuse-don't-explode
-    // posture as the pair gate below)
-    val nbCount = part.select(col("p_brand")).distinct().count()
-    require(nbCount <= maxBrands,
-      s"brand dimension has $nbCount distinct values (> maxBrands=$maxBrands): " +
+    // the dictionary collect is bounded AS it runs — `limit(max + 1)`
+    // caps what can ever reach the driver, so a data-scale dimension
+    // refuses instead of OOMing the driver silently (the same
+    // refuse-don't-explode posture as the pair gate below), at zero
+    // extra cost: one job, same as the unguarded collect. The sort
+    // happens driver-side UNDER SPARK'S OWN STRING ORDERING
+    // (UTF8String = byte-wise UTF-8) — java.lang.String.compareTo is
+    // UTF-16-code-unit order and diverges on supplementary characters,
+    // which would desync the dictionary from any engine-side orderBy.
+    val collected = part.select(col("p_brand")).distinct()
+      .limit(maxBrands + 1).collect().map(_.getString(0))
+    require(collected.length <= maxBrands,
+      s"brand dimension exceeds maxBrands=$maxBrands distinct values: " +
         "the dictionary-encode path collects and broadcasts the dimension, " +
         "which is only sound for a config-scale dimension. For a data-scale " +
         "item dimension, dictionary-encode via a join against a persisted " +
         "index instead, or raise maxBrands explicitly.")
-    val brands = part.select(col("p_brand")).distinct()
-      .orderBy(col("p_brand")).collect().map(_.getString(0)).toSeq
+    val brands = collected.sortWith((a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0).toSeq
     val nb = brands.size.toLong
     require(nb >= 2, s"need at least 2 brands, got $nb")
     val bIdx = {
