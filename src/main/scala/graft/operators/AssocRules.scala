@@ -62,6 +62,23 @@ object AssocRules {
                  minSupport: Long = 50L, topN: Int = 25,
                  maxPairCombos: Long = 1L << 31,
                  maxBrands: Int = 100000): DataFrame = {
+    val (out, sets) = brandRulesFrame(lineitem, part, minSupport, topN,
+      maxPairCombos, maxBrands)
+    // the topN-row result collects into a LocalRelation so the
+    // corpus-scale per-order sets cache is released HERE, not left for
+    // a harness clearCache() (library callers get the same lifetime
+    // the bench sees, and the result survives executor loss)
+    try Ckpt.toLocal(out) finally sets.unpersist(blocking = false)
+  }
+
+  /** The lazy plan + the persisted per-order sets frame, pre-collect —
+    * the seam PlanShapeSpec audits (the public API's LocalRelation
+    * result has no lineage left to inspect). Callers own unpersisting
+    * the returned `sets`. */
+  private[graft] def brandRulesFrame(lineitem: DataFrame, part: DataFrame,
+                                     minSupport: Long, topN: Int,
+                                     maxPairCombos: Long,
+                                     maxBrands: Int): (DataFrame, DataFrame) = {
     // the dictionary collect is bounded AS it runs — `limit(max + 1)`
     // caps what can ever reach the driver, so a data-scale dimension
     // refuses instead of OOMing the driver silently (the same
@@ -146,7 +163,11 @@ object AssocRules {
         .select(col("b1"), col("b2"), col("support"),
           (col("conf_micro").cast("double") / 1e6).as("confidence"),
           (col("lift_micro").cast("double") / 1e6).as("lift"))
-      Ckpt.toLocal(out)
-    } finally sets.unpersist(blocking = false)
+      (out, sets)
+    } catch {
+      // on a refused gate (or any failure) the cache must not leak;
+      // on success the CALLER owns the sets lifetime
+      case t: Throwable => sets.unpersist(blocking = false); throw t
+    }
   }
 }

@@ -652,4 +652,30 @@ class PlanShapeSpec extends SparkSpec {
     // and the id join-back — nothing global-ordered
     assert(!hasGlobalWindow(p), s"q201 planned a global window:\n$p")
   }
+
+  test("q129: pair generation is in-row over the cached sets — no self-join") {
+    // the public brandRules returns a LocalRelation (post-collect), so
+    // the audit runs on the pre-collect seam. Shape contract: the
+    // per-order sets persist and feed every consumer (InMemoryTableScan
+    // in the plan), the denominators/pair frames join via broadcast
+    // only, and NO sort-merge join or cartesian product exists anywhere
+    // — the quadratic work lives inside the in-row transform, never in
+    // a join of the order-brand table with itself
+    val (out, sets) = graft.operators.AssocRules.brandRulesFrame(
+      Tables.lineitem(spark, d), Tables.part(spark, d),
+      minSupport = 2L, topN = 25, maxPairCombos = Long.MaxValue,
+      maxBrands = 100000)
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"q129's consumers must read the persisted sets:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"q129's denominator joins must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"q129 must not sort-merge anything:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"q129 must not plan a cartesian product:\n$p")
+      assert(!hasGlobalWindow(p), s"q129 planned a global window:\n$p")
+    } finally sets.unpersist(blocking = false)
+  }
 }
