@@ -86,6 +86,23 @@ class AssocRulesSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)) === Seq(("B9001", "B9002")))
   }
 
+  test("property: random baskets match the brute-force reference (100 seeds)") {
+    // randomized micro-corpora: 4-12 orders, baskets of 1-6 parts drawn
+    // from a 9-part pool over 5 brands, minSupport 1-3. Deterministic
+    // seeds; any mismatch prints its seed for replay.
+    (0 until 100).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val baskets = (1L to (4 + rng.nextInt(9)).toLong).map(ok =>
+        ok -> Seq.fill(1 + rng.nextInt(6))(1L + rng.nextInt(9)))
+      val brandOf = (p: Long) => s"B${p % 5}"
+      val minSupport = 1L + rng.nextInt(3)
+      val (li, pt) = tables(baskets, brandOf)
+      val got = collectRules(AssocRules.brandRules(li, pt,
+        minSupport = minSupport, topN = 1000))
+      assert(got === reference(baskets, brandOf, minSupport), s"seed=$seed")
+    }
+  }
+
   test("dictionary guard refuses a data-scale brand dimension before collecting it") {
     val baskets = Seq(1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L))
     val (li, pt) = tables(baskets, (p: Long) => s"B$p")
