@@ -189,6 +189,15 @@ def main():
     # coarse Lloyd + probe + member-restricted argmax bit-for-bit).
     for q in ["q95_semantic_dedup", "q188_semantic_dedup_ivf"]:
       if q in oracle:
+        # at 100x these queries' own within-cluster pair-volume gates
+        # refuse (10.0G / 1.27G candidates — the replicas make dup
+        # clusters giant): the documented contract, not a failure;
+        # the linear-output scaled twin (q175) carries the scale path
+        if not glob.glob(os.path.join(out, q, "*.parquet")):
+            print(f"SKIP {q}  [no Verify output — its pair-volume gate "
+                  "refuses at this scale by contract; the k*N scaled "
+                  "twin (q175) carries the scale path]")
+            continue
         con = connect(sf)
         base_ids = [r[0] for r in
                     con.execute("SELECT vec_id FROM embeddings").fetchall()]
