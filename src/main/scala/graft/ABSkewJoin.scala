@@ -77,9 +77,14 @@ object ABSkewJoin {
         .agg(sum(col("l_quantity")).cast("double").as("qty"),
           count(lit(1)).as("n"))
 
+    // order-independent integer digest: a double sum's value depends on
+    // the row order the plan produces, so SMJ/AQE/salted plans could
+    // flag a spurious divergence on large per-brand sums (r18 advisor;
+    // same lesson ABZorderLayout learned the hard way). l_quantity has
+    // <= 2dp, so round(qty*100) is exact in long.
     def digest(df: DataFrame) =
       df.agg(count(lit(1)), sum(xxhash64(col("p_brand"))),
-        sum(round(col("qty"), 2)), sum(col("n"))).head()
+        sum(round(col("qty") * 100).cast("long")), sum(col("n"))).head()
 
     def setSkew(on: Boolean): Unit =
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on.toString)

@@ -100,7 +100,17 @@ object AssocRules {
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0).toSeq
     val nb = brands.size.toLong
-    require(nb >= 2, s"need at least 2 brands, got $nb")
+    if (nb < 2) {
+      // degenerate corpus (0-1 distinct brands): no pair can exist.
+      // The pre-refactor inline q129 returned an empty frame here;
+      // preserve that for tiny-slice replays instead of throwing
+      // (r18 advisor). Both tuple slots carry the same un-persisted
+      // LocalRelation — the caller's unpersist is a no-op on it.
+      import lineitem.sparkSession.implicits._
+      val empty = Seq.empty[(String, String, Long, Double, Double)]
+        .toDF("b1", "b2", "support", "confidence", "lift")
+      return (empty, empty)
+    }
     val bIdx = {
       import lineitem.sparkSession.implicits._
       brands.zipWithIndex.toDF("p_brand", "bi")
@@ -146,7 +156,10 @@ object AssocRules {
           .as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("c_ab"))
         .select(
-          element_at(typedLit(brands), (col("k") / nb).cast("int") + 1).as("b1"),
+          // integer `div`, same as the gate estimate: Column./ on longs
+          // goes through double, which is only exact while nb ≤ ~9.4e7 —
+          // and maxBrands is caller-raisable past that (r18 advisor)
+          element_at(typedLit(brands), expr(s"k div ${nb}L").cast("int") + 1).as("b1"),
           element_at(typedLit(brands), pmod(col("k"), lit(nb)).cast("int") + 1).as("b2"),
           col("c_ab"))
       val bcNamed = bc.select(

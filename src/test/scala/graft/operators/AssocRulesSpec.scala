@@ -103,6 +103,19 @@ class AssocRulesSpec extends SparkSpec {
     }
   }
 
+  test("degenerate corpus (0-1 distinct brands) returns empty, not a throw") {
+    // the pre-refactor inline q129 returned an empty frame on a corpus
+    // where no pair can exist; the r18 require(nb >= 2) broke that for
+    // tiny-slice replays (r18 advisor) — pinned back to empty here
+    val (li1, pt1) = tables(Seq(1L -> Seq(1L, 1L), 2L -> Seq(1L)), _ => "ONLY")
+    val one = AssocRules.brandRules(li1, pt1, minSupport = 1L)
+    assert(one.count() === 0L)
+    assert(one.columns.toSeq ===
+      Seq("b1", "b2", "support", "confidence", "lift"))
+    val (li0, pt0) = tables(Seq.empty, _ => "X")
+    assert(AssocRules.brandRules(li0, pt0, minSupport = 1L).count() === 0L)
+  }
+
   test("dictionary guard refuses a data-scale brand dimension before collecting it") {
     val baskets = Seq(1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L))
     val (li, pt) = tables(baskets, (p: Long) => s"B$p")
