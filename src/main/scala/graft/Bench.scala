@@ -29,6 +29,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // lenient: warn (not refuse) below the measured 0.375 GB/slot spill
+    // floor so a deliberate starved-heap experiment still runs, but a
+    // mis-sized SPARK_DRIVER_MEM/SPARK_GRAFT_CPUS combination
+    // identifies itself up front instead of dying in the spill writer
+    Preflight.checkSpillFloor(spark, lenient = true)
     // every unpartitioned window left in the catalog is constant-
     // bounded by construction and pinned to an explicit allowlist by
     // PlanShapeSpec's catalog-wide governance test — silence the

@@ -69,6 +69,23 @@ object OracleSql {
     */
   def mix64Signed(x: String): String = toSigned(mix64(s"CAST($x AS UBIGINT)"))
 
+  /** DuckDB-side pre-fold of the two simple-vs-full case-mapping
+    * divergences, applied to a text expression BEFORE the oracle's
+    * `lower()` (r17 verdict #5, generalized from q79 in r19):
+    * U+0130 İ → 'i' + U+0307 (the JVM full mapping; DuckDB's simple
+    * map yields bare 'i'), and word-final Σ → ς (preceded by a
+    * letter, not followed by one — the `\p{L}` approximation of the
+    * JVM's cased-context rule, exact on the planted corpora). Both
+    * replacements are NO-OPS on İ/Σ-free text, so every existing
+    * corpus hashes unchanged; on the case twin
+    * (`tools/unicode_corpus.py <src> <dst> case`) a folded oracle
+    * replays GREEN where an un-folded one diverges (SCALE.md r19
+    * carries the measured per-query divergence matrix).
+    */
+  def caseFold(texpr: String): String =
+    s"""regexp_replace(replace($texpr, 'İ', 'i' || chr(775)), """ +
+      """'(\p{L})Σ($|[^\p{L}])', '\1ς\2', 'g')"""
+
   /** The minhash permutation constants of [[graft.plans.Kernels.minhash]]:
     * a_p = mix64(2p+1)|1, b_p = mix64(2p+2), as unsigned BigInts.
     */

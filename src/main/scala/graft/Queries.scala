@@ -1885,11 +1885,10 @@ object Queries {
           .filter(length(col("term")) > 0)
         Sketches.heavyHitters(toks, "term", capacity = 4096, topN = 10)
       },
-      Some("""SELECT term, count(*) AS est_count,
+      Some(s"""SELECT term, count(*) AS est_count,
              |CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS BIGINT) AS rank
              |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(
-             |          regexp_replace(replace(text, 'İ', 'i' || chr(775)),
-             |            '(\p{L})Σ($|[^\p{L}])', '\1ς\2', 'g'))), '\s+'),
+             |          ${OracleSql.caseFold("text")})), '\\s+'),
              |        t -> t <> '')) AS term FROM documents)
              |GROUP BY term ORDER BY rank LIMIT 10""".stripMargin),
       "Misra–Gries heavy hitters (mergeable bounded-counter sketch; exact above capacity ⇒ oracle-checked)"),
@@ -5691,16 +5690,24 @@ object Queries {
       // interpolated Kneser-Ney with d=0.75 — exact in binary, so the
       // whole probability is a pinned-order rational of integer counts
       (s, d) => LanguageModel.kneserNeyScore(documents(s, d), "doc_id", "text"),
+      // pt/bw are MATERIALIZED (r18 verdict #5): DuckDB inlines
+      // multiply-referenced CTEs here, re-deriving the tokenize +
+      // pair-count chain per consumer — super-linearly in distinct
+      // pair TYPES, which planted corpora mint per document. Measured
+      // on the planted 100x 10-residue slice (25k docs): ~1,303 s
+      // un-hinted -> 1.7 s with pt+bw materialized, hash-identical
+      // (3-residue slice: 56.7 -> 0.4 s). The full 10-residue q183
+      // at-scale replay is affordable again (nRes=3 was the r18 cap).
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
              |    t -> t <> '') AS tk
              |  FROM documents
-             |), pt AS (
+             |), pt AS MATERIALIZED (
              |  SELECT doc_id, pair, count(*) AS tf FROM (
              |    SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
              |                           FOR i IN range(1, len(tk))]) AS pair
              |    FROM toks) GROUP BY doc_id, pair
-             |), bw AS (
+             |), bw AS MATERIALIZED (
              |  SELECT pair, c, string_split(pair, ' ')[1] AS w1,
              |         string_split(pair, ' ')[2] AS w2
              |  FROM (SELECT pair, sum(tf) AS c FROM pt GROUP BY pair)

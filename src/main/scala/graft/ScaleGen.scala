@@ -49,13 +49,16 @@ import org.apache.spark.sql.functions._
   *    dedicated case twin (`tools/unicode_corpus.py case`) against the
   *    one oracle that folds the mapping in (q79, see its scaladoc).
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <factor> [depthFactor [brandSplit]]
+  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <factor>
+  *        [depthFactor [brandSplit [lengthFactor]]]
   *
-  * The two optional args fabricate the BASKET-DEPTH growth axis that
-  * plain replication never probes (r17 verdict #2: q129's in-row pair
-  * generation is quadratic in per-order distinct-brand count, but
-  * `factor`× replication keeps basket depth CONSTANT, so its pair
-  * volume only ever grew linearly):
+  * The optional args fabricate the growth axes that plain replication
+  * never probes:
+  *
+  * BASKET DEPTH (r17 verdict #2: q129's in-row pair generation is
+  * quadratic in per-order distinct-brand count, but `factor`×
+  * replication keeps basket depth CONSTANT, so its pair volume only
+  * ever grew linearly):
   *  - `depthFactor` k > 1 additionally unions k copies of each
   *    replica's lineitem with l_partkey rotated by a coprime stride —
   *    same orders, k× the lines per order, so per-order distinct-part
@@ -64,6 +67,26 @@ import org.apache.spark.sql.functions._
   *    m sub-brands (`p_brand || '#' || p_partkey % m`), raising the
   *    cap itself (25 → 25m) so Σ|basket|² genuinely explodes instead
   *    of saturating at C(25,2) per order.
+  *
+  * DOCUMENT LENGTH (r18 verdict #1: replication grows document COUNT
+  * at constant document length, so the in-row per-document kernels —
+  * span/island merges, re-lining, chunking, gram profiles — whose
+  * per-row state is O(len) to O(len·L) were never probed on long
+  * documents):
+  *  - `lengthFactor` k > 1 rewrites each document's text (after the
+  *    replica cipher and the planting) as k SECTIONS joined by single
+  *    spaces: section 0 is the planted text verbatim, section j > 0 is
+  *    the same text under a section-seeded alphanumeric substitution
+  *    cipher. Each section is a token-space bijection of the base, so
+  *    gram statistics stay NON-DEGENERATE as length grows (per-doc
+  *    distinct-gram counts scale ~k, not saturate), the base corpus's
+  *    intra-doc repetition structure replicates per section, and the
+  *    CROSS-doc duplicated-span structure replicates section-aligned
+  *    (doc A section j matches doc B section j under the shared
+  *    cipher; j ≠ j' sections share no alphabet). `n_chars` is
+  *    recomputed. Section ciphers are seeded disjointly from the
+  *    replica ciphers, so no section of one replica equals another
+  *    replica's base vocabulary.
   */
 object ScaleGen {
   private val lowerDigits = "abcdefghijklmnopqrstuvwxyz0123456789"
@@ -107,6 +130,49 @@ object ScaleGen {
     text
   }
 
+  /** Per-(replica, section) cipher table for [[lengthen]]: identity on
+    * ASCII 0..127 except the 62 alphanumerics, which map through a
+    * seeded permutation (section 0 = identity — the base text
+    * verbatim). Seed classes (3e6/3.5e6 offsets) are disjoint from the
+    * replica ciphers' (0/5e5), so a section's vocabulary never
+    * collides with another replica's base vocabulary. */
+  private[graft] def sectionMap(replica: Int, section: Int): Array[Char] = {
+    val m = Array.tabulate(128)(_.toChar)
+    if (section > 0) {
+      val from = lowerDigits + upper
+      val to = permuted(lowerDigits, 3000017L + replica.toLong * 8191L + section) +
+        permuted(upper, 3500041L + replica.toLong * 8191L + section)
+      var k = 0
+      while (k < from.length) { m(from.charAt(k)) = to.charAt(k); k += 1 }
+    }
+    m
+  }
+
+  /** `lengthFactor`-section lengthening of one document: section 0
+    * verbatim, section j > 0 the same text through `maps(j)` (chars ≥
+    * 128 — the planted non-ASCII letters and glues — pass through, so
+    * every section carries the contract characters). Sections join
+    * with single spaces. Pure function of (text, maps) — regeneration
+    * is byte-stable. */
+  private[graft] def lengthen(text: String, maps: Array[Array[Char]]): String = {
+    if (maps.length <= 1) return text
+    val sb = new java.lang.StringBuilder(text.length * maps.length + maps.length)
+    sb.append(text)
+    var j = 1
+    while (j < maps.length) {
+      sb.append(' ')
+      val m = maps(j)
+      var p = 0
+      while (p < text.length) {
+        val c = text.charAt(p)
+        sb.append(if (c < 128) m(c) else c)
+        p += 1
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
   /** Per-replica SEEDED Fisher–Yates permutation of an alphabet — the
     * round-12 fix for the rotation cipher's period: `rotated(s, i)`
     * repeats at i ≡ j (mod |s|), so at factor > 36 replicas {i, i+36,
@@ -141,7 +207,8 @@ object ScaleGen {
     val factor = factorS.toInt
     val depthFactor = if (args.length > 3) args(3).toInt else 1
     val brandSplit = if (args.length > 4) args(4).toInt else 1
-    require(factor >= 1 && depthFactor >= 1 && brandSplit >= 1)
+    val lengthFactor = if (args.length > 5) args(5).toInt else 1
+    require(factor >= 1 && depthFactor >= 1 && brandSplit >= 1 && lengthFactor >= 1)
     val plantNonAscii = !sys.env.get("SPARK_GRAFT_ASCII").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -213,10 +280,21 @@ object ScaleGen {
       // the scaled corpus is exactly "cipher replica + unicode twin";
       // n_chars recomputes to keep the source invariant (Spark length()
       // = code points = Python len() — all planted chars are BMP)
-      if (!plantNonAscii) ciphered
-      else ciphered
-        .withColumn("text", plantUdf(col("doc_id"), col("text")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      val planted =
+        if (!plantNonAscii) ciphered
+        else ciphered
+          .withColumn("text", plantUdf(col("doc_id"), col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      // lengthening runs LAST (on the planted text, so every section
+      // carries the contract characters), then n_chars recomputes again
+      if (lengthFactor == 1) planted
+      else {
+        val maps = Array.tabulate(lengthFactor)(j => sectionMap(i, j))
+        val lenUdf = udf((t: String) => lengthen(t, maps))
+        planted
+          .withColumn("text", lenUdf(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
     }, "documents")
 
     // embeddings replicate under a per-replica SIGNED PERMUTATION of
@@ -266,7 +344,7 @@ object ScaleGen {
           java.nio.file.Paths.get(s"$dst/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"""{"scaled":"$dst","factor":$factor,"depth_factor":$depthFactor,"brand_split":$brandSplit,"non_ascii":$plantNonAscii}""")
+    println(s"""{"scaled":"$dst","factor":$factor,"depth_factor":$depthFactor,"brand_split":$brandSplit,"length_factor":$lengthFactor,"non_ascii":$plantNonAscii}""")
     spark.stop()
   }
 }

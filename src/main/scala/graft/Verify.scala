@@ -41,6 +41,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // lenient: warn (not refuse) below the measured 0.375 GB/slot spill
+    // floor so a deliberate starved-heap experiment still runs, but a
+    // mis-sized SPARK_DRIVER_MEM/SPARK_GRAFT_CPUS combination
+    // identifies itself up front instead of dying in the spill writer
+    Preflight.checkSpillFloor(spark, lenient = true)
     // remaining unpartitioned windows are constant-bounded and
     // allowlisted (PlanShapeSpec catalog-wide governance test); keep
     // the dump log readable — see Bench for the full rationale

@@ -55,8 +55,14 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // stage 3: duplicated-span trim + ≥50% retention (integer-exact);
-      // persisted for the same reason (LM gate + join + count)
-      val s3 = Dedup.dupSpanTrim(s2, "text", "doc_id", L = spanL)
+      // persisted for the same reason (LM gate + join + count).
+      // maxDocChars is disabled HERE because stage 1's rule gate
+      // already bounds every surviving document at `maxTokens` tokens —
+      // the funnel's own length rule IS the bound, and the default
+      // gate's max(length) pass would otherwise become a premature
+      // cache-fill job for s2.
+      val s3 = Dedup.dupSpanTrim(s2, "text", "doc_id", L = spanL,
+          maxDocChars = Long.MaxValue)
         .withColumnRenamed("id", "doc_id")
         .join(s2.select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .filter(col("n_removed") * 2 <= col("n_tokens"))

@@ -714,10 +714,25 @@ object Dedup {
     * filter is a partial-agg groupBy on the 8-byte hash, and the final
     * groupBy(id) collects positions bounded by one document's length.
     * No all-pairs stage exists anywhere.
+    *
+    * Per-DOCUMENT length bound (r19, the doc-length axis): the final
+    * groupBy(id) and the island merge hold O(len) in-row state, and
+    * [[dupSpanTrim]]'s coverage expansion holds O(len·L). The measured
+    * length curve is sub-linear through 128× (39 KB docs, SCALE.md r19),
+    * but a single pathological multi-hundred-MB document would
+    * concentrate gigabytes in one row — so both operators gate on
+    * `maxDocChars` (default 20 M chars ≈ 3 M tokens ≈ ~100 MB worst-case
+    * in-row trim state: every sane training document, including books,
+    * passes). The gate is one columnar `max(length)` pass — cheap next
+    * to the two tokenize passes the operator already runs;
+    * `Long.MaxValue` disables it. Refusal says which bound and why —
+    * the q162/q129 refuse-don't-explode contract.
     */
   def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
-                   L: Int = 8, maxGramDf: Long = 1000000L): DataFrame = {
+                   L: Int = 8, maxGramDf: Long = 1000000L,
+                   maxDocChars: Long = 20000000L): DataFrame = {
     require(L >= 2, s"span length L must be >= 2, got $L")
+    requireDocCharsBound(df, textCol, maxDocChars, "dupSpanStats")
     // single-pass codegen kernel per document: 64-bit L-token-gram
     // hashes at stride 1 (grouping by the 64-bit hash equals grouping
     // by the gram string collision-free at corpus scale — the q36/q166
@@ -771,6 +786,23 @@ object Dedup {
     out
   }
 
+  /** The shared per-document length gate of [[dupSpanStats]] /
+    * [[dupSpanTrim]] (see dupSpanStats's scaladoc for the bound's
+    * derivation): one columnar `max(length)` aggregation, refuse past
+    * `maxDocChars` with guidance. `Long.MaxValue` skips the pass. */
+  private def requireDocCharsBound(df: DataFrame, textCol: String,
+                                   maxDocChars: Long, op: String): Unit =
+    if (maxDocChars < Long.MaxValue) {
+      val mx = df.agg(coalesce(max(length(col(textCol)).cast("long")), lit(0L)))
+        .head().getLong(0)
+      require(mx <= maxDocChars,
+        s"$op: a document of $mx chars exceeds maxDocChars=$maxDocChars. " +
+          "The per-document span state is O(len) to O(len·L) IN ONE ROW, " +
+          "so a pathological document this size can blow a single task. " +
+          "Split or pre-chunk giant documents (chunkWindows), drop them " +
+          "with a length rule upstream, or raise maxDocChars explicitly.")
+    }
+
   /** The dedup ACTION to [[dupSpanStats]]'s report: remove duplicated
     * spans, keeping exactly ONE copy corpus-wide (Lee et al. 2022's
     * ExactSubstr policy). Ownership is deterministic — every hot gram
@@ -791,8 +823,10 @@ object Dedup {
     * shuffles — it is re-read only in the final rebuild projection.
     */
   def dupSpanTrim(df: DataFrame, textCol: String, idCol: String,
-                  L: Int = 8, maxGramDf: Long = 1000000L): DataFrame = {
+                  L: Int = 8, maxGramDf: Long = 1000000L,
+                  maxDocChars: Long = 20000000L): DataFrame = {
     require(L >= 2, s"span length L must be >= 2, got $L")
+    requireDocCharsBound(df, textCol, maxDocChars, "dupSpanTrim")
     // same single-pass kernel index as [[dupSpanStats]]; the rebuild
     // token array comes from [[Exprs.wsTokens]] — the SAME
     // Locale.ROOT/isRegexWs scan the hash kernel runs — so removal
@@ -1302,22 +1336,55 @@ object Dedup {
     * Scale: the only wide shuffle carries (hash, doc, pos) triples
     * (24 bytes). `dfCap` drops boilerplate shingles shared by more
     * than `dfCap` documents (the standard stop-shingle guard), which
-    * bounds the self-join blow-up at dfCap² rows per hash; ubiquitous
-    * spans (licence headers) are exactly what you'd route to a
-    * dedicated frequent-span report instead of pairwise output.
-    * Window partitions are per (pair, offset) — thousands of small
-    * partitions, no single-partition window anywhere.
+    * bounds the self-join blow-up at dfCap² DOCUMENT pairs per hash —
+    * but not at occ_a·occ_b MATCH rows per pair: per-document
+    * occurrences are unbounded, and one repeated-token document makes
+    * the join quadratic in its length. `maxMatchRows` (r19) gates that
+    * axis with an exact one-pass estimate (Σ_h (tot²−Σocc²)/2, the
+    * join's true pre-window cardinality) and refuses with guidance
+    * past the bound; `Long.MaxValue` disables the gate and its extra
+    * pass. Window partitions are per (pair, offset) — thousands of
+    * small partitions, no single-partition window anywhere.
     */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
                      shingleK: Int = 8, minSpanTokens: Int = 16,
-                     dfCap: Int = 64): DataFrame = {
+                     dfCap: Int = 64,
+                     maxMatchRows: Long = 1L << 31): DataFrame = {
     val posts = df.select(col(idCol).as("id"),
         posexplode(Exprs.shingleHashesPos(col(textCol), shingleK)))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val eligible = posts.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("_df"))
-      .filter(col("_df").between(2, dfCap))
-      .select(col("h"))
+    // two-level per-hash stats: `dfCap` bounds DISTINCT DOCS per
+    // shingle, but never per-doc OCCURRENCES — a pathological document
+    // (one token repeated len times ⇒ all its k-grams equal) shared
+    // with even one other doc makes the hash self-join below emit
+    // occ_a·occ_b rows, QUADRATIC in document length. The r19
+    // doc-length probe left every measured kernel sub-linear, but this
+    // axis is data-shaped, not corpus-shaped — so it gets the
+    // refuse-don't-explode gate (the q162/q129 contract).
+    val hstats = posts.groupBy(col("h"), col("id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("_nd"), sum(col("c")).as("_tot"),
+        sum(col("c") * col("c")).as("_s2"))
+      .filter(col("_nd").between(2, dfCap))
+    if (maxMatchRows < Long.MaxValue) {
+      // exact pre-window join volume: per hash, Σ_{a<b} occ_a·occ_b =
+      // (tot² − Σ occ²)/2. One extra skinny aggregation job (it
+      // re-derives the posts index — the same second-tokenize-pass
+      // cost dupSpanStats already pays); Long.MaxValue skips it.
+      val est = hstats
+        .agg(coalesce(sum(expr("(_tot * _tot - _s2) div 2")), lit(0L)))
+        .head().getLong(0)
+      require(est <= maxMatchRows,
+        s"the shingle-hash self-join would emit $est match rows " +
+          s"(> maxMatchRows=$maxMatchRows): per-document gram occurrences " +
+          "are large enough that pair volume has gone quadratic (dfCap " +
+          "bounds documents per shingle, not occurrences per document). " +
+          "Deduplicate degenerate repeated-token documents first " +
+          "(dupSpanTrim / repetitionProfile gates), lower dfCap, or raise " +
+          "maxMatchRows explicitly to enumerate anyway.")
+    }
+    val eligible = hstats.select(col("h"))
     val p = posts.join(eligible, "h")
     val pairs = p.as("pa").join(p.as("pb"),
         col("pa.h") === col("pb.h") && col("pa.id") < col("pb.id"))

@@ -772,6 +772,47 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) === ((1L, 20L, 6L)))
   }
 
+  test("substringSpans maxMatchRows gate: repeated-token docs refuse with an exact estimate") {
+    import spark.implicits._
+    // two documents of ONE repeated token: every 8-gram in each doc is
+    // the same hash, so the self-join would emit occ_a*occ_b rows —
+    // the quadratic-in-length axis dfCap cannot see (distinct docs per
+    // shingle is just 2). occ = 2000-8+1 = 1993 each; cross-doc match
+    // rows = (tot^2 - sum occ^2)/2 = 1993^2 = 3,972,049.
+    val rep = Seq.fill(2000)("tok").mkString(" ")
+    val docs = Seq((1L, rep), (2L, rep), (3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.substringSpans(docs, "text", "doc_id", maxMatchRows = 1000000L))
+    assert(e.getMessage.contains("3972049 match rows"))
+    assert(e.getMessage.contains("maxMatchRows=1000000"))
+    // Long.MaxValue disables the gate; below-bound corpora are
+    // unchanged by the gate's two-level eligible rewrite
+    val spanToks = (0 until 20).map(i => s"s$i").mkString(" ")
+    val normal = Seq((1L, "p0 p1 " + spanToks), (2L, spanToks + " q0")).toDF("doc_id", "text")
+    val a = Dedup.substringSpans(normal, "text", "doc_id").collect().toSeq
+    val b = Dedup.substringSpans(normal, "text", "doc_id",
+      maxMatchRows = Long.MaxValue).collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("dupSpanStats/dupSpanTrim maxDocChars gate: a giant document refuses, books pass") {
+    import spark.implicits._
+    // a fabricated multi-MB document trips an explicit 1M bound with
+    // the in-row-state guidance; the same doc passes the 20M default
+    // (a 3MB book is a legitimate training document)
+    val big = ("lorem ipsum dolor sit amet " * 120000).trim // ~3.1 MB
+    val docs = Seq((1L, big), (2L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.dupSpanStats(docs, "text", "doc_id", maxDocChars = 1000000L))
+    assert(e.getMessage.contains("maxDocChars=1000000"))
+    assert(e.getMessage.contains("dupSpanStats"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.dupSpanTrim(docs, "text", "doc_id", maxDocChars = 1000000L))
+    assert(e2.getMessage.contains("dupSpanTrim"))
+    // the default admits it (and the operator completes on a 3MB doc)
+    assert(Dedup.dupSpanStats(docs, "text", "doc_id").count() === 2L)
+  }
+
   test("benchmarkContainment: a planted verbatim eval item is flagged at ~1.0") {
     import spark.implicits._
     val evalItem = "the quick brown fox jumps over the lazy dog tonight"
