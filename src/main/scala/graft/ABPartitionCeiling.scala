@@ -77,8 +77,13 @@ object ABPartitionCeiling {
       .withColumn("l_partkey",
         when(pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(100L)) < hotPct,
           lit(1L)).otherwise(col("l_partkey")))
+      // pad = DISTINCT 16-hex-char hash blocks (not one block repeated:
+      // lz4 would erase a repeated block and the shuffled partition's
+      // on-wire bytes — what the listener measures — would not grow
+      // with padWidth)
       .withColumn("pad",
-        repeat(substring(hex(xxhash64(col("l_orderkey"))), 1, 16), (padWidth + 15) / 16))
+        concat((0 until (padWidth + 15) / 16).map(k =>
+          hex(xxhash64(col("l_orderkey"), col("l_partkey"), lit(k)))): _*))
     val pt = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
 
     def q(): DataFrame =

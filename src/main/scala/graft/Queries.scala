@@ -2297,9 +2297,12 @@ object Queries {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           TextFunctions.tokenCount(col("chunk")).cast("long").as("n_tokens"),
           length(col("chunk")).cast("long").as("n_chars")),
-      Some("""WITH toks AS (
+      // İ/final-Σ pre-fold (r19 case matrix): n_chars counts code
+      // points of the LOWERED chunk, where the simple-vs-full mapping
+      // differs (1 vs 2 cp); a no-op on İ/Σ-free corpora
+      Some(s"""WITH toks AS (
              |  SELECT doc_id,
-             |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+             |         list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'), t -> t <> '') AS tk
              |  FROM documents
              |), ch AS (
              |  SELECT doc_id,
@@ -2428,9 +2431,12 @@ object Queries {
           aggregate(tokVals, lit(0L),
             (acc, v) => pmod(acc * 31 + v, lit(1000000007L))).as("fingerprint"))
       },
-      Some("""SELECT doc_id,
+      // İ/final-Σ pre-fold (r19 case matrix): the rolling hash reads
+      // per-token length AND first code point of the lowered token —
+      // both diverge under the simple map; a no-op on İ/Σ-free corpora
+      Some(s"""SELECT doc_id,
              |list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |  list_transform(string_split_regex(lower(trim(text)), '\s+'),
+             |  list_transform(string_split_regex(lower(trim(${OracleSql.caseFold("text")})), '\\s+'),
              |    x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
              |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
              |FROM documents""".stripMargin),
@@ -6875,9 +6881,13 @@ object Queries {
         .select(col("id").as("doc_id"), col("n_lines"),
           col("dup_line_frac"), col("dup_char_frac"),
           col("top_bigram"), col("top_bigram_cov"), col("kept")),
-      Some("""WITH toks AS (
+      // İ/final-Σ pre-fold (r19 case matrix): the re-lined strings and
+      // bigram keys are built from the lowered tokens, so the
+      // dup-char fractions and `kept` shift under the simple map; a
+      // no-op on İ/Σ-free corpora
+      Some(s"""WITH toks AS (
              |  SELECT doc_id,
-             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |    list_filter(string_split_regex(lower(trim(${OracleSql.caseFold("text")})), '\\s+'),
              |      t -> t <> '') AS tk
              |  FROM documents
              |), lined AS (
