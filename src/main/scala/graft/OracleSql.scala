@@ -111,7 +111,7 @@ object OracleSql {
     */
   def classifierScoreCtes: String =
     s"""toks AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |  SELECT doc_id, list_filter(string_split_regex(lower(${caseFold("text")}), '\\s+'),
        |    t -> t <> '') AS tk
        |  FROM documents
        |), terms AS (
@@ -203,7 +203,7 @@ object OracleSql {
       s"""ldocs AS (
          |  $ldocsSelect
          |), gtoks AS (
-         |  SELECT doc_id, y, list_filter(string_split_regex(lower(text), '\\s+'),
+         |  SELECT doc_id, y, list_filter(string_split_regex(lower(${caseFold("text")}), '\\s+'),
          |    t -> t <> '') AS tk
          |  FROM ldocs
          |), gterms AS (
@@ -292,7 +292,7 @@ object OracleSql {
          |    text
          |  FROM documents
          |), gtoks AS (
-         |  SELECT doc_id, y, list_filter(string_split_regex(lower(text), '\\s+'),
+         |  SELECT doc_id, y, list_filter(string_split_regex(lower(${caseFold("text")}), '\\s+'),
          |    t -> t <> '') AS tk
          |  FROM ldocs
          |), gterms AS (

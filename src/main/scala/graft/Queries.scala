@@ -202,7 +202,7 @@ object Queries {
     val valU = s"CAST((CAST($mulAH AS HUGEINT) + CAST(b AS HUGEINT)) % $m64 AS UBIGINT)"
     val valS = OracleSql.toSigned(valU)
     s"""toks AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |  SELECT doc_id, list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'),
        |    t -> t <> '') AS tk
        |  FROM documents
        |), shs AS (
@@ -873,7 +873,7 @@ object Queries {
       Some {
         val tokHash = OracleSql.mix64(OracleSql.poly31("tok"))
         s"""WITH toks AS (
-           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'),
            |    t -> t <> '')) AS tok
            |  FROM documents
            |), th AS (
@@ -955,9 +955,9 @@ object Queries {
         Dedup.lineDedup(lined, "t", "doc_id")
           .select(col("id").as("doc_id"), col("n_kept"), col("text_dedup"))
       },
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
              |  SELECT doc_id,
-             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |         list_filter(string_split_regex(lower(trim(${OracleSql.caseFold("text")})), '\\s+'),
              |           t -> t <> '') AS tk
              |  FROM documents
              |), lined AS (
@@ -2242,8 +2242,8 @@ object Queries {
           val hits = grams.map(g => s"CAST(contains(lt, '$g') AS INT)").mkString(" + ")
           s"($hits) AS s_$lang"
         }.mkString(", ")
-        s"""WITH t AS (SELECT doc_id, text, lower(text) AS lt,
-           |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        s"""WITH t AS (SELECT doc_id, text, lower(${OracleSql.caseFold("text")}) AS lt,
+           |  string_split_regex(lower(trim(${OracleSql.caseFold("text")})), '\\s+') AS toks FROM documents),
            |m AS (SELECT doc_id, text, lt, toks,
            |  CAST(len(list_filter(toks, x -> list_contains(
            |    [${TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) /
@@ -2522,7 +2522,7 @@ object Queries {
         // nesting mix64∘mix64∘poly31 in ONE expression macro-expands
         // the argument at every reference and blows up evaluation
         s"""WITH toks AS (
-           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |  SELECT doc_id, list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'),
            |    t -> t <> '') AS tk
            |  FROM documents
            |), terms AS (
@@ -2814,8 +2814,8 @@ object Queries {
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20),
-      Some("""WITH toks AS (
-             |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      Some(s"""WITH toks AS (
+             |  SELECT list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'),
              |    t -> t <> '') AS tk
              |  FROM documents
              |), pairs AS (
@@ -3149,10 +3149,10 @@ object Queries {
               sort_array(collect_list(when(col("rn") <= 20, col("doc_id")))))
               .as("postings_head"))
       },
-      Some("""WITH tf AS (
+      Some(s"""WITH tf AS (
              |  SELECT doc_id, term, count(*) AS tf FROM (
              |    SELECT doc_id, unnest(list_filter(
-             |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+             |      string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'), t -> t <> '')) AS term
              |    FROM documents) GROUP BY 1, 2
              |), r AS (
              |  SELECT doc_id, term, tf,
@@ -3460,8 +3460,8 @@ object Queries {
           .orderBy(col("pmi_micro").desc, col("pair"))
           .limit(20)
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'),
              |    t -> t <> '') AS tk
              |  FROM documents
              |), pc AS (
@@ -3513,9 +3513,9 @@ object Queries {
              |  SELECT replace($src.t, ' ' || m$i.pair || ' ', ' ' || m$i.merged || ' ') AS t
              |  FROM $src, m$i)""".stripMargin
         val stages = Seq(
-          """c0 AS MATERIALIZED (
+          s"""c0 AS MATERIALIZED (
             |  SELECT ' ' || array_to_string(list_filter(
-            |    string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ') || ' ' AS t
+            |    string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'), x -> x <> ''), ' ') || ' ' AS t
             |  FROM documents)""".stripMargin,
           pStage(1, "c0"), mStage(1), cStage(1, "c0"),
           pStage(2, "c1"), mStage(2), cStage(2, "c1"),
@@ -4206,7 +4206,7 @@ object Queries {
       Some {
         // q96's staged score re-derivation + the binning tail
         s"""WITH toks AS (
-           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |  SELECT doc_id, list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'),
            |    t -> t <> '') AS tk
            |  FROM documents
            |), terms AS (
@@ -5169,7 +5169,7 @@ object Queries {
         val bhash = s"CAST(${OracleSql.mix64(OracleSql.poly31("sgl"))} % 4096 AS BIGINT)"
         s"""WITH toks AS (
            |  SELECT doc_id, (lang = 'en') AS tgt,
-           |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+           |         list_filter(string_split_regex(lower(${OracleSql.caseFold("text")}), '\\s+'), t -> t <> '') AS tk
            |  FROM documents
            |), sg AS (
            |  SELECT doc_id, tgt, unnest([array_to_string(tk[i:i+1], ' ')
@@ -5494,9 +5494,9 @@ object Queries {
       // hot gram, occurrences with owner < doc_id expand to their L
       // covered positions, and the kept tokens are rejoined — the
       // oracle rebuilds the trimmed TEXT itself, not just the counts
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
              |  SELECT doc_id,
-             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |         list_filter(string_split_regex(lower(trim(${OracleSql.caseFold("text")})), '\\s+'),
              |           t -> t <> '') AS tk
              |  FROM documents
              |), nt AS (
@@ -5752,10 +5752,10 @@ object Queries {
             .as("n_hits"),
           TextFunctions.blocklistRedact(col("text"), pats).as("redacted"))
       },
-      Some("""WITH pats AS (
+      Some(s"""WITH pats AS (
              |  SELECT unnest(['slow', 'big query', 'scan sort', 'a a']) AS p
              |), t AS (
-             |  SELECT doc_id, lower(text) AS t FROM documents
+             |  SELECT doc_id, lower(${OracleSql.caseFold("text")}) AS t FROM documents
              |), hits AS (
              |  SELECT doc_id,
              |    CAST(coalesce(sum(len([i FOR i IN range(1, len(t) - len(p) + 2)
@@ -6141,9 +6141,9 @@ object Queries {
           .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
             col("text_clean"))
       },
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
              |  SELECT doc_id, source,
-             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |         list_filter(string_split_regex(lower(trim(${OracleSql.caseFold("text")})), '\\s+'),
              |           t -> t <> '') AS tk
              |  FROM documents
              |), lined AS (
