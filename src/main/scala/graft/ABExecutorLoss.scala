@@ -23,13 +23,20 @@ import org.apache.spark.sql.functions._
   *
   * Recovery must be exact recomputation, not "the job finished".
   *
-  * Usage: sbt "runMain graft.ABExecutorLoss /tmp/sf3x"
+  * A second workload (`funnel`) drives [[graft.operators.Curation
+  * .funnel]] — the composed 4-stage pipeline with TWO MEMORY_AND_DISK
+  * persists — so the kill also takes cached blocks with the JVM: the
+  * combined executor-death + cache-loss regime (r18 proved the
+  * task-level halves separately).
+  *
+  * Usage: sbt "runMain graft.ABExecutorLoss /tmp/sf3x [neardup|funnel]"
   * (2 executors × 6 cores × 3 GB; one JSON line, committed under ab/)
   */
 object ABExecutorLoss {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args(0)
+    val workload = if (args.length > 1) args(1) else "neardup"
     val spark = SparkSession.builder()
       .master("local-cluster[2,6,3072]")
       // executor JVMs launch from SPARK_HOME and do NOT inherit the
@@ -82,14 +89,24 @@ object ABExecutorLoss {
       }
     })
 
-    def pipeline() = {
+    def digest() = {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        shingleK = 3, minJaccard = 0.8)
+      workload match {
+        case "funnel" =>
+          // the composed 4-stage pipeline: its two MEMORY_AND_DISK
+          // persists live on the executors, so the SIGKILL also drops
+          // cached blocks mid-pipeline
+          graft.operators.Curation.funnel(docs)
+            .agg(count(lit(1)).as("n"),
+              sum(xxhash64(col("source"), col("n_docs"), col("n_rules"),
+                col("n_exact"), col("n_trim"), col("n_lm"))).as("h")).head()
+        case _ =>
+          graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+            shingleK = 3, minJaccard = 0.8)
+            .agg(count(lit(1)).as("n"),
+              sum(xxhash64(col("id_a"), col("id_b"))).as("h")).head()
+      }
     }
-    def digest() = pipeline()
-      .agg(count(lit(1)).as("n"),
-        sum(xxhash64(col("id_a"), col("id_b"))).as("h")).head()
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -105,7 +122,7 @@ object ABExecutorLoss {
     require(removed.get >= 1,
       s"executor kill not observed by the scheduler (removed=${removed.get})")
     require(dClean == dKill, s"digests diverge: clean=$dClean killed=$dKill")
-    println(s"""{"sf":"$sfDir","mode":"local-cluster[2,6,3072]","clean_sec":${math.rint(tClean * 100) / 100},"killed_sec":${math.rint(tKill * 100) / 100},"executors_removed":${removed.get},"failed_tasks":${failedTasks.get},"stage_resubmissions":${reattempts.get},"killed_pid":${killedPid.get},"digest_pairs":${dClean.getLong(0)},"digests_identical":true}""")
+    println(s"""{"sf":"$sfDir","workload":"$workload","mode":"local-cluster[2,6,3072]","clean_sec":${math.rint(tClean * 100) / 100},"killed_sec":${math.rint(tKill * 100) / 100},"executors_removed":${removed.get},"failed_tasks":${failedTasks.get},"stage_resubmissions":${reattempts.get},"killed_pid":${killedPid.get},"digest_rows":${dClean.getLong(0)},"digests_identical":true}""")
     spark.stop()
   }
 }
