@@ -48,11 +48,21 @@ object ABDocLength {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
     import org.apache.spark.sql.functions._
-    val (nDocs, avgChars, maxChars) = {
+    val (nDocs, avgChars, maxChars, maxBytes) = {
       val r = docs.agg(count(lit(1)), avg(length(col("text"))),
-        max(length(col("text")))).head()
-      (r.getLong(0), r.getDouble(1).round, r.getInt(2))
+        max(length(col("text"))), max(octet_length(col("text"))).cast("long")).head()
+      (r.getLong(0), r.getDouble(1).round, r.getInt(2), r.getLong(3))
     }
+    // the r20 guard's own verdicts on this corpus: what the DEFAULT
+    // 4096-row batch would have done (the r19 OOM, now refused with a
+    // recipe), what the guard recommends, and that the batch this run
+    // actually uses passes — the harness consumes its own guard
+    val heap = Runtime.getRuntime.maxMemory
+    val slots = spark.sparkContext.defaultParallelism
+    val recommended = Preflight.recommendedReaderBatch(heap, slots, maxBytes)
+    val defaultVerdict = Preflight.readerBatchWarning(heap, slots, 4096, maxBytes)
+      .map(_.take(120)).getOrElse("ok")
+    Preflight.checkReaderBatch(spark, docs, Seq("text"), lenient = true)
 
     // 1. maxDocChars: a 1M bound refuses multi-MB docs with guidance
     val refusedMsg =
@@ -77,7 +87,7 @@ object ABDocLength {
         case e: IllegalArgumentException => (e.getMessage.take(160), 0.0, -1L)
       }
 
-    println(s"""{"sf":"$sfDir","n_docs":$nDocs,"avg_chars":$avgChars,"max_chars":$maxChars,"reader_batch":$readerBatch,"max_doc_chars_1m_refusal":"${refusedMsg.replace("\"", "'")}","dup_span_stats_default_sec":${math.rint(tStats * 100) / 100},"dup_span_stats_rows":$nStats,"dup_span_trim_default_sec":${math.rint(tTrim * 100) / 100},"dup_span_trim_rows":$nTrim,"substring_spans_default":"${matchGate.replace("\"", "'")}","substring_spans_sec":${math.rint(tSpans * 100) / 100},"substring_spans_rows":$nSpans}""")
+    println(s"""{"sf":"$sfDir","n_docs":$nDocs,"avg_chars":$avgChars,"max_chars":$maxChars,"max_bytes":$maxBytes,"reader_batch":$readerBatch,"reader_batch_recommended":$recommended,"reader_batch_default_verdict":"${defaultVerdict.replace("\"", "'")}","max_doc_chars_1m_refusal":"${refusedMsg.replace("\"", "'")}","dup_span_stats_default_sec":${math.rint(tStats * 100) / 100},"dup_span_stats_rows":$nStats,"dup_span_trim_default_sec":${math.rint(tTrim * 100) / 100},"dup_span_trim_rows":$nTrim,"substring_spans_default":"${matchGate.replace("\"", "'")}","substring_spans_sec":${math.rint(tSpans * 100) / 100},"substring_spans_rows":$nSpans}""")
     spark.stop()
   }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fetch-path latency/failure probing on the local-cluster rig — the
+  * closest one machine gets to the network-remote shuffle dimension
+  * (r19 verdict #5). Two legs, each with REAL separate executor JVMs
+  * (`local-cluster[2,6,3072]`, the ABExecutorLoss scaffold):
+  *
+  *   1. THROTTLED FETCH — the same multi-shuffle near-dup workload
+  *      under the default reducer window vs a serialized one
+  *      (`spark.reducer.maxReqsInFlight=1`,
+  *      `spark.reducer.maxSizeInFlight=48k`): every block fetch
+  *      becomes its own round trip, so the slowdown factor measures
+  *      how exposed the plan is to per-request latency — the knob a
+  *      high-RTT network turns. Digest-checked against the default.
+  *
+  *   2. RETRY PRICING UNDER REAL FAILURE — an executor JVM is
+  *      SIGKILLed when the reduce stage is submitted (its shuffle
+  *      files die with it) under two IO-retry configs:
+  *      patient (`spark.shuffle.io.maxRetries=3, retryWait=5s` — the
+  *      defaults) vs fast-fail (`maxRetries=1, retryWait=1s`). The
+  *      dead peer refuses connections instantly, so the measured
+  *      recovery-time difference is exactly what the retry knobs buy
+  *      when the peer is GONE (fast-fail escalates to FetchFailed →
+  *      stage resubmission sooner). Digest-exact in both.
+  *
+  * What this does NOT establish (still honest cluster-only residue):
+  * slow-but-alive peers (retry knobs then trade recovery against
+  * wasted refetch), rack topology, and partial network partitions —
+  * a same-host TCP connection cannot fake an alive-but-distant one.
+  *
+  * Usage: SPARK_SCALA_VERSION=2.13 sbt "runMain graft.ABFetchLatency /tmp/sf3x"
+  * Output: one JSON line (committed under ab/ as the r20 artifact).
+  */
+object ABFetchLatency {
+
+  private def session(extra: Map[String, String]): SparkSession = {
+    val b = SparkSession.builder()
+      .master("local-cluster[2,6,3072]")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "12")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def digestOf(spark: SparkSession, sfDir: String): (Row, Double) = {
+    val t0 = System.nanoTime()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val r = graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleK = 3, minJaccard = 0.8)
+      .agg(count(lit(1)).as("n"), sum(xxhash64(col("id_a"), col("id_b"))).as("h"))
+      .head()
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** One kill-under-retry-config run: returns (digest, wall sec,
+    * fetch-failed task count, stage resubmissions, executor removals). */
+  private def killLeg(sfDir: String, retries: Int, waitS: Int): (Row, Double, Int, Int, Int) = {
+    val spark = session(Map(
+      "spark.shuffle.io.maxRetries" -> retries.toString,
+      "spark.shuffle.io.retryWait" -> s"${waitS}s"))
+    try {
+      val fetchFailed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reattempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val removed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val stagesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          removed.incrementAndGet()
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.reason != null &&
+              e.reason.getClass.getSimpleName.contains("FetchFailed"))
+            fetchFailed.incrementAndGet()
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          if (s.stageInfo.attemptNumber() > 0) reattempts.incrementAndGet()
+          if (armed.get && stagesSeen.incrementAndGet() == 2 &&
+              armed.compareAndSet(true, false)) {
+            new Thread(() => {
+              Thread.sleep(300)
+              val pids = new String(java.lang.Runtime.getRuntime
+                  .exec(Array("pgrep", "-f", "CoarseGrainedExecutorBackend"))
+                  .getInputStream.readAllBytes()).trim.split("\n").filter(_.nonEmpty)
+              pids.headOption.foreach { pid =>
+                java.lang.Runtime.getRuntime.exec(Array("kill", "-9", pid.trim)).waitFor()
+              }
+            }, "executor-assassin").start()
+          }
+        }
+      })
+      // warm run (parquet footers, codegen) so the timed kill run
+      // measures recovery, not first-touch
+      digestOf(spark, sfDir)
+      armed.set(true)
+      val (d, t) = digestOf(spark, sfDir)
+      Thread.sleep(500)
+      require(removed.get >= 1, s"kill not observed (removed=${removed.get})")
+      (d, t, fetchFailed.get, reattempts.get, removed.get)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = args(0)
+
+    // leg 1a: default fetch window
+    val sDef = session(Map.empty)
+    val (dDef, tDefCold) = digestOf(sDef, sfDir)
+    val (_, tDef) = digestOf(sDef, sfDir) // warm rep is the comparable one
+    sDef.stop()
+    // leg 1b: serialized fetch — one in-flight request, 48k window
+    val sThr = session(Map(
+      "spark.reducer.maxReqsInFlight" -> "1",
+      "spark.reducer.maxSizeInFlight" -> "48k"))
+    val (dThr, _) = digestOf(sThr, sfDir)
+    val (_, tThr) = digestOf(sThr, sfDir)
+    sThr.stop()
+    require(dDef == dThr, s"throttled digest diverged: $dDef vs $dThr")
+
+    // leg 2: retry pricing under a real mid-reduce executor kill
+    val (dPat, tPat, ffPat, rsPat, rmPat) = killLeg(sfDir, retries = 3, waitS = 5)
+    val (dFast, tFast, ffFast, rsFast, rmFast) = killLeg(sfDir, retries = 1, waitS = 1)
+    require(dDef == dPat && dDef == dFast,
+      s"kill-leg digest diverged: $dDef vs $dPat vs $dFast")
+
+    println(s"""{"sf":"$sfDir","mode":"local-cluster[2,6,3072]","digest_rows":${dDef.getLong(0)},"default_warm_sec":${math.rint(tDef * 100) / 100},"default_cold_sec":${math.rint(tDefCold * 100) / 100},"throttled_warm_sec":${math.rint(tThr * 100) / 100},"throttle_factor":${math.rint(tThr / tDef * 100) / 100},"kill_patient_sec":${math.rint(tPat * 100) / 100},"kill_patient_fetch_failed":$ffPat,"kill_patient_resubmissions":$rsPat,"kill_patient_removed":$rmPat,"kill_fastfail_sec":${math.rint(tFast * 100) / 100},"kill_fastfail_fetch_failed":$ffFast,"kill_fastfail_resubmissions":$rsFast,"kill_fastfail_removed":$rmFast,"digests_identical":true}""")
+    sys.exit(0)
+  }
+}

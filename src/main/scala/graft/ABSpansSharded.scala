@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r20 evidence for [[graft.operators.Dedup.substringSpans]]'s
+  * residue-sharded slow path (r19 verdict #4): re-runs the r19 organic
+  * 829.7 s case — the lengthFactor-8192 multi-MB-document corpus whose
+  * match volume the default gate ADMITS (`ab/doclen_gate_r19.json`) —
+  * both unsharded and at `nShards`, recording per-run wall time, the
+  * PEAK single-stage shuffle-write volume (the memory/disk pressure the
+  * sharding exists to bound: the pair stream's exchange into the
+  * constant-offset window), total spill, and digest equality.
+  *
+  * Expected shape: identical output rows/digest; sharded peak stage
+  * shuffle ≈ unsharded / nShards; total work similar or mildly higher
+  * (nShards passes over the persisted posting index).
+  *
+  * Usage: SPARK_GRAFT_CPUS=16 sbt "runMain graft.ABSpansSharded /tmp/lenbig [nShards]"
+  * Output: one JSON line (committed under ab/ as the r20 artifact).
+  */
+object ABSpansSharded {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = args(0)
+    val nShards = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val readerBatch = sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", readerBatch)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Preflight.checkReaderBatch(spark, docs, Seq("text"), lenient = true)
+
+    // per-stage shuffle-write accounting: the PEAK single stage is the
+    // pressure metric sharding bounds (the unsharded run's one giant
+    // pair exchange vs nShards smaller ones)
+    val maxStageShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
+    val totalShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val w = s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        totalShuffle.addAndGet(w)
+        spilled.addAndGet(s.stageInfo.taskMetrics.memoryBytesSpilled)
+        maxStageShuffle.getAndUpdate(m => math.max(m, w))
+      }
+    })
+    def reset(): Unit = { maxStageShuffle.set(0); totalShuffle.set(0); spilled.set(0) }
+    def run(shards: Int): (Long, Long, Double, Long, Long, Long) = {
+      reset()
+      val t0 = System.nanoTime()
+      val r = graft.operators.Dedup.substringSpans(docs, "text", "doc_id",
+          nShards = shards)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("a"), col("b"), col("n_spans"),
+            col("max_span_tokens"), col("first_start_a"))), lit(0L)).as("h"))
+        .head() match { case row => (row.getLong(0), row.getLong(1),
+          (System.nanoTime() - t0) / 1e9,
+          maxStageShuffle.get, totalShuffle.get, spilled.get) }
+      r
+    }
+
+    val (nS, hS, tS, peakS, totS, spS) = run(nShards)
+    val (n1, h1, t1, peak1, tot1, sp1) = run(1)
+    require(n1 == nS && h1 == hS,
+      s"sharded output diverged: unsharded ($n1, $h1) vs sharded ($nS, $hS)")
+    println(s"""{"sf":"$sfDir","n_shards":$nShards,"rows":$n1,"digest":$h1,"unsharded_sec":${math.rint(t1 * 100) / 100},"unsharded_peak_stage_shuffle_bytes":$peak1,"unsharded_total_shuffle_bytes":$tot1,"unsharded_spill_bytes":$sp1,"sharded_sec":${math.rint(tS * 100) / 100},"sharded_peak_stage_shuffle_bytes":$peakS,"sharded_total_shuffle_bytes":$totS,"sharded_spill_bytes":$spS,"peak_ratio":${if (peakS > 0) math.rint(peak1.toDouble / peakS * 100) / 100 else -1},"digests_identical":true}""")
+    spark.stop()
+    sys.exit(0)
+  }
+}

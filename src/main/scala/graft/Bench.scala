@@ -34,6 +34,15 @@ object Bench {
     // mis-sized SPARK_DRIVER_MEM/SPARK_GRAFT_CPUS combination
     // identifies itself up front instead of dying in the spill writer
     Preflight.checkSpillFloor(spark, lenient = true)
+    // ... and the r19 reader-batch ceiling: a corpus carrying multi-MB
+    // documents OOMs the vectorized parquet reader at the default
+    // 4096-row batch BEFORE any operator runs — one cheap
+    // max(octet_length) pass identifies it and prints the sized-down
+    // columnarReaderBatchSize recipe up front
+    try Preflight.checkReaderBatch(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), Seq("text"),
+      lenient = true)
+    catch { case _: Throwable => () }
     // every unpartitioned window left in the catalog is constant-
     // bounded by construction and pinned to an explicit allowlist by
     // PlanShapeSpec's catalog-wide governance test — silence the

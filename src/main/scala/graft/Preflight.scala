@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Session preflight checks — turns measured operational floors into
   * guards instead of obscure runtime failures.
@@ -58,4 +59,81 @@ object Preflight {
       if (lenient) System.err.println(s"[preflight] WARNING: $msg")
       else throw new IllegalArgumentException(s"preflight: $msg")
     }
+
+  // -------------------------------------------------------------------
+  // THE READER-BATCH CEILING (r19, SCALE.md "the measured multi-MB-
+  // document ceiling is the READER"): before any operator runs, the
+  // vectorized parquet reader reserves ~batchSize × row-bytes of
+  // contiguous column-vector memory PER CONCURRENT TASK. At the
+  // default columnarReaderBatchSize of 4096 a 2.6 MB-document corpus
+  // makes that a multi-GB reservation per task and the JVM dies inside
+  // the reader — before a single kernel executes, with no actionable
+  // message. The measured recipe (ABDocLength): 32-row batches carry
+  // the same corpus through every operator on an 8 g heap.
+
+  /** Heap fraction the aggregate reader reservation may use before the
+    * guard fires. 1/4 reproduces the r19 recipe exactly: at 8 g /
+    * 16 slots / 2.6 MB docs the largest passing power of two is 32 —
+    * the batch size ABDocLength measured as surviving. */
+  val ReaderHeapFraction: Double = 0.25
+
+  /** Largest power-of-two batch size whose estimated reservation
+    * (batch × maxRowBytes × slots) stays within [[ReaderHeapFraction]]
+    * of the heap, floored at 8 (below that, per-batch overheads
+    * dominate and the corpus is pathological enough to pre-chunk). */
+  def recommendedReaderBatch(heapBytes: Long, slots: Int, maxRowBytes: Long): Int = {
+    val budget = (heapBytes * ReaderHeapFraction).toLong /
+      math.max(slots, 1) / math.max(maxRowBytes, 1L)
+    var b = 8
+    while (b.toLong * 2 <= budget && b < 4096) b *= 2
+    b
+  }
+
+  /** Pure form: None when `batchSize` rows of `maxRowBytes` across
+    * `slots` concurrent reader tasks fit in [[ReaderHeapFraction]] of
+    * the heap, else the actionable message with the sized-down batch
+    * recipe. */
+  def readerBatchWarning(heapBytes: Long, slots: Int, batchSize: Int,
+                         maxRowBytes: Long): Option[String] = {
+    val reservation = BigInt(batchSize) * BigInt(math.max(maxRowBytes, 1L)) *
+      BigInt(math.max(slots, 1))
+    val budget = BigInt((heapBytes * ReaderHeapFraction).toLong)
+    if (reservation <= budget) None
+    else Some(
+      f"spark.sql.parquet.columnarReaderBatchSize=$batchSize%d would reserve " +
+        f"~${reservation.toDouble / (1L << 30)}%.1f GB of column vectors " +
+        f"($batchSize%d rows x $maxRowBytes%d max row bytes x $slots%d concurrent " +
+        f"reader tasks) against a ${heapBytes / (1L << 30).toDouble}%.1f GB heap — " +
+        "the vectorized parquet reader OOMs on multi-MB documents BEFORE any " +
+        "operator runs (SCALE.md r19 'the measured multi-MB-document ceiling " +
+        "is the READER', measured by ABDocLength). Set " +
+        s"spark.sql.parquet.columnarReaderBatchSize=" +
+        s"${recommendedReaderBatch(heapBytes, slots, maxRowBytes)} for this " +
+        "corpus, or pre-chunk giant documents upstream.")
+  }
+
+  /** Live-session check over the corpus actually being read: one cheap
+    * columnar max(octet_length) pass per text/binary column (summed —
+    * each column allocates its own vector within the same batch), then
+    * [[readerBatchWarning]] against this JVM's heap, the session's
+    * configured `columnarReaderBatchSize`, and the local scheduler's
+    * parallelism. Refuses past the ceiling; `lenient` downgrades to a
+    * stderr warning (the Bench/Verify mains' mode). */
+  def checkReaderBatch(spark: SparkSession, df: DataFrame,
+                       textCols: Seq[String],
+                       lenient: Boolean = false): Unit = {
+    val cols = textCols.filter(df.columns.contains)
+    if (cols.nonEmpty) {
+      val maxRowBytes = df.agg(
+        cols.map(c => coalesce(max(octet_length(col(c)).cast("long")), lit(0L)))
+          .reduce(_ + _).as("b")).head().getLong(0)
+      val batchSize = spark.conf
+        .get("spark.sql.parquet.columnarReaderBatchSize", "4096").toInt
+      readerBatchWarning(Runtime.getRuntime.maxMemory,
+        spark.sparkContext.defaultParallelism, batchSize, maxRowBytes).foreach { msg =>
+        if (lenient) System.err.println(s"[preflight] WARNING: $msg")
+        else throw new IllegalArgumentException(s"preflight: $msg")
+      }
+    }
+  }
 }

@@ -5859,6 +5859,7 @@ object Queries {
              |  WHERE len(tk) >= 50 AND len(tk) <= 100000
              |    AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
              |        AS DOUBLE) / greatest(len(tk), 1) >= 0.8
+             |    AND length(text) <= 20000000
              |), s2 AS (
              |  SELECT s1.* FROM s1
              |  JOIN (SELECT text, min(doc_id) AS keep FROM s1 GROUP BY text) k

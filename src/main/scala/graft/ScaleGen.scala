@@ -136,6 +136,24 @@ object ScaleGen {
     * verbatim). Seed classes (3e6/3.5e6 offsets) are disjoint from the
     * replica ciphers' (0/5e5), so a section's vocabulary never
     * collides with another replica's base vocabulary. */
+  /** Hard bound on `lengthFactor`: [[sectionMap]] seeds are
+    * base + replica·8191 + section, so section j of replica r collides
+    * with section j−8191 of replica r+1 once j ≥ 8192 — two sections
+    * would share one cipher and silently violate the documented
+    * cross-replica disjoint-vocabulary invariant (r19 advisor). At
+    * lengthFactor ≤ 8192 sections run 1..8191, and the only cross-
+    * replica seed equality maps to section 0, which never derives a
+    * seed (identity map) — so the documented recipe (8192) sits exactly
+    * ON the safe boundary, and 8193 is the first violating value. */
+  private[graft] def requireLengthFactor(lengthFactor: Int): Unit =
+    require(lengthFactor >= 1 && lengthFactor <= 8192,
+      s"lengthFactor must be in [1, 8192], got $lengthFactor: the " +
+        "sectionMap seed stride is 8191 per replica, so section j >= 8192 " +
+        "collides with section j-8191 of the next replica — two sections " +
+        "would share one cipher, breaking the cross-replica " +
+        "disjoint-vocabulary invariant. Widen the corpus with `factor` " +
+        "(replicas) instead of lengthFactor past 8192.")
+
   private[graft] def sectionMap(replica: Int, section: Int): Array[Char] = {
     val m = Array.tabulate(128)(_.toChar)
     if (section > 0) {
@@ -208,7 +226,8 @@ object ScaleGen {
     val depthFactor = if (args.length > 3) args(3).toInt else 1
     val brandSplit = if (args.length > 4) args(4).toInt else 1
     val lengthFactor = if (args.length > 5) args(5).toInt else 1
-    require(factor >= 1 && depthFactor >= 1 && brandSplit >= 1 && lengthFactor >= 1)
+    require(factor >= 1 && depthFactor >= 1 && brandSplit >= 1)
+    requireLengthFactor(lengthFactor)
     val plantNonAscii = !sys.env.get("SPARK_GRAFT_ASCII").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")

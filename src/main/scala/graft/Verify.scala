@@ -46,6 +46,13 @@ object Verify {
     // mis-sized SPARK_DRIVER_MEM/SPARK_GRAFT_CPUS combination
     // identifies itself up front instead of dying in the spill writer
     Preflight.checkSpillFloor(spark, lenient = true)
+    // ... and the r19 reader-batch ceiling (see Bench): warn with the
+    // columnarReaderBatchSize recipe when the corpus carries documents
+    // big enough to OOM the vectorized reader at the configured batch
+    try Preflight.checkReaderBatch(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), Seq("text"),
+      lenient = true)
+    catch { case _: Throwable => () }
     // remaining unpartitioned windows are constant-bounded and
     // allowlisted (PlanShapeSpec catalog-wide governance test); keep
     // the dump log readable — see Bench for the full rationale

@@ -37,16 +37,25 @@ object Curation {
              srcCol: String = "source",
              minTokens: Int = 50, maxTokens: Int = 100000,
              minAlphaFrac: Double = 0.8, spanL: Int = 8,
-             lmDropFrac: Double = 0.10): DataFrame = {
+             lmDropFrac: Double = 0.10,
+             maxDocChars: Long = 20000000L): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(langCol).as("lang"), col(srcCol).as("source"))
-    // stage 1: rule gate (q181's non-degenerate document rules)
+    // stage 1: rule gate (q181's non-degenerate document rules), plus a
+    // CHARACTER-length rule: maxTokens bounds the token COUNT only, so
+    // a <=100k-token document of multi-MB tokens would otherwise pass
+    // the word rules and reach the span trim with unbounded O(len·L)
+    // in-row state (r19 advisor). The char rule makes stage 1 the
+    // length bound the trim's own gate would enforce — same default as
+    // [[Dedup.dupSpanStats]]'s maxDocChars, applied for free inside the
+    // rule scan instead of as an extra max(length) pass.
     val tk = filter(split(trim(col("text")), graft.plans.Kernels.WsRun), (x: Column) => x =!= "")
     val n = size(tk)
     val alphaFrac = size(filter(tk, (t: Column) => t.rlike("[A-Za-z]")))
       .cast("double") / greatest(n, lit(1)).cast("double")
     val rulePass = n >= minTokens && n <= maxTokens &&
-      alphaFrac >= minAlphaFrac
+      alphaFrac >= minAlphaFrac &&
+      length(col("text")).cast("long") <= maxDocChars
     val s1 = base.filter(rulePass)
     // stage 2: exact dedup, keep-lowest-id. PERSISTED: consumed by the
     // trim, the metadata join back, AND its funnel count — without the
@@ -57,10 +66,11 @@ object Curation {
       // stage 3: duplicated-span trim + ≥50% retention (integer-exact);
       // persisted for the same reason (LM gate + join + count).
       // maxDocChars is disabled HERE because stage 1's rule gate
-      // already bounds every surviving document at `maxTokens` tokens —
-      // the funnel's own length rule IS the bound, and the default
-      // gate's max(length) pass would otherwise become a premature
-      // cache-fill job for s2.
+      // already bounds every surviving document at `maxDocChars`
+      // CHARACTERS (the explicit length(text) rule above — not the
+      // token-count rule, which bounds nothing about characters) — so
+      // the trim's own gate would be a redundant max(length) pass, and
+      // a premature cache-fill job for s2.
       val s3 = Dedup.dupSpanTrim(s2, "text", "doc_id", L = spanL,
           maxDocChars = Long.MaxValue)
         .withColumnRenamed("id", "doc_id")

@@ -1341,15 +1341,21 @@ object Dedup {
     * occurrences are unbounded, and one repeated-token document makes
     * the join quadratic in its length. `maxMatchRows` (r19) gates that
     * axis with an exact one-pass estimate (Σ_h (tot²−Σocc²)/2, the
-    * join's true pre-window cardinality) and refuses with guidance
-    * past the bound; `Long.MaxValue` disables the gate and its extra
-    * pass. Window partitions are per (pair, offset) — thousands of
-    * small partitions, no single-partition window anywhere.
+    * join's true pre-window cardinality, folded in decimal(38,0) so a
+    * 3e9+-occurrence hash cannot wrap it negative) and refuses with
+    * guidance past the bound; `Long.MaxValue` disables the gate and
+    * its extra pass. `nShards > 1` (r20) is the bounded SLOW PATH past
+    * the gate: pair-hash-residue shards of the self-join run
+    * sequentially — exact union, peak volume ~est/nShards — instead of
+    * refusing outright. Window partitions are per (pair, offset) —
+    * thousands of small partitions, no single-partition window anywhere.
     */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
                      shingleK: Int = 8, minSpanTokens: Int = 16,
                      dfCap: Int = 64,
-                     maxMatchRows: Long = 1L << 31): DataFrame = {
+                     maxMatchRows: Long = 1L << 31,
+                     nShards: Int = 1): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val posts = df.select(col(idCol).as("id"),
         posexplode(Exprs.shingleHashesPos(col(textCol), shingleK)))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
@@ -1361,46 +1367,97 @@ object Dedup {
     // doc-length probe left every measured kernel sub-linear, but this
     // axis is data-shaped, not corpus-shaped — so it gets the
     // refuse-don't-explode gate (the q162/q129 contract).
+    // per-hash occurrence stats in decimal(38,0), NOT Long: the gate's
+    // (tot² − Σocc²)/2 estimate wraps 64-bit once one shingle hash's
+    // total occurrences pass ~3.04e9 — silently UNDERSTATING, so the
+    // gate would admit exactly the degenerate repeated-token regime it
+    // exists to refuse (r19 advisor). decimal(38,0) holds tot² up to
+    // tot = 1e19 exactly; _nd stays Long (bounded by dfCap anyway).
     val hstats = posts.groupBy(col("h"), col("id"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("_nd"), sum(col("c")).as("_tot"),
-        sum(col("c") * col("c")).as("_s2"))
+      .agg(count(lit(1)).as("_nd"),
+        sum(col("c").cast("decimal(38,0)")).as("_tot"),
+        sum(col("c").cast("decimal(19,0)") * col("c")).as("_s2"))
       .filter(col("_nd").between(2, dfCap))
     if (maxMatchRows < Long.MaxValue) {
       // exact pre-window join volume: per hash, Σ_{a<b} occ_a·occ_b =
       // (tot² − Σ occ²)/2. One extra skinny aggregation job (it
       // re-derives the posts index — the same second-tokenize-pass
       // cost dupSpanStats already pays); Long.MaxValue skips it.
-      val est = hstats
-        .agg(coalesce(sum(expr("(_tot * _tot - _s2) div 2")), lit(0L)))
-        .head().getLong(0)
-      require(est <= maxMatchRows,
+      val est = matchRowsEstimate(hstats)
+      // sharded mode bounds PEAK volume at ~est/nShards (pair-hash
+      // residues are balanced in expectation), so that is what gates
+      require(est / nShards <= BigInt(maxMatchRows),
         s"the shingle-hash self-join would emit $est match rows " +
+          (if (nShards > 1) s"(~${est / nShards} per shard at nShards=$nShards) " else "") +
           s"(> maxMatchRows=$maxMatchRows): per-document gram occurrences " +
           "are large enough that pair volume has gone quadratic (dfCap " +
           "bounds documents per shingle, not occurrences per document). " +
           "Deduplicate degenerate repeated-token documents first " +
-          "(dupSpanTrim / repetitionProfile gates), lower dfCap, or raise " +
-          "maxMatchRows explicitly to enumerate anyway.")
+          "(dupSpanTrim / repetitionProfile gates), lower dfCap, raise " +
+          "maxMatchRows explicitly to enumerate anyway, or set nShards > 1 " +
+          "to enumerate in bounded hash-residue shards.")
     }
     val eligible = hstats.select(col("h"))
-    val p = posts.join(eligible, "h")
-    val pairs = p.as("pa").join(p.as("pb"),
+    val p0 = posts.join(eligible, "h")
+    // pair generation + constant-offset run merge, as a function of the
+    // eligible posts so the sharded path can reuse one persisted index
+    def pairsOf(p: DataFrame): DataFrame = p.as("pa").join(p.as("pb"),
         col("pa.h") === col("pb.h") && col("pa.id") < col("pb.id"))
       .select(col("pa.id").as("a"), col("pb.id").as("b"),
         col("pa.pos").as("pa"), col("pb.pos").as("pb"))
-    val w = Window.partitionBy(col("a"), col("b"), col("off")).orderBy(col("pa"))
-    pairs.withColumn("off", col("pa") - col("pb"))
-      .withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("a"), col("b"), col("off"), col("grp"))
-      .agg(count(lit(1)).as("nsh"), min(col("pa")).as("start_a"))
-      .withColumn("span_tokens", col("nsh") + lit(shingleK - 1))
-      .filter(col("span_tokens") >= minSpanTokens)
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_spans"),
-        max(col("span_tokens")).as("max_span_tokens"),
-        min(col("start_a")).as("first_start_a"))
+    def spansOf(pairs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("a"), col("b"), col("off")).orderBy(col("pa"))
+      pairs.withColumn("off", col("pa") - col("pb"))
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("a"), col("b"), col("off"), col("grp"))
+        .agg(count(lit(1)).as("nsh"), min(col("pa")).as("start_a"))
+        .withColumn("span_tokens", col("nsh") + lit(shingleK - 1))
+        .filter(col("span_tokens") >= minSpanTokens)
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_spans"),
+          max(col("span_tokens")).as("max_span_tokens"),
+          min(col("start_a")).as("first_start_a"))
+    }
+    if (nShards == 1) spansOf(pairsOf(p0))
+    else {
+      // RESIDUE-SHARDED execution (r19 verdict #4 — the bounded slow
+      // path past the gate, the same scheme the q137 oracle uses): all
+      // match rows of one (a, b) pair carry one pair-hash residue, so
+      // filtering the self-join's output on pmod(xxhash64(a, b),
+      // nShards) = s right at join emit bounds the per-shard shuffle /
+      // window / groupBy volume at ~est/nShards while each pair's span
+      // reconstruction stays complete — the shard union is EXACT, not
+      // approximate. Shards run SEQUENTIALLY (eager localCheckpoint of
+      // each shard's pair-level result, which is output-sized, never
+      // match-row-sized), so peak shuffle footprint is one shard's, and
+      // the skinny eligible-posts index is persisted once instead of
+      // re-derived nShards times.
+      val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        (0 until nShards).map { s =>
+          spansOf(pairsOf(p).filter(
+            pmod(xxhash64(col("a"), col("b")), lit(nShards.toLong)) === s.toLong))
+            .localCheckpoint(true)
+        }.reduce(_ unionByName _)
+      } finally p.unpersist(blocking = false)
+    }
+  }
+
+  /** The [[substringSpans]] gate's exact pre-window join cardinality,
+    * Σ_h (tot² − Σ occ²) / 2, folded in decimal(38,0) end-to-end so a
+    * degenerate hash with >3e9 occurrences cannot wrap the product
+    * negative and silently under-state the estimate (r19 advisor).
+    * `hstats` carries one row per eligible hash with `_tot` (total
+    * occurrences, any numeric type) and `_s2` (Σ occ²). */
+  private[operators] def matchRowsEstimate(hstats: DataFrame): BigInt = {
+    val d = hstats.agg(coalesce(
+        sum(col("_tot").cast("decimal(38,0)") * col("_tot").cast("decimal(38,0)")
+          - col("_s2").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    BigInt(d.toBigInteger) / 2
   }
 
   /** Sorted-neighborhood dedup (SNM — the record-linkage classic): sort

@@ -247,6 +247,78 @@ class OracleLintSpec extends AnyFunSuite {
       "sum of a DOUBLE column must pass")
   }
 
+  // ---- r20: the case-fold lint (r19 verdict #3) ------------------------
+  // An oracle that lowercases the documents TEXT column without routing
+  // it through OracleSql.caseFold silently reopens the İ / word-final-Σ
+  // boundary the r19 case twin closed: DuckDB's simple lower() diverges
+  // from the JVM's full mapping exactly there, so the next case-twin
+  // replay (now a standing close_round gate) would fail on the new
+  // query. The 22 folded sites carry caseFold's chr(775) marker inside
+  // the lower() argument; the remaining sites are ALLOWLISTED — each
+  // one replayed green on the post-fold case twin (ab/case_matrix_
+  // post_fold_r19.txt), i.e. its output is insensitive to the mapping
+  // divergence (hashes, counts, or case-free projections). A NEW query
+  // must either fold or prove itself onto the allowlist via the twin.
+
+  /** Balanced argument of every `lower(` call in the SQL. NB: never
+    * sql.toLowerCase here — the folded oracles contain 'İ' literals,
+    * whose lowercase is TWO chars, shifting every index. */
+  private val lowerCallRe = "(?i)(?<![A-Za-z0-9_])lower\\s*\\(".r
+  private def lowerArgs(sql: String): Seq[String] =
+    lowerCallRe.findAllMatchIn(sql).map { m =>
+      argOf(sql, sql.indexOf('(', m.start))
+    }.toSeq
+
+  private val textRef = "(?i)(?<![A-Za-z0-9_.])text\\b".r
+  private def unfoldedLowerTextSites(sql: String): Seq[String] =
+    lowerArgs(sql).filter(a =>
+      textRef.findFirstIn(a).isDefined && !a.contains("chr(775)"))
+
+  /** Queries whose unfolded lower(text) was PROVEN insensitive on the
+    * post-fold case twin (200/200, ab/case_matrix_post_fold_r19.txt,
+    * re-proven every round by the close_round case-twin gate since
+    * r20). Frozen: additions require a green case-twin replay of the
+    * new query — do not extend this list without that artifact. */
+  private val provenCaseInsensitive: Set[String] = Set(
+    "q108_bigram_lm", "q114_bm25", "q120_percentile_normalize",
+    "q121_hybrid_rrf", "q127_ndcg", "q131_readability", "q132_entropy",
+    "q137_substring_spans", "q138_bpe_encode", "q139_sorted_neighborhood",
+    "q144_chi2_features", "q145_benchmark_containment",
+    "q158_dup_clusters_dist", "q165_perplexity_gate", "q166_source_overlap",
+    "q168_leakage_split", "q169_winnowing", "q174_blocklist",
+    "q177_dup_spans", "q180_ccnet_buckets", "q183_kneser_ney",
+    "q185_intra_dup_spans", "q186_curation_funnel", "q187_vocab_growth",
+    "q33_dedup_prefix", "q36_ngram_jaccard", "q40_text_quality",
+    "q41_langid", "q64_dup_clusters", "q69_tfidf_topterms", "q70_dup_rate",
+    "q71_contamination", "q77_repetition", "q91_cluster_canonical")
+
+  test("every oracle lower() over the text column is caseFold-routed or twin-proven") {
+    val offendersByName = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => provenCaseInsensitive(n) }
+      .flatMap { case (n, s) =>
+        unfoldedLowerTextSites(s).map(site =>
+          s"$n: lower(${site.take(70).replaceAll("\\s+", " ")}...)")
+      }
+    assert(offendersByName.isEmpty,
+      "these oracles lowercase the documents text column WITHOUT " +
+        "OracleSql.caseFold and are not on the twin-proven allowlist — " +
+        "the İ/Σ case boundary would reopen on the next case-twin " +
+        "replay. Wrap the column: lower(${OracleSql.caseFold(\"text\")}):\n" +
+        offendersByName.mkString("\n"))
+  }
+
+  test("the case-fold lint catches an unfolded oracle and passes a folded one (self-test)") {
+    val unfolded = "SELECT lower(text) AS t FROM documents"
+    val unfoldedDeep = "WITH a AS (SELECT lower(trim(text)) AS t FROM documents) SELECT t FROM a"
+    val folded = s"SELECT lower(${OracleSql.caseFold("text")}) AS t FROM documents"
+    val unrelated = "SELECT lower(p_name) AS t, trimmed_text FROM part"
+    assert(unfoldedLowerTextSites(unfolded).nonEmpty, "bare lower(text) must flag")
+    assert(unfoldedLowerTextSites(unfoldedDeep).nonEmpty, "lower(trim(text)) must flag")
+    assert(unfoldedLowerTextSites(folded).isEmpty, "caseFold-routed must pass")
+    assert(unfoldedLowerTextSites(unrelated).isEmpty,
+      "non-text columns and _text suffixes must not flag")
+  }
+
   test("every oracle name has a matching catalog query") {
     // a name present in oracleSql but not queries silently records
     // nothing driver-side

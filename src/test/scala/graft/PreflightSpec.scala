@@ -36,4 +36,38 @@ class PreflightSpec extends AnyFunSuite {
     assert(Preflight.heapPerSlotWarning(
       Preflight.SpillFloorBytesPerSlot, 1).isEmpty)
   }
+
+  // ---- r19 reader-batch ceiling (r19 verdict #1) -----------------------
+
+  test("the r19 OOM configuration (4096-row batch, 2.6 MB docs, 16 tasks, 8 g) " +
+      "refuses with the sized-down recipe") {
+    val msg = Preflight.readerBatchWarning(8 * gb, 16, 4096, 2600000L)
+    assert(msg.isDefined)
+    assert(msg.get.contains("columnarReaderBatchSize=4096"))
+    assert(msg.get.contains("OOMs"))
+    assert(msg.get.contains("SCALE.md"))
+    assert(msg.get.contains("ABDocLength"))
+    // the emitted recipe is the measured surviving batch size
+    assert(msg.get.contains("columnarReaderBatchSize=32 "))
+  }
+
+  test("the measured surviving configuration (32-row batch) passes, and the " +
+      "recommendation reproduces ABDocLength's recipe") {
+    assert(Preflight.readerBatchWarning(8 * gb, 16, 32, 2600000L).isEmpty)
+    assert(Preflight.recommendedReaderBatch(8 * gb, 16, 2600000L) === 32)
+    // a normal corpus (sub-KB documents) never trips at the default
+    assert(Preflight.readerBatchWarning(8 * gb, 32, 4096, 600L).isEmpty)
+    // recommendation is floored at 8 even for absurd rows, and capped
+    // at the 4096 default for tiny ones
+    assert(Preflight.recommendedReaderBatch(8 * gb, 32, Long.MaxValue / 64) === 8)
+    assert(Preflight.recommendedReaderBatch(8 * gb, 32, 1L) === 4096)
+  }
+
+  test("the reader budget boundary is exact (reservation == heap/4 passes)") {
+    // heap 4 GB -> budget 1 GB; 1024 rows x 1 MB x 1 slot == budget
+    assert(Preflight.readerBatchWarning(4 * gb, 1, 1024, 1L << 20).isEmpty)
+    assert(Preflight.readerBatchWarning(4 * gb, 1, 1025, 1L << 20).isDefined)
+    // degenerate slots/rowBytes clamp instead of dividing by zero
+    assert(Preflight.readerBatchWarning(4 * gb, 0, 4096, 0L).isEmpty)
+  }
 }

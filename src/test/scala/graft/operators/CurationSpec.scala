@@ -46,6 +46,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("funnel: the stage-1 CHARACTER rule drops a few-token multi-MB-shape doc " +
+      "(maxTokens bounds token count, not length — r19 advisor)") {
+    import spark.implicits._
+    // 60 tokens (passes the word-count band), every token 40 chars of
+    // letters (passes alpha fraction), total ~2460 chars — the shape
+    // that would reach the span trim with unbounded in-row state if
+    // only token count gated stage 1. A tight maxDocChars drops it at
+    // stage 1 (n_rules), the default admits it.
+    val fat = (0 until 60).map(i => ("abcdefghij" * 4) + ('a' + i % 26).toChar).mkString(" ")
+    val slim = (0 until 60).map(i => s"w${i}x").mkString(" ")
+    val docs = Seq((1L, fat, "en", "sA"), (2L, slim, "en", "sA"))
+      .toDF("doc_id", "text", "lang", "source")
+    def rules(maxChars: Long): Long =
+      Curation.funnel(docs, maxDocChars = maxChars)
+        .collect().map(r => r.getLong(2)).head
+    assert(rules(500L) === 1L, "the fat doc must die at the char rule")
+    assert(rules(20000000L) === 2L, "the default admits both")
+  }
+
   test("multimodalGate: every flag equals its standalone operator; kept is the conjunction") {
     import spark.implicits._
     val n = 60

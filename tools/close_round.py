@@ -21,6 +21,13 @@
 #      exists — the exact falsehood class the r14 verdict flagged
 #      (SCALE.md:1137 cited a file that was never committed).
 #   5. All required artifacts are git-tracked (committed or staged).
+#   6. (r20+) ab/case_matrix_post_fold_r{N}.txt exists at 200 PASS /
+#      0 FAIL — the case twin is a STANDING channel, not a one-time
+#      r19 artifact (r19 verdict #2).
+#   7. (r20+) ab/bench_flags_ab_r{N}.txt exists — the flagged movers
+#      from check 3's bench_diff run through tools/bench_ab.py's
+#      interleaved old/new-binary protocol automatically (r19 verdict
+#      #6: single captures cannot rank rounds).
 import json, os, re, shutil, subprocess, sys
 
 CANARY_BAND = (0.47, 0.92)
@@ -147,12 +154,79 @@ for f in sorted(cited):
         fail(f"SCALE.md round-{n} section cites {f} but it does not exist "
              "in the tree", "create the artifact or correct the sentence")
 
-# 5. everything above must be git-tracked -------------------------------
+# 6. the case twin is a STANDING channel (r19 verdict #2): every round
+#    from 20 on must replay the full catalog on the case-planted corpus
+#    (İ + word-final Σ — the DuckDB-simple vs JVM-full mapping boundary)
+#    and commit the matrix. Without this gate a new lower()-using oracle
+#    could silently reopen the boundary the r19 fold closed (the static
+#    OracleLintSpec fold lint is the compile-time half of the same gate).
+case_art = f"ab/case_matrix_post_fold_r{n:02d}.txt"
+case_cmd = (f"python3 tools/unicode_corpus.py /root/testdata/sf0.01 /tmp/sfcase case && "
+            f"SPARK_GRAFT_CPUS=16 sbt -batch 'runMain graft.Verify /tmp/sfcase /tmp/v_case' && "
+            f"python3 tools/check.py /tmp/sfcase /tmp/v_case > {case_art}")
+if n >= 20:
+    if not os.path.exists(case_art):
+        fail(f"{case_art} (the standing case-twin replay)", case_cmd)
+    else:
+        lines = open(case_art).read().splitlines()
+        n_pass = sum(1 for l in lines if l.startswith("PASS "))
+        n_fail = sum(1 for l in lines if l.startswith("FAIL"))
+        if n_fail or n_pass < 200:
+            fail(f"{case_art}: {n_pass} PASS / {n_fail} FAIL — the case twin "
+                 "must replay green on the full catalog", case_cmd)
+
+# 7. the interleaved A/B is the headline bench diff (r19 verdict #6):
+#    single sf0.1 captures cannot rank rounds (r19's driver and builder
+#    totals disagreed in SIGN on the same code), so the flagged movers
+#    from step 3's bench_diff go through tools/bench_ab.py — alternating
+#    old/new binaries — automatically, and the artifact is required.
+ab_art = f"ab/bench_flags_ab_r{n:02d}.txt"
+def _flagged_from_diff(path, cap=10):
+    qs, in_flags = [], False
+    for l in open(path).read().splitlines():
+        if l.startswith("flagged ("):
+            in_flags = True
+        elif in_flags:
+            m2 = re.match(r"\s+(\S+)\s+[\d.]+s -> ", l)
+            if m2: qs.append(m2.group(1))
+            else: in_flags = False
+    return qs[:cap]
+if os.path.exists(ab_art) and _git_tracked(ab_art):
+    print(f"{ab_art} already committed — validating, not regenerating")
+elif os.path.exists(diff_art):
+    flagged = _flagged_from_diff(diff_art)
+    if flagged:
+        old_commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--",
+             f"BENCH_r{n - 1:02d}_full.json"],
+            capture_output=True, text=True).stdout.strip()
+        if old_commit:
+            print(f"running interleaved A/B of {len(flagged)} flagged movers "
+                  f"vs {old_commit[:9]} (this compiles the old binary once)")
+            r = subprocess.run([sys.executable, "tools/bench_ab.py",
+                                old_commit, ",".join(flagged)],
+                               capture_output=True, text=True)
+            open(ab_art, "w").write(r.stdout + r.stderr)
+            print(f"wrote {ab_art}")
+        else:
+            fail(f"{ab_art}: cannot locate round {n-1}'s bench commit for the "
+                 "old binary", f"python3 tools/bench_ab.py <old-commit> {','.join(flagged)} > {ab_art}")
+    else:
+        open(ab_art, "w").write(
+            f"Round {n} bench_diff flagged no per-query movers beyond the "
+            "noise band (see " + diff_art + ") — no interleaved A/B needed; "
+            "raw totals remain context, not signal.\n")
+        print(f"wrote {ab_art} (no flagged movers)")
+if n >= 20 and not os.path.exists(ab_art):
+    fail(f"{ab_art} (the interleaved A/B of flagged movers)",
+         "run tools/close_round.py again after step 3's bench_diff exists")
+
+# 8. everything above must be git-tracked -------------------------------
 tracked = set(subprocess.run(["git", "ls-files"], capture_output=True,
                              text=True).stdout.split())
 staged = set(subprocess.run(["git", "diff", "--cached", "--name-only"],
                             capture_output=True, text=True).stdout.split())
-for f in [bench, corr, diff_art]:
+for f in [bench, corr, diff_art] + ([case_art, ab_art] if n >= 20 else []):
     if os.path.exists(f) and f not in tracked and f not in staged:
         fail(f"{f} exists but is not git-tracked", f"git add {f} && git commit")
 
