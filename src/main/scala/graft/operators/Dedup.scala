@@ -1433,8 +1433,15 @@ object Dedup {
       // each shard's pair-level result, which is output-sized, never
       // match-row-sized), so peak shuffle footprint is one shard's, and
       // the skinny eligible-posts index is persisted once instead of
-      // re-derived nShards times.
-      val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // re-derived nShards times. DISK_ONLY, deliberately: this path
+      // only runs when the match volume is huge, which means the
+      // posting index is corpus-token-sized (O(total tokens) rows) —
+      // filling a MEMORY_AND_DISK cache with it was measured to starve
+      // the vectorized reader's own allocations on the r19 organic
+      // corpus (215M postings on an 8 g heap); a local-disk cache costs
+      // one sequential write + nShards sequential reads and leaves the
+      // heap to the joins.
+      val p = p0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
         (0 until nShards).map { s =>
           spansOf(pairsOf(p).filter(
