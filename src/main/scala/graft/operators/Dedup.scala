@@ -1431,24 +1431,21 @@ object Dedup {
       // reconstruction stays complete — the shard union is EXACT, not
       // approximate. Shards run SEQUENTIALLY (eager localCheckpoint of
       // each shard's pair-level result, which is output-sized, never
-      // match-row-sized), so peak shuffle footprint is one shard's, and
-      // the skinny eligible-posts index is persisted once instead of
-      // re-derived nShards times. DISK_ONLY, deliberately: this path
-      // only runs when the match volume is huge, which means the
-      // posting index is corpus-token-sized (O(total tokens) rows) —
-      // filling a MEMORY_AND_DISK cache with it was measured to starve
-      // the vectorized reader's own allocations on the r19 organic
-      // corpus (215M postings on an 8 g heap); a local-disk cache costs
-      // one sequential write + nShards sequential reads and leaves the
-      // heap to the joins.
-      val p = p0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      try {
-        (0 until nShards).map { s =>
-          spansOf(pairsOf(p).filter(
-            pmod(xxhash64(col("a"), col("b")), lit(nShards.toLong)) === s.toLong))
-            .localCheckpoint(true)
-        }.reduce(_ unionByName _)
-      } finally p.unpersist(blocking = false)
+      // match-row-sized), so peak shuffle footprint is one shard's.
+      // Each shard RE-DERIVES the skinny posting index rather than
+      // reading a shared cache: this path only engages when the match
+      // volume is huge, so the index is corpus-token-sized, and
+      // filling a cache with it (memory OR disk — the write path's
+      // serialization buffers are heap too) was measured to starve the
+      // vectorized reader's own allocations on the r19 organic corpus
+      // (215M postings, multi-MB rows, 8 g heap). The re-derivation is
+      // scan-speed and embarrassingly parallel; the pair join this
+      // mode exists to bound dominates it by an order of magnitude.
+      (0 until nShards).map { s =>
+        spansOf(pairsOf(p0).filter(
+          pmod(xxhash64(col("a"), col("b")), lit(nShards.toLong)) === s.toLong))
+          .localCheckpoint(true)
+      }.reduce(_ unionByName _)
     }
   }
 
