@@ -33,6 +33,13 @@ object ABSpansSharded {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize", readerBatch)
+      // the giant-sort recipe for the organic quadratic case: auto page
+      // sizing requests 512 MB task pages at this heap/core ratio and
+      // the GCLocker thrashes against the parquet reader's critical
+      // sections (measured: shuffle-write OOM at 16 g); 64 MB pages +
+      // no spill read-ahead keep the same sort spilling smoothly
+      .config("spark.buffer.pageSize", "64m")
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
