@@ -62,51 +62,89 @@ object ABFetchLatency {
   }
 
   /** One kill-under-retry-config run: returns (digest, wall sec,
-    * fetch-failed task count, stage resubmissions, executor removals). */
+    * fetch-failed task count, stage resubmissions, executor removals).
+    * NO warm-up rep, deliberately: a warm run finishes before the
+    * assassin's kill can land mid-fetch (measured: 0 FetchFailed on a
+    * 3.3 s warm run), and the point of this leg is pricing the retry
+    * knobs UNDER a real fetch failure. Both retry configs run equally
+    * cold, so their difference is the knobs'. Retries up to 3 fresh
+    * sessions until the fetch-failure path provably fired (FetchFailed
+    * task or a map-stage resubmission observed). */
   private def killLeg(sfDir: String, retries: Int, waitS: Int): (Row, Double, Int, Int, Int) = {
-    val spark = session(Map(
-      "spark.shuffle.io.maxRetries" -> retries.toString,
-      "spark.shuffle.io.retryWait" -> s"${waitS}s"))
-    try {
-      val fetchFailed = new java.util.concurrent.atomic.AtomicInteger(0)
-      val reattempts = new java.util.concurrent.atomic.AtomicInteger(0)
-      val removed = new java.util.concurrent.atomic.AtomicInteger(0)
-      val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val stagesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onExecutorRemoved(
-            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
-          removed.incrementAndGet()
-        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.reason != null &&
-              e.reason.getClass.getSimpleName.contains("FetchFailed"))
-            fetchFailed.incrementAndGet()
-        override def onStageSubmitted(
-            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-          if (s.stageInfo.attemptNumber() > 0) reattempts.incrementAndGet()
-          if (armed.get && stagesSeen.incrementAndGet() == 2 &&
-              armed.compareAndSet(true, false)) {
-            new Thread(() => {
-              Thread.sleep(300)
-              val pids = new String(java.lang.Runtime.getRuntime
-                  .exec(Array("pgrep", "-f", "CoarseGrainedExecutorBackend"))
-                  .getInputStream.readAllBytes()).trim.split("\n").filter(_.nonEmpty)
-              pids.headOption.foreach { pid =>
-                java.lang.Runtime.getRuntime.exec(Array("kill", "-9", pid.trim)).waitFor()
-              }
-            }, "executor-assassin").start()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      // the kill legs ALSO run under the serialized fetch window: that
+      // is precisely the high-RTT regime being proxied, and it keeps
+      // fetches in flight long enough for the kill to land on one
+      // (unthrottled, the 12-partition reduce drains same-host fetches
+      // in <100 ms and the assassin reliably misses — measured 0
+      // FetchFailed in 3 attempts)
+      val spark = session(Map(
+        "spark.shuffle.io.maxRetries" -> retries.toString,
+        "spark.shuffle.io.retryWait" -> s"${waitS}s",
+        "spark.reducer.maxReqsInFlight" -> "1",
+        "spark.reducer.maxSizeInFlight" -> "48k",
+        // TWO fat reduce partitions: same-host fetches drain so fast
+        // that a 12-partition wave has no in-flight fetch left by the
+        // time any task-end trigger can fire; with 2 long-running
+        // reduce tasks the second is still streaming blocks when the
+        // first completes — the only locally-reachable configuration
+        // where the kill severs a live fetch
+        "spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.adaptive.enabled" -> "false"))
+      try {
+        val fetchFailed = new java.util.concurrent.atomic.AtomicInteger(0)
+        val reattempts = new java.util.concurrent.atomic.AtomicInteger(0)
+        val removed = new java.util.concurrent.atomic.AtomicInteger(0)
+        val stagesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onExecutorRemoved(
+              e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+            removed.incrementAndGet()
+          // trigger: the FIRST completed task that actually READ
+          // shuffle data — corpus-independent, unlike stage-count
+          // triggers (under AQE every leaf query stage submits
+          // concurrently at t=0, so a "second submission" kill lands
+          // mid-map, and an executor lost mid-map is plain task retry
+          // with no fetch involved). When the first reduce task of a
+          // 12-partition wave ends, its siblings are still mid-fetch
+          // under the serialized window — the SIGKILL severs their
+          // in-flight streams.
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            if (e.reason != null &&
+                e.reason.getClass.getSimpleName.contains("FetchFailed"))
+              fetchFailed.incrementAndGet()
+            if (e.taskMetrics != null &&
+                e.taskMetrics.shuffleReadMetrics.totalBytesRead > 0 &&
+                stagesSeen.incrementAndGet() == 1) {
+              new Thread(() => {
+                val pids = new String(java.lang.Runtime.getRuntime
+                    .exec(Array("pgrep", "-f", "CoarseGrainedExecutorBackend"))
+                    .getInputStream.readAllBytes()).trim.split("\n").filter(_.nonEmpty)
+                pids.headOption.foreach { pid =>
+                  java.lang.Runtime.getRuntime.exec(Array("kill", "-9", pid.trim)).waitFor()
+                }
+              }, "executor-assassin").start()
+            }
           }
-        }
-      })
-      // warm run (parquet footers, codegen) so the timed kill run
-      // measures recovery, not first-touch
-      digestOf(spark, sfDir)
-      armed.set(true)
-      val (d, t) = digestOf(spark, sfDir)
-      Thread.sleep(500)
-      require(removed.get >= 1, s"kill not observed (removed=${removed.get})")
-      (d, t, fetchFailed.get, reattempts.get, removed.get)
-    } finally spark.stop()
+          override def onStageSubmitted(
+              s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+            if (s.stageInfo.attemptNumber() > 0) reattempts.incrementAndGet()
+        })
+        val (d, t) = digestOf(spark, sfDir)
+        Thread.sleep(500)
+        require(removed.get >= 1, s"kill not observed (removed=${removed.get})")
+        if (fetchFailed.get > 0 || reattempts.get > 0)
+          return (d, t, fetchFailed.get, reattempts.get, removed.get)
+        require(attempt < 3,
+          "kill landed after the shuffle was fully consumed in 3 attempts — " +
+            "no fetch failure to price; use a larger corpus")
+        System.err.println(s"[ABFetchLatency] attempt $attempt: kill too late " +
+          "(no FetchFailed/resubmission) — retrying with a fresh session")
+      } finally spark.stop()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def main(args: Array[String]): Unit = {

@@ -24,11 +24,17 @@ object ABSpansSharded {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args(0)
     val nShards = if (args.length > 1) args(1).toInt else 8
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val readerBatch = sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "32")
+    // shuffle partitions OVER-provisioned relative to slots: the
+    // organic match volume makes per-partition window state the
+    // pressure point, and many small spilling partitions beat few
+    // giant ones (slots × 8; AQE would coalesce small ones anyway)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      (cpus.toInt * 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,41 +52,51 @@ object ABSpansSharded {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     Preflight.checkReaderBatch(spark, docs, Seq("text"), lenient = true)
 
-    // per-stage shuffle-write accounting: the PEAK single stage is the
-    // pressure metric sharding bounds (the unsharded run's one giant
-    // pair exchange vs nShards smaller ones)
-    val maxStageShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-stage shuffle accounting. The pressure metric sharding
+    // bounds is the PAIR/WINDOW EXCHANGE — the stage that both READS
+    // shuffle (the posting-index sort) and WRITES shuffle (the match
+    // rows heading to the constant-offset window). Pure map-side
+    // stages (the posting-index exchange itself) are invariant across
+    // legs and would mask the comparison if folded into one max.
+    val maxReducerWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxStageWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     val totalShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxStageSpill = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val w = s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        val m = s.stageInfo.taskMetrics
+        val w = m.shuffleWriteMetrics.bytesWritten
+        val r = m.shuffleReadMetrics.totalBytesRead
         totalShuffle.addAndGet(w)
-        spilled.addAndGet(s.stageInfo.taskMetrics.memoryBytesSpilled)
-        maxStageShuffle.getAndUpdate(m => math.max(m, w))
+        spilled.addAndGet(m.memoryBytesSpilled)
+        maxStageSpill.getAndUpdate(x => math.max(x, m.memoryBytesSpilled))
+        maxStageWrite.getAndUpdate(x => math.max(x, w))
+        if (r > 0) maxReducerWrite.getAndUpdate(x => math.max(x, w))
       }
     })
-    def reset(): Unit = { maxStageShuffle.set(0); totalShuffle.set(0); spilled.set(0) }
-    def run(shards: Int): (Long, Long, Double, Long, Long, Long) = {
+    def reset(): Unit = { maxReducerWrite.set(0); maxStageWrite.set(0)
+      totalShuffle.set(0); spilled.set(0); maxStageSpill.set(0) }
+    def run(shards: Int): (Long, Long, Double, Long, Long, Long, Long, Long) = {
       reset()
       val t0 = System.nanoTime()
-      val r = graft.operators.Dedup.substringSpans(docs, "text", "doc_id",
+      graft.operators.Dedup.substringSpans(docs, "text", "doc_id",
           nShards = shards)
         .agg(count(lit(1)).as("n"),
           coalesce(sum(xxhash64(col("a"), col("b"), col("n_spans"),
             col("max_span_tokens"), col("first_start_a"))), lit(0L)).as("h"))
         .head() match { case row => (row.getLong(0), row.getLong(1),
           (System.nanoTime() - t0) / 1e9,
-          maxStageShuffle.get, totalShuffle.get, spilled.get) }
-      r
+          maxReducerWrite.get, maxStageWrite.get, totalShuffle.get,
+          spilled.get, maxStageSpill.get) }
     }
 
-    val (nS, hS, tS, peakS, totS, spS) = run(nShards)
-    val (n1, h1, t1, peak1, tot1, sp1) = run(1)
+    val (nS, hS, tS, pairS, peakS, totS, spS, sspS) = run(nShards)
+    val (n1, h1, t1, pair1, peak1, tot1, sp1, ssp1) = run(1)
     require(n1 == nS && h1 == hS,
       s"sharded output diverged: unsharded ($n1, $h1) vs sharded ($nS, $hS)")
-    println(s"""{"sf":"$sfDir","n_shards":$nShards,"rows":$n1,"digest":$h1,"unsharded_sec":${math.rint(t1 * 100) / 100},"unsharded_peak_stage_shuffle_bytes":$peak1,"unsharded_total_shuffle_bytes":$tot1,"unsharded_spill_bytes":$sp1,"sharded_sec":${math.rint(tS * 100) / 100},"sharded_peak_stage_shuffle_bytes":$peakS,"sharded_total_shuffle_bytes":$totS,"sharded_spill_bytes":$spS,"peak_ratio":${if (peakS > 0) math.rint(peak1.toDouble / peakS * 100) / 100 else -1},"digests_identical":true}""")
+    println(s"""{"sf":"$sfDir","n_shards":$nShards,"rows":$n1,"digest":$h1,"unsharded_sec":${math.rint(t1 * 100) / 100},"unsharded_pair_exchange_bytes":$pair1,"unsharded_peak_stage_shuffle_bytes":$peak1,"unsharded_total_shuffle_bytes":$tot1,"unsharded_spill_bytes":$sp1,"unsharded_peak_stage_spill_bytes":$ssp1,"sharded_sec":${math.rint(tS * 100) / 100},"sharded_pair_exchange_bytes":$pairS,"sharded_peak_stage_shuffle_bytes":$peakS,"sharded_total_shuffle_bytes":$totS,"sharded_spill_bytes":$spS,"sharded_peak_stage_spill_bytes":$sspS,"pair_exchange_ratio":${if (pairS > 0) math.rint(pair1.toDouble / pairS * 100) / 100 else -1},"digests_identical":true}""")
     spark.stop()
     sys.exit(0)
   }
