@@ -165,13 +165,24 @@ object ABFetchLatency {
     sThr.stop()
     require(dDef == dThr, s"throttled digest diverged: $dDef vs $dThr")
 
-    // leg 2: retry pricing under a real mid-reduce executor kill
-    val (dPat, tPat, ffPat, rsPat, rmPat) = killLeg(sfDir, retries = 3, waitS = 5)
-    val (dFast, tFast, ffFast, rsFast, rmFast) = killLeg(sfDir, retries = 1, waitS = 1)
-    require(dDef == dPat && dDef == dFast,
-      s"kill-leg digest diverged: $dDef vs $dPat vs $dFast")
+    // leg 2: retry pricing under a real mid-reduce executor kill.
+    // 3 reps per config — a single cold kill run's wall time swings by
+    // more than the 2×retryWait being priced (measured: sign flips
+    // between consecutive single captures), so the artifact carries
+    // all reps plus medians.
+    def reps(retries: Int, waitS: Int): (Seq[Double], Int, Int, Int) = {
+      val rs = (1 to 3).map(_ => killLeg(sfDir, retries, waitS))
+      rs.foreach { case (d, _, _, _, _) =>
+        require(dDef == d, s"kill-leg digest diverged: $dDef vs $d") }
+      (rs.map(_._2), rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum)
+    }
+    val (tPat, ffPat, rsPat, rmPat) = reps(retries = 3, waitS = 5)
+    val (tFast, ffFast, rsFast, rmFast) = reps(retries = 1, waitS = 1)
+    def med(xs: Seq[Double]): Double = math.rint(xs.sorted.apply(xs.size / 2) * 100) / 100
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => math.rint(x * 100) / 100).mkString("[", ",", "]")
 
-    println(s"""{"sf":"$sfDir","mode":"local-cluster[2,6,3072]","digest_rows":${dDef.getLong(0)},"default_warm_sec":${math.rint(tDef * 100) / 100},"default_cold_sec":${math.rint(tDefCold * 100) / 100},"throttled_warm_sec":${math.rint(tThr * 100) / 100},"throttle_factor":${math.rint(tThr / tDef * 100) / 100},"kill_patient_sec":${math.rint(tPat * 100) / 100},"kill_patient_fetch_failed":$ffPat,"kill_patient_resubmissions":$rsPat,"kill_patient_removed":$rmPat,"kill_fastfail_sec":${math.rint(tFast * 100) / 100},"kill_fastfail_fetch_failed":$ffFast,"kill_fastfail_resubmissions":$rsFast,"kill_fastfail_removed":$rmFast,"digests_identical":true}""")
+    println(s"""{"sf":"$sfDir","mode":"local-cluster[2,6,3072]","digest_rows":${dDef.getLong(0)},"default_warm_sec":${math.rint(tDef * 100) / 100},"default_cold_sec":${math.rint(tDefCold * 100) / 100},"throttled_warm_sec":${math.rint(tThr * 100) / 100},"throttle_factor":${math.rint(tThr / tDef * 100) / 100},"kill_patient_secs":${arr(tPat)},"kill_patient_median_sec":${med(tPat)},"kill_patient_fetch_failed":$ffPat,"kill_patient_resubmissions":$rsPat,"kill_patient_removed":$rmPat,"kill_fastfail_secs":${arr(tFast)},"kill_fastfail_median_sec":${med(tFast)},"kill_fastfail_fetch_failed":$ffFast,"kill_fastfail_resubmissions":$rsFast,"kill_fastfail_removed":$rmFast,"digests_identical":true}""")
     sys.exit(0)
   }
 }

@@ -49,8 +49,26 @@ object ABSpansSharded {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    Preflight.checkReaderBatch(spark, docs, Seq("text"), lenient = true)
+    // `degenerate:N` instead of a corpus dir fabricates the regime the
+    // sharded mode EXISTS for: two documents of one repeated token (N
+    // tokens each — every k-gram collides, so the self-join emits
+    // ~(N-k+1)^2 match rows) plus filler. On the organic lengthFactor
+    // corpus the pair exchange is NOT the dominant stage (the
+    // posting-index exchanges are — see the committed artifact), so
+    // only this shape shows the est/nShards bound moving a peak.
+    val docs =
+      if (sfDir.startsWith("degenerate:")) {
+        val n = sfDir.stripPrefix("degenerate:").toInt
+        val rep = Array.fill(n)("tok").mkString(" ")
+        import spark.implicits._
+        (Seq((1L, rep), (2L, rep)) ++
+          (3L to 50L).map(i => (i, s"filler $i " + Array.fill(30)(s"w$i").mkString(" "))))
+          .toDF("doc_id", "text").repartition(4)
+      } else {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        Preflight.checkReaderBatch(spark, d, Seq("text"), lenient = true)
+        d
+      }
 
     // per-stage shuffle accounting. The pressure metric sharding
     // bounds is the PAIR/WINDOW EXCHANGE — the stage that both READS

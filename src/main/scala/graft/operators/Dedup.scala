@@ -1345,9 +1345,10 @@ object Dedup {
     * 3e9+-occurrence hash cannot wrap it negative) and refuses with
     * guidance past the bound; `Long.MaxValue` disables the gate and
     * its extra pass. `nShards > 1` (r20) is the bounded SLOW PATH past
-    * the gate: pair-hash-residue shards of the self-join run
-    * sequentially — exact union, peak volume ~est/nShards — instead of
-    * refusing outright. Window partitions are per (pair, offset) —
+    * the gate: (pair, offset)-residue shards of the self-join run
+    * sequentially — exact union, peak volume ~est/nShards even for a
+    * single degenerate pair (its rows spread across ~2·len offsets) —
+    * instead of refusing outright. Window partitions are per (pair, offset) —
     * thousands of small partitions, no single-partition window anywhere.
     */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
@@ -1401,51 +1402,58 @@ object Dedup {
     }
     val eligible = hstats.select(col("h"))
     val p0 = posts.join(eligible, "h")
-    // pair generation + constant-offset run merge, as a function of the
-    // eligible posts so the sharded path can reuse one persisted index
+    // pair generation (with the constant offset computed at emit — it
+    // is both the run-reconstruction key and the sharding key below)
     def pairsOf(p: DataFrame): DataFrame = p.as("pa").join(p.as("pb"),
         col("pa.h") === col("pb.h") && col("pa.id") < col("pb.id"))
       .select(col("pa.id").as("a"), col("pb.id").as("b"),
-        col("pa.pos").as("pa"), col("pb.pos").as("pb"))
-    def spansOf(pairs: DataFrame): DataFrame = {
+        col("pa.pos").as("pa"), (col("pa.pos") - col("pb.pos")).as("off"))
+    // constant-offset run merge: one row per maximal span ≥ the bound
+    def runsOf(pairs: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("a"), col("b"), col("off")).orderBy(col("pa"))
-      pairs.withColumn("off", col("pa") - col("pb"))
+      pairs
         .withColumn("grp", col("pa") - row_number().over(w))
         .groupBy(col("a"), col("b"), col("off"), col("grp"))
         .agg(count(lit(1)).as("nsh"), min(col("pa")).as("start_a"))
         .withColumn("span_tokens", col("nsh") + lit(shingleK - 1))
         .filter(col("span_tokens") >= minSpanTokens)
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("n_spans"),
-          max(col("span_tokens")).as("max_span_tokens"),
-          min(col("start_a")).as("first_start_a"))
     }
-    if (nShards == 1) spansOf(pairsOf(p0))
+    def pairAgg(runs: DataFrame): DataFrame = runs
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_tokens")).as("max_span_tokens"),
+        min(col("start_a")).as("first_start_a"))
+    if (nShards == 1) pairAgg(runsOf(pairsOf(p0)))
     else {
       // RESIDUE-SHARDED execution (r19 verdict #4 — the bounded slow
-      // path past the gate, the same scheme the q137 oracle uses): all
-      // match rows of one (a, b) pair carry one pair-hash residue, so
-      // filtering the self-join's output on pmod(xxhash64(a, b),
-      // nShards) = s right at join emit bounds the per-shard shuffle /
-      // window / groupBy volume at ~est/nShards while each pair's span
-      // reconstruction stays complete — the shard union is EXACT, not
-      // approximate. Shards run SEQUENTIALLY (eager localCheckpoint of
-      // each shard's pair-level result, which is output-sized, never
-      // match-row-sized), so peak shuffle footprint is one shard's.
+      // path past the gate): shard on the WINDOW KEY (a, b, off), not
+      // on the pair. Every match row's run-reconstruction group is
+      // wholly inside one shard (off = pa − pb is a row property), so
+      // each shard's runs are exact — and because one document pair
+      // spreads its rows across ~2·len distinct offsets, even a SINGLE
+      // degenerate repeated-token pair splits ~evenly (pair-keyed
+      // sharding was tried first and measured useless exactly there:
+      // the one pathological pair IS the volume, and it landed whole
+      // in one shard). Only the span-level rows (bounded output, never
+      // match rows) cross shards, via the final pair aggregation over
+      // the union. Shards run SEQUENTIALLY (eager localCheckpoint of
+      // span-level frames), so peak shuffle footprint is one shard's:
+      // ~est/nShards per shard by the same Σocc_a·occ_b arithmetic the
+      // gate computes, now valid per-offset rather than in expectation.
       // Each shard RE-DERIVES the skinny posting index rather than
-      // reading a shared cache: this path only engages when the match
-      // volume is huge, so the index is corpus-token-sized, and
-      // filling a cache with it (memory OR disk — the write path's
-      // serialization buffers are heap too) was measured to starve the
-      // vectorized reader's own allocations on the r19 organic corpus
-      // (215M postings, multi-MB rows, 8 g heap). The re-derivation is
-      // scan-speed and embarrassingly parallel; the pair join this
-      // mode exists to bound dominates it by an order of magnitude.
-      (0 until nShards).map { s =>
-        spansOf(pairsOf(p0).filter(
-          pmod(xxhash64(col("a"), col("b")), lit(nShards.toLong)) === s.toLong))
+      // reading a shared cache (cache fill — memory OR disk — was
+      // measured to starve the vectorized reader on multi-MB rows),
+      // and the eligible join takes a MERGE hint: nShards sequential
+      // jobs each building a broadcast hash relation of an organically
+      // huge `eligible` exhausted the unified pool by shard ~7 (the
+      // relations free on broadcast GC, not job end). SMJ adds no
+      // extra sort — the self-join sorts on `h` anyway.
+      val pSharded = posts.join(eligible.hint("merge"), "h")
+      pairAgg((0 until nShards).map { s =>
+        runsOf(pairsOf(pSharded).filter(
+          pmod(xxhash64(col("a"), col("b"), col("off")), lit(nShards.toLong)) === s.toLong))
           .localCheckpoint(true)
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _))
     }
   }
 

@@ -826,7 +826,11 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // the 1993^2-refusal fixture: the default gate refuses it at
     // maxMatchRows=1e6, but 8 shards bound each shard at ~496k rows —
-    // ADMITTED, and the union must equal the gate-off unsharded result
+    // ADMITTED, and the union must equal the gate-off unsharded result.
+    // NB sharding is on (pair, OFFSET): this fixture's volume is ONE
+    // degenerate pair, which pair-keyed sharding cannot split (measured
+    // on the fabricated harness corpus — the whole pair landed in one
+    // shard); its ~3985 distinct offsets split ~evenly instead
     val rep = Seq.fill(2000)("tok").mkString(" ")
     val spanToks = (0 until 20).map(i => s"s$i").mkString(" ")
     val docs = Seq((1L, rep), (2L, rep),
