@@ -46,6 +46,12 @@ object ABSpansSharded {
       // no spill read-ahead keep the same sort spilling smoothly
       .config("spark.buffer.pageSize", "64m")
       .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+      // the sequential shard jobs accumulate GC-reclaimable execution
+      // state (per-job broadcast relations release only on GC, and the
+      // default periodic-GC interval is 30 MINUTES — longer than the
+      // whole run); without this the unified pool reads exhausted by
+      // shard ~5 ([UNABLE_TO_ACQUIRE_MEMORY] got 0)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1387,8 +1387,9 @@ object Dedup {
       // re-derives the posts index — the same second-tokenize-pass
       // cost dupSpanStats already pays); Long.MaxValue skips it.
       val est = matchRowsEstimate(hstats)
-      // sharded mode bounds PEAK volume at ~est/nShards (pair-hash
-      // residues are balanced in expectation), so that is what gates
+      // sharded mode bounds PEAK volume at ~est/nShards ((a, b, off)
+      // window-key residues split even one degenerate pair across its
+      // ~2·len distinct offsets), so that is what gates
       require(est / nShards <= BigInt(maxMatchRows),
         s"the shingle-hash self-join would emit $est match rows " +
           (if (nShards > 1) s"(~${est / nShards} per shard at nShards=$nShards) " else "") +
