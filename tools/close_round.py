@@ -175,6 +175,26 @@ if n >= 20:
             fail(f"{case_art}: {n_pass} PASS / {n_fail} FAIL — the case twin "
                  "must replay green on the full catalog", case_cmd)
 
+# 6b. the unicode twin is a STANDING channel too (generated every round
+#     since r18, required since r20): the full catalog replays on the
+#     non-ASCII planted corpus, pinning the whitespace/normalization/
+#     byte-vs-char contracts the ASCII corpus cannot reach. Same class
+#     of gate as the case twin — without it a round could silently ship
+#     on the ASCII corpus alone.
+uni_art = f"CORRECTNESS_unicode_r{n:02d}.json"
+uni_cmd = (f"python3 tools/unicode_corpus.py /root/testdata/sf0.01 /tmp/sfni && "
+           f"SPARK_GRAFT_CPUS=16 sbt -batch 'runMain graft.Verify /tmp/sfni /tmp/v_ni' && "
+           f"CHECK_JSON={uni_art} python3 tools/check.py /tmp/sfni /tmp/v_ni")
+if n >= 20:
+    if not os.path.exists(uni_art):
+        fail(f"{uni_art} (the standing unicode-twin replay)", uni_cmd)
+    else:
+        d = json.load(open(uni_art))
+        if d.get("n_fail", 1) != 0 or not d.get("full_catalog"):
+            fail(f"{uni_art}: n_fail={d.get('n_fail')}, "
+                 f"full_catalog={d.get('full_catalog')} — the unicode twin "
+                 "must replay green on the full catalog", uni_cmd)
+
 # 7. the interleaved A/B is the headline bench diff (r19 verdict #6):
 #    single sf0.1 captures cannot rank rounds (r19's driver and builder
 #    totals disagreed in SIGN on the same code), so the flagged movers
@@ -226,7 +246,7 @@ tracked = set(subprocess.run(["git", "ls-files"], capture_output=True,
                              text=True).stdout.split())
 staged = set(subprocess.run(["git", "diff", "--cached", "--name-only"],
                             capture_output=True, text=True).stdout.split())
-for f in [bench, corr, diff_art] + ([case_art, ab_art] if n >= 20 else []):
+for f in [bench, corr, diff_art] + ([case_art, uni_art, ab_art] if n >= 20 else []):
     if os.path.exists(f) and f not in tracked and f not in staged:
         fail(f"{f} exists but is not git-tracked", f"git add {f} && git commit")
 
