@@ -93,6 +93,11 @@ object ABFetchLatency {
         // where the kill severs a live fetch
         "spark.sql.shuffle.partitions" -> "2",
         "spark.sql.adaptive.enabled" -> "false"))
+      // joined before spark.stop(): an unjoined assassin delayed under
+      // load could fire AFTER this leg ends and SIGKILL a LATER
+      // session's executor — burning one of its 3 attempts or adding an
+      // unmeasured executor loss to the other retry-config's wall time
+      val assassin = new java.util.concurrent.atomic.AtomicReference[Thread]()
       try {
         val fetchFailed = new java.util.concurrent.atomic.AtomicInteger(0)
         val reattempts = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -118,14 +123,17 @@ object ABFetchLatency {
             if (e.taskMetrics != null &&
                 e.taskMetrics.shuffleReadMetrics.totalBytesRead > 0 &&
                 stagesSeen.incrementAndGet() == 1) {
-              new Thread(() => {
+              val t = new Thread(() => {
                 val pids = new String(java.lang.Runtime.getRuntime
                     .exec(Array("pgrep", "-f", "CoarseGrainedExecutorBackend"))
                     .getInputStream.readAllBytes()).trim.split("\n").filter(_.nonEmpty)
                 pids.headOption.foreach { pid =>
                   java.lang.Runtime.getRuntime.exec(Array("kill", "-9", pid.trim)).waitFor()
                 }
-              }, "executor-assassin").start()
+              }, "executor-assassin")
+              t.setDaemon(true)
+              assassin.set(t)
+              t.start()
             }
           }
           override def onStageSubmitted(
@@ -142,7 +150,10 @@ object ABFetchLatency {
             "no fetch failure to price; use a larger corpus")
         System.err.println(s"[ABFetchLatency] attempt $attempt: kill too late " +
           "(no FetchFailed/resubmission) — retrying with a fresh session")
-      } finally spark.stop()
+      } finally {
+        Option(assassin.get).foreach(_.join(10000))
+        spark.stop()
+      }
     }
     throw new IllegalStateException("unreachable")
   }

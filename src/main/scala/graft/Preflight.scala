@@ -124,11 +124,26 @@ object Preflight {
                        lenient: Boolean = false): Unit = {
     val cols = textCols.filter(df.columns.contains)
     if (cols.nonEmpty) {
-      val maxRowBytes = df.agg(
-        cols.map(c => coalesce(max(octet_length(col(c)).cast("long")), lit(0L)))
-          .reduce(_ + _).as("b")).head().getLong(0)
       val batchSize = spark.conf
         .get("spark.sql.parquet.columnarReaderBatchSize", "4096").toInt
+      // the probe itself reads the text column through the vectorized
+      // reader — at the CONFIGURED batch size it would reserve the very
+      // vectors it exists to warn about and die of the OOM it diagnoses
+      // (in the flagship dangerous config, 4096-row batches on multi-MB
+      // docs, the scan OOMs before the guard can speak). Probe at the
+      // guard's own floor batch (8 rows — reservation bounded at
+      // 8 x rowBytes per task) and restore the session conf after; the
+      // preflight runs up front, before concurrent queries exist.
+      val maxRowBytes =
+        try {
+          spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "8")
+          df.agg(
+            cols.map(c => coalesce(max(octet_length(col(c)).cast("long")), lit(0L)))
+              .reduce(_ + _).as("b")).head().getLong(0)
+        } finally {
+          spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+            batchSize.toString)
+        }
       readerBatchWarning(Runtime.getRuntime.maxMemory,
         spark.sparkContext.defaultParallelism, batchSize, maxRowBytes).foreach { msg =>
         if (lenient) System.err.println(s"[preflight] WARNING: $msg")

@@ -1348,7 +1348,13 @@ object Dedup {
     * the gate: (pair, offset)-residue shards of the self-join run
     * sequentially — exact union, peak volume ~est/nShards even for a
     * single degenerate pair (its rows spread across ~2·len offsets) —
-    * instead of refusing outright. Window partitions are per (pair, offset) —
+    * instead of refusing outright. The bound is on PEAK memory/shuffle,
+    * not CPU: the residue filter sits above the self-join (it needs
+    * both sides), so every shard re-enumerates the full est join emit
+    * and keeps 1/nShards — total enumeration ~nShards x est (measured
+    * 6.25x wall overhead at 8 shards on an admitted corpus,
+    * ab/spans_sharded_r20.json). Reach for nShards only when the gate
+    * REFUSES, never as a default. Window partitions are per (pair, offset) —
     * thousands of small partitions, no single-partition window anywhere.
     */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,

@@ -269,7 +269,13 @@ class OracleLintSpec extends AnyFunSuite {
       argOf(sql, sql.indexOf('(', m.start))
     }.toSeq
 
-  private val textRef = "(?i)(?<![A-Za-z0-9_.])text\\b".r
+  // NB: `.` is deliberately NOT in the lookbehind — `lower(a.text)`
+  // (the natural form in a join) is still the documents text column
+  // and must be visible to this lint; the only text-named column in
+  // the catalog schema is documents.text, so a qualified ref is never
+  // a different column (the original `.`-excluding lookbehind hid
+  // q107/q119's `lower(a.text)` sites from the gate entirely).
+  private val textRef = "(?i)(?<![A-Za-z0-9_])text\\b".r
   private def unfoldedLowerTextSites(sql: String): Seq[String] =
     lowerArgs(sql).filter(a =>
       textRef.findFirstIn(a).isDefined && !a.contains("chr(775)"))
@@ -290,7 +296,13 @@ class OracleLintSpec extends AnyFunSuite {
     "q185_intra_dup_spans", "q186_curation_funnel", "q187_vocab_growth",
     "q33_dedup_prefix", "q36_ngram_jaccard", "q40_text_quality",
     "q41_langid", "q64_dup_clusters", "q69_tfidf_topterms", "q70_dup_rate",
-    "q71_contamination", "q77_repetition", "q91_cluster_canonical")
+    "q71_contamination", "q77_repetition", "q91_cluster_canonical",
+    // qualified-ref sites (`lower(a.text)`/`lower(b.text)`) that the
+    // original `.`-excluding textRef lookbehind hid from this lint;
+    // both are levenshtein comparisons where the same fold applies to
+    // BOTH sides, and both are green on every post-fold case-twin
+    // matrix (ab/case_matrix_post_fold_r20.txt 200/200)
+    "q107_fuzzy_edit", "q119_fuzzy_clusters")
 
   test("every oracle lower() over the text column is caseFold-routed or twin-proven") {
     val offendersByName = SparkEntry.oracleSql.toSeq.sortBy(_._1)
@@ -310,10 +322,14 @@ class OracleLintSpec extends AnyFunSuite {
   test("the case-fold lint catches an unfolded oracle and passes a folded one (self-test)") {
     val unfolded = "SELECT lower(text) AS t FROM documents"
     val unfoldedDeep = "WITH a AS (SELECT lower(trim(text)) AS t FROM documents) SELECT t FROM a"
+    val unfoldedQualified = "SELECT lower(a.text) AS t FROM documents a JOIN documents b ON a.doc_id < b.doc_id"
     val folded = s"SELECT lower(${OracleSql.caseFold("text")}) AS t FROM documents"
     val unrelated = "SELECT lower(p_name) AS t, trimmed_text FROM part"
     assert(unfoldedLowerTextSites(unfolded).nonEmpty, "bare lower(text) must flag")
     assert(unfoldedLowerTextSites(unfoldedDeep).nonEmpty, "lower(trim(text)) must flag")
+    assert(unfoldedLowerTextSites(unfoldedQualified).nonEmpty,
+      "qualified lower(a.text) must flag — the join form is the natural " +
+        "way a new oracle writes it")
     assert(unfoldedLowerTextSites(folded).isEmpty, "caseFold-routed must pass")
     assert(unfoldedLowerTextSites(unrelated).isEmpty,
       "non-text columns and _text suffixes must not flag")

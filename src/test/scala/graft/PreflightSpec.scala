@@ -71,3 +71,39 @@ class PreflightSpec extends AnyFunSuite {
     assert(Preflight.readerBatchWarning(4 * gb, 0, 4096, 0L).isEmpty)
   }
 }
+
+/** Live half of the reader-batch guard: the probe scan must run at the
+  * guard's own floor batch (not the configured one it is checking —
+  * at the configured size the probe would reserve the very vectors it
+  * exists to warn about and die of the OOM it diagnoses) and restore
+  * the session conf afterwards, on the warning path too. */
+class PreflightLiveSpec extends SparkSpec {
+  test("checkReaderBatch probes safely and restores columnarReaderBatchSize") {
+    import spark.implicits._
+    val key = "spark.sql.parquet.columnarReaderBatchSize"
+    val dir = java.nio.file.Files.createTempDirectory("preflight_live").toString
+    Seq(("d1", "x" * 4096), ("d2", "y" * 128)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.conf.getOption(key)
+    try {
+      // configured batch size so extreme the estimate ALWAYS warns —
+      // the lenient call must survive (probe at floor batch) and the
+      // conf must come back to the pre-call value, not the probe's 8
+      spark.conf.set(key, "1048576")
+      Preflight.checkReaderBatch(spark, spark.read.parquet(dir),
+        Seq("text"), lenient = true)
+      assert(spark.conf.get(key) === "1048576")
+      // non-lenient: the refusal fires AFTER the probe, conf restored
+      val e = intercept[IllegalArgumentException] {
+        Preflight.checkReaderBatch(spark, spark.read.parquet(dir), Seq("text"))
+      }
+      assert(e.getMessage.contains("columnarReaderBatchSize"))
+      assert(spark.conf.get(key) === "1048576")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+}

@@ -85,11 +85,16 @@ def main():
     if cs:
         print(f"canaries: {min(cs):.2f}-{max(cs):.2f}s across {len(cs)} invocations")
     print(f"\n{'query':40s} {'old reps':>24s} {'new reps':>24s}  verdict")
-    regression = False
+    regression, incomplete = False, []
     for q in queries:
         o, n = old_t.get(q, []), new_t.get(q, [])
         if not o or not n:
+            # a green-looking "no regression" line over zero
+            # measurements is worse than no artifact: a query absent
+            # from the old binary, or every capture failing to parse,
+            # must fail the close gate loudly, not pass it silently
             print(f"{q:40s} {'missing':>24s} {'missing':>24s}  NO DATA")
+            incomplete.append(q)
             continue
         om, nm = statistics.median(o), statistics.median(n)
         fo = "/".join(f"{t:.2f}" for t in o)
@@ -100,6 +105,10 @@ def main():
             v = f"new median {nm:.2f} vs {om:.2f} — REGRESSION ({nm / om:.2f}x)"
             regression = True
         print(f"{q:40s} {fo:>24s} {fn:>24s}  {v}")
+    if incomplete:
+        print(f"\nINCOMPLETE — no measurements for: {', '.join(incomplete)}; "
+              "this A/B is not adjudication evidence")
+        sys.exit(2)
     print("\n" + ("REGRESSIONS FOUND — adjudicate before closing" if regression
                   else "no per-query regression beyond 10% of the old median"))
 

@@ -202,6 +202,10 @@ if n >= 20:
 #    old/new binaries — automatically, and the artifact is required.
 ab_art = f"ab/bench_flags_ab_r{n:02d}.txt"
 def _flagged_from_diff(path, cap=10):
+    # returns (worst `cap` movers, the ones the cap drops) — bench_diff
+    # sorts worst-regressions-first, so the dropped tail is the
+    # improvements; the caller records the truncation in the artifact
+    # instead of silently presenting a partial A/B as full coverage
     qs, in_flags = [], False
     for l in open(path).read().splitlines():
         if l.startswith("flagged ("):
@@ -210,11 +214,11 @@ def _flagged_from_diff(path, cap=10):
             m2 = re.match(r"\s+(\S+)\s+[\d.]+s -> ", l)
             if m2: qs.append(m2.group(1))
             else: in_flags = False
-    return qs[:cap]
+    return qs[:cap], qs[cap:]
 if os.path.exists(ab_art) and _git_tracked(ab_art):
     print(f"{ab_art} already committed — validating, not regenerating")
 elif os.path.exists(diff_art):
-    flagged = _flagged_from_diff(diff_art)
+    flagged, dropped = _flagged_from_diff(diff_art)
     if flagged:
         old_commit = subprocess.run(
             ["git", "log", "-1", "--format=%H", "--",
@@ -226,8 +230,25 @@ elif os.path.exists(diff_art):
             r = subprocess.run([sys.executable, "tools/bench_ab.py",
                                 old_commit, ",".join(flagged)],
                                capture_output=True, text=True)
-            open(ab_art, "w").write(r.stdout + r.stderr)
+            body = r.stdout + r.stderr
+            if dropped:
+                body += (f"\nNOTE: bench_diff flagged {len(flagged) + len(dropped)} "
+                         f"movers; A/B capped to the worst {len(flagged)} — not run: "
+                         f"{', '.join(dropped)}\n")
+            open(ab_art, "w").write(body)
             print(f"wrote {ab_art}")
+            # a crashed or incomplete A/B run must not satisfy the gate:
+            # bench_ab exits 2 on NO DATA rows and nonzero on any crash,
+            # and a healthy artifact always carries its header + a
+            # closing verdict line (same spirit as check 6's PASS count)
+            if (r.returncode != 0
+                    or "Interleaved A/B:" not in body
+                    or not ("no per-query regression" in body
+                            or "REGRESSIONS FOUND" in body)):
+                fail(f"{ab_art}: bench_ab exited {r.returncode} or wrote an "
+                     "incomplete artifact — not valid adjudication evidence",
+                     f"python3 tools/bench_ab.py {old_commit[:9]} "
+                     f"{','.join(flagged)} > {ab_art}")
         else:
             fail(f"{ab_art}: cannot locate round {n-1}'s bench commit for the "
                  "old binary", f"python3 tools/bench_ab.py <old-commit> {','.join(flagged)} > {ab_art}")
