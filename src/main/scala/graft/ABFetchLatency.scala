@@ -151,7 +151,11 @@ object ABFetchLatency {
         System.err.println(s"[ABFetchLatency] attempt $attempt: kill too late " +
           "(no FetchFailed/resubmission) — retrying with a fresh session")
       } finally {
-        Option(assassin.get).foreach(_.join(10000))
+        // unbounded: a timed join that expires under load would let the
+        // stale assassin escape into the NEXT session — the exact
+        // defect this join exists to close (the thread only runs
+        // pgrep + kill, and it is a daemon, so JVM exit is never held)
+        Option(assassin.get).foreach(_.join())
         spark.stop()
       }
     }

@@ -124,8 +124,14 @@ object Preflight {
                        lenient: Boolean = false): Unit = {
     val cols = textCols.filter(df.columns.contains)
     if (cols.nonEmpty) {
-      val batchSize = spark.conf
-        .get("spark.sql.parquet.columnarReaderBatchSize", "4096").toInt
+      val key = "spark.sql.parquet.columnarReaderBatchSize"
+      // getOption surfaces the registered DEFAULT for a never-set key
+      // (measured: unset -> Some("4096")), so explicit-vs-default is
+      // not observable through RuntimeConfig and the restore below
+      // re-sets the effective value — identical for the session's
+      // lifetime, which is the only window a session conf has
+      val effective = spark.conf.getOption(key).getOrElse("4096")
+      val batchSize = effective.toInt
       // the probe itself reads the text column through the vectorized
       // reader — at the CONFIGURED batch size it would reserve the very
       // vectors it exists to warn about and die of the OOM it diagnoses
@@ -136,14 +142,11 @@ object Preflight {
       // preflight runs up front, before concurrent queries exist.
       val maxRowBytes =
         try {
-          spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "8")
+          spark.conf.set(key, "8")
           df.agg(
             cols.map(c => coalesce(max(octet_length(col(c)).cast("long")), lit(0L)))
               .reduce(_ + _).as("b")).head().getLong(0)
-        } finally {
-          spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
-            batchSize.toString)
-        }
+        } finally spark.conf.set(key, effective)
       readerBatchWarning(Runtime.getRuntime.maxMemory,
         spark.sparkContext.defaultParallelism, batchSize, maxRowBytes).foreach { msg =>
         if (lenient) System.err.println(s"[preflight] WARNING: $msg")

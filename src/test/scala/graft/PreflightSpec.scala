@@ -99,6 +99,20 @@ class PreflightLiveSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("columnarReaderBatchSize"))
       assert(spark.conf.get(key) === "1048576")
+      // an unset key restores to its effective (default) value — true
+      // unset-restore is impossible: RuntimeConfig.getOption surfaces
+      // the registered default for a never-set key (this pin documents
+      // that measured behavior), so explicit-vs-default is not
+      // observable and re-setting the effective value is equivalent
+      // for the session's lifetime
+      spark.conf.unset(key)
+      assert(spark.conf.getOption(key) === Some("4096"),
+        "RuntimeConfig no longer surfaces the default for an unset key — " +
+          "revisit checkReaderBatch's restore, a true unset-restore may " +
+          "now be possible")
+      Preflight.checkReaderBatch(spark, spark.read.parquet(dir),
+        Seq("text"), lenient = true)
+      assert(spark.conf.get(key) === "4096")
     } finally {
       before match {
         case Some(v) => spark.conf.set(key, v)

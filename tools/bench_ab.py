@@ -88,12 +88,16 @@ def main():
     regression, incomplete = False, []
     for q in queries:
         o, n = old_t.get(q, []), new_t.get(q, [])
-        if not o or not n:
-            # a green-looking "no regression" line over zero
+        if len(o) < reps or len(n) < reps:
+            # a green-looking "no regression" verdict over missing
             # measurements is worse than no artifact: a query absent
-            # from the old binary, or every capture failing to parse,
-            # must fail the close gate loudly, not pass it silently
-            print(f"{q:40s} {'missing':>24s} {'missing':>24s}  NO DATA")
+            # from the old binary, or ANY capture rep failing to parse
+            # (a median over one surviving noisy sample is not
+            # evidence), must fail the close gate loudly
+            fo = "/".join(f"{t:.2f}" for t in o) or "missing"
+            fn = "/".join(f"{t:.2f}" for t in n) or "missing"
+            print(f"{q:40s} {fo:>24s} {fn:>24s}  "
+                  f"NO DATA ({len(o)}/{reps} old, {len(n)}/{reps} new reps)")
             incomplete.append(q)
             continue
         om, nm = statistics.median(o), statistics.median(n)

@@ -215,8 +215,32 @@ def _flagged_from_diff(path, cap=10):
             if m2: qs.append(m2.group(1))
             else: in_flags = False
     return qs[:cap], qs[cap:]
+def _ab_artifact_invalid(path):
+    # content rules mirrored from the regeneration path: a committed
+    # artifact is immutable history but must still BE evidence — header
+    # present, a closing verdict (either outcome; adjudication of
+    # REGRESSIONS lives in SCALE.md), and no incomplete/NO DATA rows.
+    # Without this, a bad artifact once committed would satisfy the
+    # gate forever (contrast check 6, which re-parses the case matrix).
+    body = open(path).read()
+    if "Interleaved A/B:" not in body and "no flagged movers" not in body:
+        return "missing the A/B header"
+    if "INCOMPLETE" in body or "NO DATA" in body:
+        return "contains INCOMPLETE/NO DATA rows"
+    if ("Interleaved A/B:" in body
+            and not ("no per-query regression" in body
+                     or "REGRESSIONS FOUND" in body)):
+        return "missing the closing verdict line"
+    return None
 if os.path.exists(ab_art) and _git_tracked(ab_art):
-    print(f"{ab_art} already committed — validating, not regenerating")
+    bad = _ab_artifact_invalid(ab_art)
+    if bad:
+        fail(f"{ab_art} is committed but {bad} — not valid adjudication "
+             "evidence", "re-run tools/bench_ab.py (exit 0, complete table) "
+             f"and commit the new {ab_art}")
+    else:
+        print(f"{ab_art} already committed — validated (header, verdict, "
+              "no missing rows)")
 elif os.path.exists(diff_art):
     flagged, dropped = _flagged_from_diff(diff_art)
     if flagged:
