@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *      when the peer is GONE (fast-fail escalates to FetchFailed →
   *      stage resubmission sooner). Digest-exact in both.
   *
-  * What this does NOT establish (still honest cluster-only residue):
-  * slow-but-alive peers (retry knobs then trade recovery against
-  * wasted refetch), rack topology, and partial network partitions —
-  * a same-host TCP connection cannot fake an alive-but-distant one.
+  * What this does NOT establish: rack topology and partial network
+  * partitions. (Slow-but-ALIVE peers — originally on this residue
+  * list — turned out to be same-host-measurable after all via
+  * SIGSTOP, which freezes the peer while its TCP endpoints stay open:
+  * see [[ABSlowPeer]].)
   *
   * Usage: SPARK_SCALA_VERSION=2.13 sbt "runMain graft.ABFetchLatency /tmp/sf3x"
   * Output: one JSON line (committed under ab/ as the r20 artifact).
