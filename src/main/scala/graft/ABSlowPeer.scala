@@ -78,18 +78,24 @@ object ABSlowPeer {
   private def signal(pid: String, sig: String): Unit =
     java.lang.Runtime.getRuntime.exec(Array("kill", s"-$sig", pid)).waitFor()
 
-  private def firstExecutorPid(): Option[String] =
+  /** NEWEST matching pid (`pgrep -n`): executor JVM exit after
+    * `spark.stop()` is asynchronous, so the first-listed (oldest) pid
+    * can be a dying executor from the PREVIOUS session — freezing that
+    * corpse instead of a live peer would silently measure nothing. The
+    * current session's executors are always the newest spawn. */
+  private def newestExecutorPid(): Option[String] =
     new String(java.lang.Runtime.getRuntime
-        .exec(Array("pgrep", "-f", "CoarseGrainedExecutorBackend"))
+        .exec(Array("pgrep", "-n", "-f", "CoarseGrainedExecutorBackend"))
         .getInputStream.readAllBytes()).trim.split("\n")
       .filter(_.nonEmpty).headOption.map(_.trim)
 
   /** One stall run. `contAfterS = Some(s)`: SIGCONT after s seconds
     * (leg 1). `None`: leave stopped until cleanup (leg 2). Returns
-    * (digest, wall sec, fetchFailed, resubmissions, executorRemoved).
+    * (digest, wall sec, fetchFailed, resubmissions, executorRemoved,
+    * stallLanded — whether the saboteur actually froze a pid).
     */
   private def stallLeg(sfDir: String, contAfterS: Option[Int],
-                       extra: Map[String, String]): (Row, Double, Int, Int, Int) = {
+                       extra: Map[String, String]): (Row, Double, Int, Int, Int, Boolean) = {
     val spark = session(extra)
     // the stopped pid outlives the leg unless cleaned up: a later
     // session's pgrep would find the frozen corpse and stall IT — the
@@ -118,7 +124,7 @@ object ABSlowPeer {
               e.taskMetrics.shuffleReadMetrics.totalBytesRead > 0 &&
               readsSeen.incrementAndGet() == 1) {
             val t = new Thread(() => {
-              firstExecutorPid().foreach { pid =>
+              newestExecutorPid().foreach { pid =>
                 stalledPid.set(pid)
                 signal(pid, "STOP")
                 contAfterS.foreach { s =>
@@ -138,7 +144,8 @@ object ABSlowPeer {
       })
       val (d, t) = digestOf(spark, sfDir)
       Thread.sleep(500)
-      (d, t, fetchFailed.get, reattempts.get, removed.get)
+      (d, t, fetchFailed.get, reattempts.get, removed.get,
+        stalledPid.get != null)
     } finally {
       Option(saboteur.get).foreach(_.join())
       // leg 2 leaves the pid frozen; a stopped process ignores the
@@ -161,27 +168,47 @@ object ABSlowPeer {
     def r2(x: Double): Double = math.rint(x * 100) / 100
 
     // baseline: same session shape, no fault — cold then warm; the
-    // stall legs below run equally cold, so cold is the comparable one
+    // stall legs below run equally cold, so cold is the comparable
+    // one, and warm is the floor the landed-guard builds on. The
+    // settle sleep lets this session's executors exit before the first
+    // stall leg's pgrep (exit after spark.stop() is asynchronous).
     val s0 = session(Map.empty)
     val (d0, tBaseCold) = digestOf(s0, sfDir)
     val (_, tBaseWarm) = digestOf(s0, sfDir)
     s0.stop()
+    Thread.sleep(1500)
 
     // leg 1: stall-then-recover at two durations under DEFAULT
     // timeouts (120 s network timeout >> stall: nothing may fail —
-    // the stall must surface as pure latency)
-    val stalls = Seq(8, 20).map { s =>
-      val (d, t, ff, rs, rm) = stallLeg(sfDir, Some(s), Map.empty)
-      require(d == d0, s"stall-$s digest diverged: $d0 vs $d")
-      require(ff == 0 && rs == 0 && rm == 0,
-        s"stall-$s was supposed to be sub-timeout pure latency but saw " +
-          s"fetchFailed=$ff resubmissions=$rs removed=$rm")
-      s -> r2(t)
+    // the stall must surface as pure latency). 3 reps per duration
+    // (single cold captures swing by seconds — the ABFetchLatency
+    // lesson applies to the headline marginal-cost number too), each
+    // rep guarded: the saboteur must have frozen a pid AND the stall
+    // must SHOW in the wall (wall >= warm floor + stall), so a missed
+    // window cannot silently publish a corrupt marginal cost.
+    val stallDurations = Seq(8, 20)
+    val stalls = stallDurations.map { s =>
+      val walls = (1 to 3).map { rep =>
+        val (d, t, ff, rs, rm, landed) = stallLeg(sfDir, Some(s), Map.empty)
+        require(d == d0, s"stall-$s rep $rep digest diverged: $d0 vs $d")
+        require(landed, s"stall-$s rep $rep: saboteur found no executor pid")
+        require(ff == 0 && rs == 0 && rm == 0,
+          s"stall-$s rep $rep was supposed to be sub-timeout pure latency " +
+            s"but saw fetchFailed=$ff resubmissions=$rs removed=$rm")
+        require(t >= tBaseWarm + s,
+          s"stall-$s rep $rep wall ${r2(t)}s < warm floor ${r2(tBaseWarm)}s " +
+            s"+ stall ${s}s — the stall missed the query window")
+        t
+      }
+      s -> walls
     }
 
     // leg 2: stall past the timeout — patient vs fast detection.
     // 3 reps each; every rep must recover digest-exact WITHOUT the
-    // stalled peer (it never resumes inside the run).
+    // stalled peer (it never resumes inside the run). A rep whose
+    // stall missed the fetch window retries with a fresh session (up
+    // to 3 attempts, the killLeg convention) instead of discarding
+    // the whole multi-minute run.
     def reps(timeoutS: Int): (Seq[Double], Int, Int, Int) = {
       val cfg = Map(
         "spark.network.timeout" -> s"${timeoutS}s",
@@ -189,13 +216,24 @@ object ABSlowPeer {
         // requires timeoutInterval <= timeout; its default is 60 s)
         "spark.network.timeoutInterval" -> s"${timeoutS}s",
         "spark.executor.heartbeatInterval" -> "5s")
-      val rs = (1 to 3).map { _ =>
-        val leg = stallLeg(sfDir, None, cfg)
-        require(leg._1 == d0, s"timeout-$timeoutS digest diverged: $d0 vs ${leg._1}")
-        require(leg._3 > 0 || leg._4 > 0 || leg._5 > 0,
-          s"timeout-$timeoutS: no detection fired (ff=${leg._3} rs=${leg._4} " +
-            s"rm=${leg._5}) — the stall missed the fetch window")
-        leg
+      val rs = (1 to 3).map { rep =>
+        var attempt = 0
+        var out: Option[(Row, Double, Int, Int, Int, Boolean)] = None
+        while (out.isEmpty) {
+          attempt += 1
+          val leg = stallLeg(sfDir, None, cfg)
+          require(leg._1 == d0, s"timeout-$timeoutS digest diverged: $d0 vs ${leg._1}")
+          if (leg._6 && (leg._3 > 0 || leg._4 > 0 || leg._5 > 0)) out = Some(leg)
+          else {
+            require(attempt < 3,
+              s"timeout-$timeoutS rep $rep: no detection fired in 3 attempts " +
+                s"(ff=${leg._3} rs=${leg._4} rm=${leg._5} landed=${leg._6}) — " +
+                "the stall keeps missing the fetch window; use a larger corpus")
+            System.err.println(s"[ABSlowPeer] timeout-$timeoutS rep $rep " +
+              s"attempt $attempt missed the fetch window — retrying")
+          }
+        }
+        out.get
       }
       (rs.map(_._2), rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum)
     }
@@ -203,8 +241,10 @@ object ABSlowPeer {
     val (tFast, ffFast, rsFast, rmFast) = reps(timeoutS = 20)
     def med(xs: Seq[Double]): Double = r2(xs.sorted.apply(xs.size / 2))
     def arr(xs: Seq[Double]): String = xs.map(r2).mkString("[", ",", "]")
+    val Seq((sA, wallsA), (sB, wallsB)) = stalls
+    val marginal = r2((med(wallsB) - med(wallsA)) / (sB - sA).toDouble)
 
-    println(s"""{"sf":"$sfDir","mode":"local-cluster[2,6,3072]","digest_rows":${d0.getLong(0)},"baseline_cold_sec":${r2(tBaseCold)},"baseline_warm_sec":${r2(tBaseWarm)},"stall8_sec":${stalls(0)._2},"stall20_sec":${stalls(1)._2},"stall_marginal_sec_per_stall_sec":${r2((stalls(1)._2 - stalls(0)._2) / 12.0)},"timeout45_secs":${arr(tPat)},"timeout45_median_sec":${med(tPat)},"timeout45_fetch_failed":$ffPat,"timeout45_resubmissions":$rsPat,"timeout45_removed":$rmPat,"timeout20_secs":${arr(tFast)},"timeout20_median_sec":${med(tFast)},"timeout20_fetch_failed":$ffFast,"timeout20_resubmissions":$rsFast,"timeout20_removed":$rmFast,"digests_identical":true}""")
+    println(s"""{"sf":"$sfDir","mode":"local-cluster[2,6,3072]","digest_rows":${d0.getLong(0)},"baseline_cold_sec":${r2(tBaseCold)},"baseline_warm_sec":${r2(tBaseWarm)},"stall_durations_sec":[$sA,$sB],"stall${sA}_secs":${arr(wallsA)},"stall${sA}_median_sec":${med(wallsA)},"stall${sB}_secs":${arr(wallsB)},"stall${sB}_median_sec":${med(wallsB)},"stall_marginal_sec_per_stall_sec":$marginal,"timeout45_secs":${arr(tPat)},"timeout45_median_sec":${med(tPat)},"timeout45_fetch_failed":$ffPat,"timeout45_resubmissions":$rsPat,"timeout45_removed":$rmPat,"timeout20_secs":${arr(tFast)},"timeout20_median_sec":${med(tFast)},"timeout20_fetch_failed":$ffFast,"timeout20_resubmissions":$rsFast,"timeout20_removed":$rmFast,"digests_identical":true}""")
     sys.exit(0)
   }
 }
